@@ -1,0 +1,169 @@
+"""Typed configuration system.
+
+Reference parity: the NodeJS engine's config module (SURVEY.md C14) carries
+hyperparameters (factor rank, lambda, alpha, learning rate, epochs, worker
+count) plus dataset selection. Here those are frozen dataclasses with one
+preset per BASELINE.json config (lines 6-12). The reference's DB/Redis
+connection settings map to local store paths (``ycnr_tpu.data.store``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection & layout parameters (reference C7 ingestion config)."""
+
+    source: str = "synthetic"  # synthetic | ml-100k | ml-1m | ml-20m | path
+    path: Optional[str] = None  # file path for movielens sources
+    n_users: int = 1000  # synthetic only
+    n_items: int = 500  # synthetic only
+    n_ratings: int = 50_000  # synthetic only
+    true_rank: int = 8  # synthetic planted rank
+    noise: float = 0.25  # synthetic rating noise sigma
+    seed: int = 0
+    test_fraction: float = 0.1  # held-out split (reference train/test split)
+    chunk_len: int = 32  # L: ratings per chunk in the blocked-CSR layout
+    block_chunks: Optional[int] = None  # C_B: chunks per block (None = auto)
+    implicit: bool = False  # binarize ratings (iALS preset)
+
+
+@dataclass(frozen=True)
+class ALSConfig:
+    """ALS-WR hyperparameters (Zhou et al.; SURVEY.md C9 / Appendix A)."""
+
+    rank: int = 10
+    lam: float = 0.05  # weighted-lambda: per-entity lambda * n_e
+    epochs: int = 10
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class SGDConfig:
+    """Biased SGD-MF hyperparameters (Funk/Koren; SURVEY.md C10)."""
+
+    rank: int = 10
+    lam: float = 0.02
+    lr: float = 0.01
+    lr_decay: float = 0.95  # per-epoch multiplicative decay
+    epochs: int = 20
+    batch_size: int = 4096
+    init_scale: float = 0.1
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class IALSConfig:
+    """Implicit weighted ALS (Hu/Koren/Volinsky; SURVEY.md C11)."""
+
+    rank: int = 10
+    lam: float = 0.1
+    alpha: float = 40.0  # confidence c = 1 + alpha * r
+    epochs: int = 10
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / parallelism config.
+
+    Replaces the reference worker-count + fork/IPC settings (SURVEY.md C2-C4):
+    ``n_shards`` plays the role of the worker count; the epoch barrier and the
+    shared factor view are expressed as shardings + collectives (SURVEY.md §2
+    parallelism table P1-P4).
+    """
+
+    n_shards: int = 1  # 1 = single chip, no mesh
+    axis: str = "shard"
+    # V-step strategy when sharded (SURVEY.md M6):
+    #   "gram_psum": ratings stay user-sharded; per-item Gram matrices are
+    #                psum'd over ICI (the BASELINE.json:5 prescribed collective)
+    #   "item_sharded": re-bucket by item across the mesh; no Gram psum
+    vstep_mode: str = "gram_psum"
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    name: str = "run"
+    algorithm: str = "als"  # als | sgd | ials
+    data: DataConfig = field(default_factory=DataConfig)
+    als: ALSConfig = field(default_factory=ALSConfig)
+    sgd: SGDConfig = field(default_factory=SGDConfig)
+    ials: IALSConfig = field(default_factory=IALSConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    topn: int = 10
+    seed: int = 0
+    out_dir: str = "runs"
+    checkpoint_every: int = 1  # epochs between checkpoints (0 = off)
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets: one per BASELINE.json "configs" entry (lines 6-12).
+# ---------------------------------------------------------------------------
+
+_PRESETS = {
+    # BASELINE.json:7 — "ALS-WR factorization of MovieLens-100K, rank 10,
+    # explicit ratings"
+    "ml100k-als": RunConfig(
+        name="ml100k-als",
+        algorithm="als",
+        data=DataConfig(source="ml-100k", n_users=943, n_items=1682,
+                        n_ratings=100_000, chunk_len=32),
+        als=ALSConfig(rank=10, lam=0.05, epochs=10),
+    ),
+    # BASELINE.json:8 — "SGD factorization with user/item bias terms
+    # (MovieLens-1M)"
+    "ml1m-sgd": RunConfig(
+        name="ml1m-sgd",
+        algorithm="sgd",
+        data=DataConfig(source="ml-1m", n_users=6040, n_items=3706,
+                        n_ratings=1_000_209, chunk_len=32),
+        sgd=SGDConfig(rank=16, lam=0.02, lr=0.005, epochs=20,
+                      batch_size=8192),
+    ),
+    # BASELINE.json:9 — "ALS-WR rank 64 on MovieLens-20M with held-out RMSE"
+    "ml20m-als": RunConfig(
+        name="ml20m-als",
+        algorithm="als",
+        data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
+                        n_ratings=20_000_263, chunk_len=32),
+        als=ALSConfig(rank=64, lam=0.05, epochs=10),
+    ),
+    # BASELINE.json:10 — "Implicit-feedback weighted ALS (confidence-weighted,
+    # binarized ML-20M)"
+    "ml20m-ials": RunConfig(
+        name="ml20m-ials",
+        algorithm="ials",
+        data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
+                        n_ratings=20_000_263, chunk_len=32, implicit=True),
+        ials=IALSConfig(rank=64, lam=0.1, alpha=40.0, epochs=10),
+    ),
+    # BASELINE.json:11 — "Sharded ALS + full top-N recommendation serving over
+    # 8-chip mesh (Netflix-scale synthetic)"
+    "netflix-sharded": RunConfig(
+        name="netflix-sharded",
+        algorithm="als",
+        data=DataConfig(source="synthetic", n_users=480_189, n_items=17_770,
+                        n_ratings=100_480_507, true_rank=32, chunk_len=32),
+        als=ALSConfig(rank=64, lam=0.05, epochs=5),
+        mesh=MeshConfig(n_shards=8),
+        topn=10,
+    ),
+}
+
+
+def get_preset(name: str) -> RunConfig:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(_PRESETS)}")
+    return _PRESETS[name]
+
+
+def list_presets() -> list[str]:
+    return sorted(_PRESETS)

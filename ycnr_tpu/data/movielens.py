@@ -1,0 +1,76 @@
+"""MovieLens file parsers (reference C7 / call stack 3.1).
+
+The reference parses ``u.data`` (tab), ``ratings.dat`` (``::``) and
+``ratings.csv`` (comma) and batch-inserts into PostgreSQL. Here parsing goes
+straight to packed int32/float32 arrays; the hot path is the native C++
+parser (``ycnr_tpu.native``), with a NumPy fallback. Raw ids are densified to
+contiguous row indices (the reference's DB ids -> array offsets mapping).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_FORMATS = {
+    ".data": "\t",  # ml-100k u.data: user \t item \t rating \t ts
+    ".dat": "::",  # ml-1m/10m ratings.dat: user::item::rating::ts
+    ".csv": ",",  # ml-20m+ ratings.csv: userId,movieId,rating,timestamp
+}
+
+
+def _sep_for(path: str) -> str:
+    ext = os.path.splitext(path)[1]
+    if ext not in _FORMATS:
+        raise ValueError(f"unrecognized MovieLens file extension: {path}")
+    return _FORMATS[ext]
+
+
+def _parse_python(path: str, sep: str):
+    users, items, ratings = [], [], []
+    with open(path, "r", encoding="utf-8") as f:
+        first = True
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if first:
+                first = False
+                if line.lower().startswith("userid"):  # csv header
+                    continue
+            parts = line.split(sep)
+            users.append(int(parts[0]))
+            items.append(int(parts[1]))
+            ratings.append(float(parts[2]))
+    return (np.asarray(users, np.int64), np.asarray(items, np.int64),
+            np.asarray(ratings, np.float32))
+
+
+def load_movielens(path: str, densify: bool = True):
+    """Parse a MovieLens ratings file.
+
+    Returns (user_idx, item_idx, rating, n_users, n_items). With
+    ``densify=True`` raw ids are remapped to contiguous [0, n) indices.
+    """
+    sep = _sep_for(path)
+    try:
+        from ycnr_tpu.native import parse_ratings_native
+
+        parsed = parse_ratings_native(path, sep)
+    except Exception:
+        parsed = None
+    if parsed is None:
+        u, i, r = _parse_python(path, sep)
+    else:
+        u, i, r = parsed
+
+    if densify:
+        uu, u = np.unique(u, return_inverse=True)
+        ii, i = np.unique(i, return_inverse=True)
+        n_users, n_items = len(uu), len(ii)
+    else:
+        n_users = int(u.max()) + 1 if len(u) else 0
+        n_items = int(i.max()) + 1 if len(i) else 0
+    return (u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+            n_users, n_items)
