@@ -1,0 +1,2 @@
+from ycnr_tpu.models.base import predict, rmse_padded  # noqa: F401
+from ycnr_tpu.eval.recommend import recommend_all, recommend_users  # noqa: F401

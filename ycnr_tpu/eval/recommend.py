@@ -1,0 +1,98 @@
+"""Top-N recommendation serving (SURVEY.md C13, call stack 3.5).
+
+scores = U[u] . V^T with already-rated items masked to -inf, then top-k —
+exactly the reference's serving path, run fully on device and batched:
+
+* ``recommend_all``: scans the user-major blocked layout, so the rated-item
+  masks come straight from the training layout (no per-user host work). This
+  is the throughput path behind the "top-10 recs/sec" metric (BASELINE.json:2).
+* ``recommend_users``: ad-hoc user list; the rated lists are sliced on host
+  (the reference reads them from Postgres) and padded to one rectangle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ycnr_tpu.models.base import MFState
+from ycnr_tpu.ops.gram import BlockData
+from ycnr_tpu.ops.layout import BlockedCSR
+
+NEG_INF = -3.0e38  # large-negative fill (safe in fp32, avoids inf-inf NaNs)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _topn_blocks(state: MFState, layout: BlockedCSR, n: int):
+    """[NB, C_B, n] top items + scores per entity slot, rated items masked."""
+    V = state.V  # [n_items + 1, k], trailing zero row
+    n_items = V.shape[0] - 1
+
+    def body(_, blk_arrays):
+        blk = BlockData(*blk_arrays)
+        rows = state.U[blk.entity_ids]  # [C_B, k]
+        scores = (state.mu + state.bu[blk.entity_ids][:, None] + state.bi[None, :]
+                  + rows @ V.T)  # [C_B, n_items + 1]
+        # mask this block's rated pairs: chunk_seg -> local slot row
+        C_B = blk.chunk_seg.shape[0]
+        slot = jnp.minimum(blk.chunk_seg, C_B - 1)  # padding chunks -> safe row
+        flat_rows = jnp.repeat(slot, blk.other_idx.shape[1])
+        flat_cols = blk.other_idx.reshape(-1)  # padding -> col n_items
+        scores = scores.at[flat_rows, flat_cols].set(NEG_INF)
+        scores = scores.at[:, n_items].set(NEG_INF)  # trash column off
+        top_s, top_i = lax.top_k(scores, n)
+        return None, (top_i.astype(jnp.int32), top_s)
+
+    _, (ids, sc) = lax.scan(body, None, tuple(layout))
+    return ids, sc
+
+
+def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10):
+    """Top-N for every user with >=1 training rating.
+
+    Returns (user_ids [m], item_ids [m, n], scores [m, n]) as numpy.
+    """
+    ids, sc = _topn_blocks(state, user_layout, n)
+    eids = np.asarray(user_layout.entity_ids).reshape(-1)
+    ids = np.asarray(ids).reshape(-1, n)
+    sc = np.asarray(sc).reshape(-1, n)
+    real = eids < state.n_users
+    return eids[real], ids[real], sc[real]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _topn_users(state: MFState, user_ids: jnp.ndarray,
+                rated_padded: jnp.ndarray, n: int):
+    n_items = state.V.shape[0] - 1
+    rows = state.U[user_ids]
+    scores = (state.mu + state.bu[user_ids][:, None] + state.bi[None, :]
+              + rows @ state.V.T)
+    b = jax.lax.broadcasted_iota(jnp.int32, rated_padded.shape, 0)
+    scores = scores.at[b.reshape(-1), rated_padded.reshape(-1)].set(NEG_INF)
+    scores = scores.at[:, n_items].set(NEG_INF)
+    return lax.top_k(scores, n)
+
+
+def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10):
+    """Top-N for an explicit user list (the reference's recommend(userId, N)
+    entry). Rated lists are gathered host-side and padded with n_items."""
+    train_u = np.asarray(train_u)
+    train_i = np.asarray(train_i)
+    user_ids = np.asarray(user_ids, np.int32)
+    order = np.argsort(train_u, kind="stable")
+    su, si = train_u[order], train_i[order]
+    lists = []
+    for u in user_ids:
+        s, t = np.searchsorted(su, u), np.searchsorted(su, u, side="right")
+        lists.append(si[s:t])
+    width = max(1, max((len(x) for x in lists), default=1))
+    rated = np.full((len(user_ids), width), state.n_items, np.int32)
+    for j, x in enumerate(lists):
+        rated[j, : len(x)] = x
+    top_s, top_i = _topn_users(state, jnp.asarray(user_ids),
+                               jnp.asarray(rated), n)
+    return np.asarray(top_i), np.asarray(top_s)

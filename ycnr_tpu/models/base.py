@@ -1,0 +1,119 @@
+"""Shared factor-model state.
+
+The reference keeps U (users x k) and V (items x k) plus bias vectors in
+shared memory visible to all workers (SURVEY.md C1/C6c). Here the state is a
+single pytree of device arrays; the "shared view" across chips is a sharding
+decision (ycnr_tpu.parallel), not a storage mechanism.
+
+Padding convention: factor matrices carry one trailing all-zero row
+([n+1, k]) and bias vectors one trailing zero ([n+1]) — the zero-row trick of
+ycnr_tpu.ops.layout. Every op in the framework preserves these invariants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ycnr_tpu.ops.layout import BlockedCSR
+
+
+class MFState(NamedTuple):
+    """Factors + biases for all three model families. ALS/iALS keep biases at
+    zero and mu at 0; SGD uses all fields (r_hat = mu + b_u + b_i + p.q)."""
+
+    U: jnp.ndarray  # [n_users + 1, k], last row zero
+    V: jnp.ndarray  # [n_items + 1, k], last row zero
+    bu: jnp.ndarray  # [n_users + 1], last entry zero
+    bi: jnp.ndarray  # [n_items + 1], last entry zero
+    mu: jnp.ndarray  # scalar global mean (0 for ALS/iALS)
+
+    @property
+    def n_users(self) -> int:
+        return self.U.shape[0] - 1
+
+    @property
+    def n_items(self) -> int:
+        return self.V.shape[0] - 1
+
+    @property
+    def rank(self) -> int:
+        return self.U.shape[1]
+
+
+def init_state(n_users: int, n_items: int, rank: int, seed: int = 0,
+               scale: float = 0.1, mu: float = 0.0,
+               dtype=jnp.float32) -> MFState:
+    """Random-normal factor init (the reference random-inits U, V in shm —
+    SURVEY.md call stack 3.2). NumPy RNG so the oracle can share the init."""
+    rng = np.random.default_rng(seed)
+    U = np.zeros((n_users + 1, rank), np.float64)
+    V = np.zeros((n_items + 1, rank), np.float64)
+    U[:n_users] = rng.normal(0.0, scale, (n_users, rank))
+    V[:n_items] = rng.normal(0.0, scale, (n_items, rank))
+    return MFState(
+        U=jnp.asarray(U, dtype), V=jnp.asarray(V, dtype),
+        bu=jnp.zeros(n_users + 1, dtype), bi=jnp.zeros(n_items + 1, dtype),
+        mu=jnp.asarray(mu, dtype),
+    )
+
+
+def state_from_numpy(U, V, bu=None, bi=None, mu=0.0,
+                     dtype=jnp.float32) -> MFState:
+    """Wrap unpadded numpy factors (e.g. the oracle's) as a padded MFState."""
+    n_users, k = U.shape
+    n_items = V.shape[0]
+    Up = np.zeros((n_users + 1, k))
+    Vp = np.zeros((n_items + 1, k))
+    Up[:n_users], Vp[:n_items] = U, V
+    bup = np.zeros(n_users + 1)
+    bip = np.zeros(n_items + 1)
+    if bu is not None:
+        bup[:n_users] = bu
+    if bi is not None:
+        bip[:n_items] = bi
+    return MFState(jnp.asarray(Up, dtype), jnp.asarray(Vp, dtype),
+                   jnp.asarray(bup, dtype), jnp.asarray(bip, dtype),
+                   jnp.asarray(mu, dtype))
+
+
+def device_layout(layout: BlockedCSR, dtype=jnp.float32) -> BlockedCSR:
+    """Move a host BlockedCSR into device arrays (ratings cast to dtype)."""
+    return BlockedCSR(
+        other_idx=jnp.asarray(layout.other_idx),
+        rating=jnp.asarray(layout.rating, dtype),
+        chunk_seg=jnp.asarray(layout.chunk_seg),
+        entity_ids=jnp.asarray(layout.entity_ids),
+        entity_cnt=jnp.asarray(layout.entity_cnt, dtype),
+    )
+
+
+def unpad(state: MFState):
+    """Back to plain numpy (drop padding rows) — checkpoint/inspection."""
+    return (np.asarray(state.U)[:-1], np.asarray(state.V)[:-1],
+            np.asarray(state.bu)[:-1], np.asarray(state.bi)[:-1],
+            float(state.mu))
+
+
+def predict(state: MFState, user_idx, item_idx):
+    """r_hat = mu + b_u + b_i + p_u . q_i on device (Appendix A)."""
+    return (state.mu + state.bu[user_idx] + state.bi[item_idx]
+            + jnp.einsum("nk,nk->n", state.U[user_idx], state.V[item_idx]))
+
+
+def rmse_padded(state: MFState, pu, pi, pr, n_real):
+    """RMSE over a pad_coo-padded held-out COO (SURVEY.md call stack 3.4).
+
+    Padding rows point at the trash factor rows; with mu possibly nonzero the
+    prediction there is mu, so padding is masked explicitly.
+    """
+    err = pr - predict(state, pu, pi)
+    valid = pu < state.n_users
+    err = jnp.where(valid, err, 0.0)
+    return jnp.sqrt(jnp.sum(err * err) / jnp.maximum(n_real, 1))
+
+
+rmse_padded_jit = jax.jit(rmse_padded, static_argnames=())
