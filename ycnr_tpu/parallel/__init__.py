@@ -1,0 +1,12 @@
+from ycnr_tpu.parallel.mesh import make_mesh  # noqa: F401
+from ycnr_tpu.parallel.shard import (  # noqa: F401
+    ShardedData,
+    ShardedState,
+    build_sharded_data,
+    gather_state,
+    scatter_state,
+    sharded_als_epoch,
+    sharded_ials_epoch,
+    sharded_rmse,
+    sharded_sgd_epoch,
+)

@@ -1,0 +1,504 @@
+"""Sharded training: the reference's worker parallelism as SPMD programs.
+
+Mapping (SURVEY.md §2 parallelism inventory):
+
+* P1 (row-sharded U-step): users are partitioned across the mesh (balanced by
+  rating count, LPT); each device solves only its users' normal equations
+  against a replicated V — exactly the reference's "worker solves users
+  [a, b) reading shared V", minus the shared memory.
+* P2 (V-step): ratings stay sharded by *user*; each device accumulates
+  partial per-item Gram matrices + RHS from its rating shard and the mesh
+  `psum`s them over ICI before one replicated batched solve. This is the
+  BASELINE.json:5-prescribed collective ("allreduces item Gram matrices over
+  ICI") and avoids re-bucketing ratings by item across the mesh (SURVEY.md M6).
+* P3 (SGD data parallelism): each device runs the rating stream of its user
+  shard; U/b_u updates are purely local, V/b_i deltas are `psum`'d per batch
+  — the deterministic analog of the reference's hogwild shm races.
+* P4 (epoch barrier): implicit in SPMD program order; the collectives are
+  the barrier.
+
+State layout: U/b_u are sharded on a leading device axis with *local* user
+indexing ([D, upd+1, k]; row `upd` is each shard's trash row); V/b_i/mu are
+replicated. `gather_state`/`scatter_state` convert to/from the single-chip
+MFState.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ycnr_tpu.models.base import MFState
+from ycnr_tpu.ops.gram import (
+    BlockData,
+    chunk_gram_rhs,
+    guarded_batched_solve,
+    segment_reduce_block,
+    solve_block,
+)
+from ycnr_tpu.ops.layout import BlockedCSR, build_blocked_csr
+from ycnr_tpu.parallel.mesh import AXIS
+
+
+class ShardedState(NamedTuple):
+    U: jnp.ndarray  # [D, upd+1, k] sharded on axis 0, local user rows
+    V: jnp.ndarray  # [n_items+1, k] replicated
+    bu: jnp.ndarray  # [D, upd+1] sharded
+    bi: jnp.ndarray  # [n_items+1] replicated
+    mu: jnp.ndarray  # scalar replicated
+
+
+class ShardedData(NamedTuple):
+    """Device arrays only (a pytree). Leading axis D is the mesh axis."""
+
+    user_layout: BlockedCSR  # leaves [D, NB_u, ...]; entity=LOCAL user
+    item_layout: BlockedCSR  # leaves [D, NB_i, ...]; entity=GLOBAL item,
+    #                           other=LOCAL user
+    item_deg: jnp.ndarray  # [n_items+1] global item degree (float)
+    sgd_u: jnp.ndarray  # [D, n_sgd] LOCAL user idx (pad -> upd)
+    sgd_i: jnp.ndarray  # [D, n_sgd] GLOBAL item idx (pad -> n_items)
+    sgd_r: jnp.ndarray  # [D, n_sgd]
+    test_u: jnp.ndarray  # [D, n_test] LOCAL user idx (pad -> upd)
+    test_i: jnp.ndarray  # [D, n_test] GLOBAL item idx
+    test_r: jnp.ndarray  # [D, n_test]
+
+
+@dataclass
+class ShardedMeta:
+    """Host-side bookkeeping that must not be traced."""
+
+    n_users: int
+    n_items: int
+    n_shards: int
+    upd: int  # users per device (padded)
+    user_map: np.ndarray  # [D, upd] global user id per local row (pad n_users)
+    user_local: np.ndarray  # [n_users] (shard, local) packed: shard*upd+local
+    test_n: int  # real held-out count
+    sgd_n: int  # real train count in the sgd stream
+
+
+def _lpt_partition(degrees: np.ndarray, D: int):
+    """Longest-processing-time user partition balanced by rating count."""
+    order = np.argsort(-degrees, kind="stable")
+    loads = np.zeros(D, np.int64)
+    shard_of = np.zeros(len(degrees), np.int32)
+    members: list[list[int]] = [[] for _ in range(D)]
+    for u in order:
+        d = int(np.argmin(loads))
+        shard_of[u] = d
+        members[d].append(int(u))
+        loads[d] += degrees[u]
+    return members, shard_of
+
+
+def _pad_blocks(layout: BlockedCSR, nb: int, n_entities: int,
+                n_other: int) -> BlockedCSR:
+    """Pad a layout to nb blocks with fully-empty blocks."""
+    add = nb - layout.n_blocks
+    if add == 0:
+        return layout
+    C_B, L = layout.block_chunks, layout.chunk_len
+    return BlockedCSR(
+        np.concatenate([layout.other_idx,
+                        np.full((add, C_B, L), n_other, np.int32)]),
+        np.concatenate([layout.rating, np.zeros((add, C_B, L), np.float32)]),
+        np.concatenate([layout.chunk_seg, np.full((add, C_B), C_B, np.int32)]),
+        np.concatenate([layout.entity_ids,
+                        np.full((add, C_B), n_entities, np.int32)]),
+        np.concatenate([layout.entity_cnt, np.zeros((add, C_B), np.float32)]),
+    )
+
+
+def build_sharded_data(
+    train_u, train_i, train_r, n_users: int, n_items: int, n_shards: int,
+    chunk_len: int = 32, block_chunks=None, rank_hint: int = 64,
+    test_u=None, test_i=None, test_r=None, sgd_batch: int = 4096,
+    dtype=jnp.float32, mesh: Mesh | None = None,
+):
+    """Partition ratings by user across shards and build all device inputs.
+
+    Returns (ShardedData, ShardedMeta). If ``mesh`` is given, arrays are
+    device_put with their final shardings (leading axis over the mesh).
+    """
+    D = n_shards
+    train_u = np.asarray(train_u)
+    train_i = np.asarray(train_i)
+    train_r = np.asarray(train_r, np.float32)
+    deg_u = np.bincount(train_u, minlength=n_users)
+    members, shard_of = _lpt_partition(deg_u, D)
+    upd = max(len(m) for m in members)
+
+    user_map = np.full((D, upd), n_users, np.int32)
+    user_local = np.zeros(n_users, np.int64)
+    for d, m in enumerate(members):
+        user_map[d, : len(m)] = m
+        for j, u in enumerate(m):
+            user_local[u] = d * upd + j
+    local_of = user_local % upd  # [n_users] local row
+
+    # --- per-shard COO ---
+    shard_idx = shard_of[train_u]
+    per = [np.nonzero(shard_idx == d)[0] for d in range(D)]
+
+    # choose one C_B valid for every shard's user- and item-major layouts
+    max_user_chunks = int(np.max(-(-deg_u // chunk_len)))
+    deg_i_per = [np.bincount(train_i[p], minlength=n_items) for p in per]
+    max_item_chunks = max(int(np.max(-(-di // chunk_len), initial=1))
+                          for di in deg_i_per)
+    if block_chunks is None:
+        from ycnr_tpu.ops.layout import _auto_block_chunks
+        total = int(-(-len(train_r) // (chunk_len * max(D, 1))))
+        block_chunks = _auto_block_chunks(max(total, 1), chunk_len, rank_hint)
+    C_B = max(block_chunks, max_user_chunks, max_item_chunks)
+
+    u_lays, i_lays = [], []
+    for d, p in enumerate(per):
+        lu = local_of[train_u[p]].astype(np.int64)
+        u_lays.append(build_blocked_csr(lu, train_i[p], train_r[p], upd,
+                                        n_items, chunk_len, C_B))
+        i_lays.append(build_blocked_csr(train_i[p], lu, train_r[p], n_items,
+                                        upd, chunk_len, C_B))
+    nb_u = max(l.n_blocks for l in u_lays)
+    nb_i = max(l.n_blocks for l in i_lays)
+    u_lays = [_pad_blocks(l, nb_u, upd, n_items) for l in u_lays]
+    i_lays = [_pad_blocks(l, nb_i, n_items, upd) for l in i_lays]
+    user_layout = BlockedCSR(*(np.stack([getattr(l, f) for l in u_lays])
+                               for f in BlockedCSR._fields))
+    item_layout = BlockedCSR(*(np.stack([getattr(l, f) for l in i_lays])
+                               for f in BlockedCSR._fields))
+
+    item_deg = np.zeros(n_items + 1, np.float32)
+    item_deg[:n_items] = np.bincount(train_i, minlength=n_items)
+
+    # --- SGD stream: each shard's ratings, padded to a common length that is
+    # a whole number of local batches ---
+    b_local = max(1, sgd_batch // D)
+    n_sgd = max(len(p) for p in per)
+    n_sgd = int(-(-n_sgd // b_local) * b_local)
+    sgd_u = np.full((D, n_sgd), upd, np.int32)
+    sgd_i = np.full((D, n_sgd), n_items, np.int32)
+    sgd_r = np.zeros((D, n_sgd), np.float32)
+    for d, p in enumerate(per):
+        sgd_u[d, : len(p)] = local_of[train_u[p]]
+        sgd_i[d, : len(p)] = train_i[p]
+        sgd_r[d, : len(p)] = train_r[p]
+
+    # --- held-out COO sharded by the same user partition ---
+    if test_u is None:
+        test_u = np.zeros(0, np.int32)
+        test_i = np.zeros(0, np.int32)
+        test_r = np.zeros(0, np.float32)
+    test_u = np.asarray(test_u)
+    test_i = np.asarray(test_i)
+    test_r = np.asarray(test_r, np.float32)
+    tper = [np.nonzero(shard_of[test_u] == d)[0] for d in range(D)]
+    n_test = max(1, max(len(p) for p in tper))
+    n_test = int(-(-n_test // 8) * 8)
+    tu = np.full((D, n_test), upd, np.int32)
+    ti = np.full((D, n_test), n_items, np.int32)
+    tr = np.zeros((D, n_test), np.float32)
+    for d, p in enumerate(tper):
+        tu[d, : len(p)] = local_of[test_u[p]]
+        ti[d, : len(p)] = test_i[p]
+        tr[d, : len(p)] = test_r[p]
+
+    data = ShardedData(
+        user_layout=BlockedCSR(
+            jnp.asarray(user_layout.other_idx),
+            jnp.asarray(user_layout.rating, dtype),
+            jnp.asarray(user_layout.chunk_seg),
+            jnp.asarray(user_layout.entity_ids),
+            jnp.asarray(user_layout.entity_cnt, dtype)),
+        item_layout=BlockedCSR(
+            jnp.asarray(item_layout.other_idx),
+            jnp.asarray(item_layout.rating, dtype),
+            jnp.asarray(item_layout.chunk_seg),
+            jnp.asarray(item_layout.entity_ids),
+            jnp.asarray(item_layout.entity_cnt, dtype)),
+        item_deg=jnp.asarray(item_deg, dtype),
+        sgd_u=jnp.asarray(sgd_u), sgd_i=jnp.asarray(sgd_i),
+        sgd_r=jnp.asarray(sgd_r, dtype),
+        test_u=jnp.asarray(tu), test_i=jnp.asarray(ti),
+        test_r=jnp.asarray(tr, dtype),
+    )
+    meta = ShardedMeta(n_users=n_users, n_items=n_items, n_shards=D, upd=upd,
+                       user_map=user_map, user_local=user_local,
+                       test_n=len(test_r), sgd_n=len(train_r))
+    if mesh is not None:
+        data = put_sharded(data, mesh)
+    return data, meta
+
+
+def _data_specs() -> ShardedData:
+    lay = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
+    return ShardedData(user_layout=lay, item_layout=lay, item_deg=P(),
+                       sgd_u=P(AXIS), sgd_i=P(AXIS), sgd_r=P(AXIS),
+                       test_u=P(AXIS), test_i=P(AXIS), test_r=P(AXIS))
+
+
+def _state_specs() -> ShardedState:
+    return ShardedState(U=P(AXIS), V=P(), bu=P(AXIS), bi=P(), mu=P())
+
+
+def put_sharded(data: ShardedData, mesh: Mesh) -> ShardedData:
+    specs = _data_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), data, specs)
+
+
+def scatter_state(state: MFState, meta: ShardedMeta,
+                  mesh: Mesh | None = None) -> ShardedState:
+    """Global MFState -> sharded layout (host-side reshuffle)."""
+    D, upd = meta.n_shards, meta.upd
+    k = state.U.shape[1]
+    U = np.asarray(state.U)
+    bu = np.asarray(state.bu)
+    Ush = np.zeros((D, upd + 1, k), U.dtype)
+    bush = np.zeros((D, upd + 1), bu.dtype)
+    # user_map pad entries point at n_users == the global trash row (zeros)
+    Ush[:, :upd] = U[meta.user_map]
+    bush[:, :upd] = bu[meta.user_map]
+    st = ShardedState(jnp.asarray(Ush), state.V, jnp.asarray(bush), state.bi,
+                      state.mu)
+    if mesh is not None:
+        st = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), st,
+            _state_specs())
+    return st
+
+
+def gather_state(st: ShardedState, meta: ShardedMeta) -> MFState:
+    """Sharded -> global MFState (host-side inverse of scatter_state)."""
+    Ush = np.asarray(st.U)
+    bush = np.asarray(st.bu)
+    k = Ush.shape[-1]
+    U = np.zeros((meta.n_users + 1, k), Ush.dtype)
+    bu = np.zeros(meta.n_users + 1, bush.dtype)
+    valid = meta.user_map < meta.n_users  # [D, upd]
+    U[meta.user_map[valid]] = Ush[:, :-1][valid]
+    bu[meta.user_map[valid]] = bush[:, :-1][valid]
+    return MFState(jnp.asarray(U), st.V, jnp.asarray(bu), st.bi, st.mu)
+
+
+# ---------------------------------------------------------------------------
+# Local (per-device) phase bodies
+# ---------------------------------------------------------------------------
+
+def _solve_phase_local(E, F, layout: BlockedCSR, lam: float,
+                       alpha=None, base_gram=None):
+    """Per-device: re-solve local entity rows of E against F (U-phase)."""
+    El = E[0]
+
+    def body(Ec, blk_arrays):
+        blk = BlockData(*blk_arrays)
+        eid, rows = solve_block(F, blk, lam, gram_weight_alpha=alpha,
+                                base_gram=base_gram,
+                                base_reg=lam if alpha is not None else 0.0)
+        return Ec.at[eid].set(rows.astype(Ec.dtype)), None
+
+    El, _ = lax.scan(body, El, tuple(x[0] for x in layout))
+    return El[None]
+
+
+def _gram_psum_phase_local(F_local, layout: BlockedCSR, entity_deg, *,
+                           lam: float, n_entities: int,
+                           alpha=None, base_gram=None):
+    """Per-device: accumulate partial per-entity Grams/RHS from the local
+    rating shard, psum over ICI, then one replicated batched solve.
+
+    This is the SURVEY.md M6 / BASELINE.json:5 V-step: ratings sharded by
+    user, per-item Gram matrices all-reduced over the interconnect.
+    """
+    Fl = F_local[0]
+    k = Fl.shape[-1]
+    dt = Fl.dtype
+    # zeros are "unvarying" under shard_map's VMA tracking; the scan body
+    # makes the carry device-varying, so cast the init accordingly
+    A0 = lax.pcast(jnp.zeros((n_entities + 1, k, k), dt), (AXIS,),
+                   to="varying")
+    b0 = lax.pcast(jnp.zeros((n_entities + 1, k), dt), (AXIS,), to="varying")
+
+    def body(carry, blk_arrays):
+        A, b = carry
+        blk = BlockData(*blk_arrays)
+        Fg = Fl[blk.other_idx]
+        if alpha is None:
+            G, bb = chunk_gram_rhs(Fg, blk.rating)
+        else:
+            w = alpha * blk.rating
+            G, bb = chunk_gram_rhs(Fg, blk.rating, weight=w,
+                                   rhs_weight=1.0 + w)
+        As, bs = segment_reduce_block(G, bb, blk.chunk_seg,
+                                      blk.chunk_seg.shape[0])
+        return (A.at[blk.entity_ids].add(As),
+                b.at[blk.entity_ids].add(bs)), None
+
+    (A, b), _ = lax.scan(body, (A0, b0), tuple(x[0] for x in layout))
+    A = lax.psum(A, AXIS)  # item Gram all-reduce over ICI [BASELINE.json:5]
+    b = lax.psum(b, AXIS)
+    if alpha is None:
+        reg = lam * entity_deg + (entity_deg == 0)
+    else:
+        A = A + base_gram[None]
+        reg = jnp.full_like(entity_deg, lam)
+    return guarded_batched_solve(A, b, reg)
+
+
+# ---------------------------------------------------------------------------
+# Epoch programs (cached per mesh + hyperparams)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _als_epoch_fn(mesh: Mesh, lam: float):
+    lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
+
+    u_phase = jax.shard_map(
+        partial(_solve_phase_local, lam=lam), mesh=mesh,
+        in_specs=(P(AXIS), P(), lay_spec), out_specs=P(AXIS))
+
+    def epoch(st: ShardedState, data: ShardedData) -> ShardedState:
+        n_items = st.V.shape[0] - 1
+        U = u_phase(st.U, st.V, data.user_layout)
+        v_phase = jax.shard_map(
+            partial(_gram_psum_phase_local, lam=lam, n_entities=n_items),
+            mesh=mesh, in_specs=(P(AXIS), lay_spec, P()), out_specs=P())
+        V = v_phase(U, data.item_layout, data.item_deg)
+        return st._replace(U=U, V=V)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def sharded_als_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
+                      lam: float) -> ShardedState:
+    return _als_epoch_fn(mesh, float(lam))(st, data)
+
+
+@lru_cache(maxsize=64)
+def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float):
+    lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
+
+    def epoch(st: ShardedState, data: ShardedData) -> ShardedState:
+        n_items = st.V.shape[0] - 1
+        GV = jnp.einsum("nk,nm->km", st.V, st.V,
+                        preferred_element_type=st.V.dtype)
+
+        def u_local(E, F, layout, G):
+            return _solve_phase_local(E, F, layout, lam, alpha=alpha,
+                                      base_gram=G)
+
+        u_phase = jax.shard_map(
+            u_local, mesh=mesh,
+            in_specs=(P(AXIS), P(), lay_spec, P()), out_specs=P(AXIS))
+        U = u_phase(st.U, st.V, data.user_layout, GV)
+
+        def v_local(U_local, layout, deg):
+            Ul = U_local[0]
+            GU = lax.psum(jnp.einsum("nk,nm->km", Ul, Ul,
+                                     preferred_element_type=Ul.dtype), AXIS)
+            return _gram_psum_phase_local(U_local, layout, deg, lam=lam,
+                                          n_entities=n_items, alpha=alpha,
+                                          base_gram=GU)
+
+        v_phase = jax.shard_map(v_local, mesh=mesh,
+                                in_specs=(P(AXIS), lay_spec, P()),
+                                out_specs=P())
+        V = v_phase(U, data.item_layout, data.item_deg)
+        return st._replace(U=U, V=V)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def sharded_ials_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
+                       lam: float, alpha: float) -> ShardedState:
+    return _ials_epoch_fn(mesh, float(lam), float(alpha))(st, data)
+
+
+@lru_cache(maxsize=64)
+def _sgd_epoch_fn(mesh: Mesh, lam: float, b_local: int):
+    def local(U, bu, V, bi, mu, u, i, r, key, lr):
+        Ul, bul = U[0], bu[0]
+        upd = Ul.shape[0] - 1
+        d = lax.axis_index(AXIS)
+        perm = jax.random.permutation(jax.random.fold_in(key, d),
+                                      u.shape[1])
+        ub = u[0][perm].reshape(-1, b_local)
+        ib = i[0][perm].reshape(-1, b_local)
+        rb = r[0][perm].reshape(-1, b_local)
+
+        def body(carry, batch):
+            Ul, bul, V, bi = carry
+            ubt, ibt, rbt = batch
+            Uu = Ul[ubt]
+            Vi = V[ibt]
+            buu = bul[ubt]
+            bii = bi[ibt]
+            pred = mu + buu + bii + jnp.einsum("nk,nk->n", Uu, Vi)
+            m = (ubt < upd).astype(Ul.dtype)
+            e = (rbt - pred) * m
+            Ul = Ul.at[ubt].add(lr * m[:, None] * (e[:, None] * Vi - lam * Uu))
+            bul = bul.at[ubt].add(lr * m * (e - lam * buu))
+            # V / b_i deltas cross user shards: psum per batch (P3)
+            dV = jnp.zeros_like(V).at[ibt].add(
+                lr * m[:, None] * (e[:, None] * Uu - lam * Vi))
+            dbi = jnp.zeros_like(bi).at[ibt].add(lr * m * (e - lam * bii))
+            V = V + lax.psum(dV, AXIS)
+            bi = bi + lax.psum(dbi, AXIS)
+            return (Ul, bul, V, bi), None
+
+        (Ul, bul, V, bi), _ = lax.scan(body, (Ul, bul, V, bi), (ub, ib, rb))
+        return Ul[None], bul[None], V, bi
+
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P(AXIS), P(AXIS),
+                  P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(), P()))
+
+    def epoch(st: ShardedState, data: ShardedData, key, lr) -> ShardedState:
+        U, bu, V, bi = shmapped(st.U, st.bu, st.V, st.bi, st.mu,
+                                data.sgd_u, data.sgd_i, data.sgd_r, key, lr)
+        return ShardedState(U, V, bu, bi, st.mu)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
+                      lam: float, lr, key, batch_size: int) -> ShardedState:
+    b_local = max(1, batch_size // mesh.devices.size)
+    return _sgd_epoch_fn(mesh, float(lam), b_local)(
+        st, data, key, jnp.asarray(lr, st.V.dtype))
+
+
+@lru_cache(maxsize=8)
+def _rmse_fn(mesh: Mesh):
+    def local(U, bu, V, bi, mu, tu, ti, tr):
+        Ul, bul = U[0], bu[0]
+        upd = Ul.shape[0] - 1
+        pred = mu + bul[tu[0]] + bi[ti[0]] + jnp.einsum(
+            "nk,nk->n", Ul[tu[0]], V[ti[0]])
+        e = jnp.where(tu[0] < upd, tr[0] - pred, 0.0)
+        return lax.psum(jnp.sum(e * e, keepdims=True), AXIS)
+
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P())
+
+    def rmse_sq(st: ShardedState, data: ShardedData):
+        return shmapped(st.U, st.bu, st.V, st.bi, st.mu,
+                        data.test_u, data.test_i, data.test_r)
+
+    return jax.jit(rmse_sq)
+
+
+def sharded_rmse(mesh: Mesh, st: ShardedState, data: ShardedData,
+                 test_n: int) -> float:
+    sq = _rmse_fn(mesh)(st, data)
+    return float(np.sqrt(np.asarray(sq)[0] / max(test_n, 1)))
