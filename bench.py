@@ -1,0 +1,119 @@
+"""Headline benchmark: ALS-WR epoch time at MovieLens-20M scale, rank 64.
+
+BASELINE.json:5 target: < 10 s/epoch on a TPU v5e-8 with held-out RMSE. This
+environment exposes ONE v5e chip, so the number reported here is single-chip;
+the mesh path is validated separately (fake-device dry run + parity tests).
+
+Prints exactly one JSON line on stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline = (10 s target) / measured, i.e. >1 means faster than target.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
+              epochs: int, chunk_len: int, seed: int = 0,
+              topn_users: int = 0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.data.synthetic import synthetic_ratings
+    from ycnr_tpu.models.als import als_epoch
+    from ycnr_tpu.models.base import device_layout, init_state, rmse_padded
+    from ycnr_tpu.ops.layout import build_blocked_csr, layout_stats, pad_coo
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    u, i, r = synthetic_ratings(n_users, n_items, n_ratings, true_rank=16,
+                                noise=0.3, seed=seed)
+    (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r, 0.05, seed)
+    log(f"data gen: {len(r):,} ratings in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    ul = build_blocked_csr(tu, ti, tr, n_users, n_items, chunk_len,
+                           rank_hint=rank)
+    il = build_blocked_csr(ti, tu, tr, n_items, n_users, chunk_len,
+                           rank_hint=rank)
+    log(f"layouts: {time.time() - t0:.1f}s "
+        f"user={layout_stats(ul, len(tr))} item={layout_stats(il, len(tr))}")
+
+    dul = device_layout(ul)
+    dil = device_layout(il)
+    state = init_state(n_users, n_items, rank, seed=seed)
+    pu, pi, pr, n = pad_coo(su, si, sr, n_users, n_items, 8192)
+    dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
+    lam = 0.05
+
+    t0 = time.time()
+    state = als_epoch(state, dul, dil, lam)
+    jax.block_until_ready(state.U)
+    log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s "
+        f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
+
+    times = []
+    for ep in range(epochs):
+        t0 = time.time()
+        state = als_epoch(state, dul, dil, lam)
+        jax.block_until_ready(state.U)
+        times.append(time.time() - t0)
+        log(f"epoch {ep + 2}: {times[-1]:.3f}s "
+            f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
+    epoch_s = float(np.median(times))
+
+    if topn_users:
+        from ycnr_tpu.eval.recommend import recommend_all
+
+        t0 = time.time()
+        uids, items, _ = recommend_all(state, ul, n=10)
+        dt = time.time() - t0
+        log(f"top-10 for {len(uids):,} users in {dt:.2f}s "
+            f"= {len(uids) / dt:,.0f} recs/s")
+    return epoch_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes on CPU (for verification)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--chunk-len", type=int, default=32)
+    ap.add_argument("--rank", type=int, default=64)
+    ap.add_argument("--topn", action="store_true",
+                    help="also measure top-10 serving throughput (stderr)")
+    args = ap.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1)
+        metric = "smoke_als_epoch_s"
+        base = None
+    else:
+        # MovieLens-20M scale (BASELINE.json:9): 138,493 users x 26,744
+        # items, 20.0M ratings, rank 64
+        epoch_s = run_bench(138_493, 26_744, 20_000_263, args.rank,
+                            args.epochs, args.chunk_len,
+                            topn_users=1 if args.topn else 0)
+        metric = "ml20m_als_epoch_s_rank64_1chip"
+        base = 10.0
+    out = {"metric": metric, "value": round(epoch_s, 4), "unit": "s/epoch",
+           "vs_baseline": round(base / epoch_s, 3) if base else None}
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

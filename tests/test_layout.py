@@ -48,14 +48,17 @@ def test_padding_conventions():
     assert np.all(lay.other_idx[pad_mask] == n_items)
     # real MovieLens-style ratings are never 0, so pad <-> rating==0
     assert np.all(lay.other_idx[~pad_mask] < n_items)
-    # padding chunks -> segment CB; padding slots -> entity n_users, count 0
+    # padding chunks -> segment U_B; padding slots -> entity n_users, count 0
+    UB = lay.block_entities
+    assert UB <= CB
     empty_chunks = np.all(lay.rating == 0.0, axis=2)
-    assert np.all(lay.chunk_seg[empty_chunks & (lay.chunk_seg == CB)] == CB)
+    assert np.all(lay.chunk_seg[empty_chunks & (lay.chunk_seg == UB)] == UB)
+    assert np.all(lay.chunk_seg <= UB)
     assert np.all(lay.entity_ids[lay.entity_cnt == 0] == n_users)
     # entity counts match bincount
     cnt = np.bincount(u, minlength=n_users)
     for b in range(lay.n_blocks):
-        for s in range(CB):
+        for s in range(UB):
             e = lay.entity_ids[b, s]
             if e < n_users:
                 assert lay.entity_cnt[b, s] == cnt[e]

@@ -1,0 +1,83 @@
+"""Checkpoint/resume, RatingsStore streaming, RecCache (SURVEY.md §5, C7, C8)."""
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.data.store import RatingsStore
+from ycnr_tpu.models.base import state_from_numpy
+from ycnr_tpu.serve.cache import RecCache
+from ycnr_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    st = state_from_numpy(rng.normal(size=(10, 4)), rng.normal(size=(8, 4)),
+                          bu=rng.normal(size=10), bi=rng.normal(size=8),
+                          mu=3.1)
+    save_checkpoint(str(tmp_path / "ck"), st, epoch=5, config={"algo": "sgd"})
+    st2, man = load_checkpoint(str(tmp_path / "ck"))
+    assert man["epoch"] == 5 and man["config"]["algo"] == "sgd"
+    assert man["n_users"] == 10 and man["rank"] == 4
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # overwrite with later epoch (atomic replace path)
+    save_checkpoint(str(tmp_path / "ck"), st2, epoch=6)
+    _, man2 = load_checkpoint(str(tmp_path / "ck"))
+    assert man2["epoch"] == 6
+
+
+def test_store_stream_portions(tmp_path):
+    store = RatingsStore(str(tmp_path / "s"))
+    rng = np.random.default_rng(1)
+    total_u, total_r = [], []
+    for _ in range(3):
+        u = rng.integers(0, 50, 700).astype(np.int32)
+        i = rng.integers(0, 30, 700).astype(np.int32)
+        r = rng.uniform(1, 5, 700).astype(np.float32)
+        store.append(u, i, r)
+        total_u.append(u)
+        total_r.append(r)
+    assert store.n_rows == 2100
+    # portions smaller than, equal to, and crossing segment boundaries
+    for portion in (256, 700, 1000, 5000):
+        got = list(store.stream(portion))
+        assert sum(len(x[0]) for x in got) == 2100
+        assert all(len(x[0]) <= portion for x in got)
+        np.testing.assert_array_equal(np.concatenate([x[0] for x in got]),
+                                      np.concatenate(total_u))
+    # reopen from disk
+    store2 = RatingsStore(str(tmp_path / "s"))
+    u_all, i_all, r_all = store2.read_all()
+    np.testing.assert_allclose(r_all, np.concatenate(total_r))
+
+
+def test_store_rejects_ragged(tmp_path):
+    store = RatingsStore(str(tmp_path / "s2"))
+    with pytest.raises(ValueError):
+        store.append([1, 2], [1], [3.0])
+
+
+def test_rec_cache_lru_and_invalidate():
+    c = RecCache(capacity=3)
+    for k in range(4):
+        c.put(k, [k])
+    assert c.get(0) is None  # evicted (LRU)
+    assert c.get(3) == [3]
+    c.get(1)  # touch 1
+    c.put(9, [9])  # evicts 2 (least recent), not 1
+    assert c.get(2) is None and c.get(1) == [1]
+    c.invalidate()
+    assert len(c) == 0
+    assert c.hits == 3 and c.misses == 2
+
+
+def test_rec_cache_ttl(monkeypatch):
+    import ycnr_tpu.serve.cache as m
+
+    now = [100.0]
+    monkeypatch.setattr(m.time, "time", lambda: now[0])
+    c = RecCache(ttl_s=10)
+    c.put("a", 1)
+    assert c.get("a") == 1
+    now[0] += 11
+    assert c.get("a") is None

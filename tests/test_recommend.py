@@ -25,11 +25,12 @@ def test_recommend_all_matches_oracle():
     assert set(uids.tolist()) == set(np.unique(u).tolist())
     for row, uid in enumerate(uids):
         rated = i[u == uid]
+        # beyond the unrated count, slots hold arbitrary -inf ties
+        m = min(7, ni - len(set(rated.tolist())))
         expect = om.topn(U.astype(np.float32), V.astype(np.float32),
                          rated, uid, 7)
-        np.testing.assert_array_equal(items[row], expect)
-        assert not (set(items[row].tolist()) & set(rated.tolist()))
-        # scores strictly descending (no ties in random data)
+        np.testing.assert_array_equal(items[row][:m], expect[:m])
+        assert not (set(items[row][:m].tolist()) & set(rated.tolist()))
         assert np.all(np.diff(scores[row]) <= 0)
 
 
@@ -40,9 +41,10 @@ def test_recommend_users_matches_oracle():
     items, scores = recommend_users(state, u, i, ask, n=5)
     for row, uid in enumerate(ask):
         rated = i[u == uid]
+        m = min(5, ni - len(set(rated.tolist())))
         expect = om.topn(U.astype(np.float32), V.astype(np.float32),
                          rated, uid, 5)
-        np.testing.assert_array_equal(items[row], expect)
+        np.testing.assert_array_equal(items[row][:m], expect[:m])
 
 
 def test_recommend_with_biases():

@@ -1,0 +1,203 @@
+"""CLI entry points (the reference's package.json scripts, SURVEY.md C15).
+
+    python -m ycnr_tpu prepare   --source ... --store DIR
+    python -m ycnr_tpu train     --preset ml100k-als [overrides]
+    python -m ycnr_tpu recommend --ckpt DIR --store DIR --user 42 -n 10
+    python -m ycnr_tpu presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from ycnr_tpu.config import DataConfig, get_preset, list_presets
+
+
+def _add_train_overrides(p):
+    p.add_argument("--preset", default="ml100k-als")
+    p.add_argument("--source", help="synthetic | path to MovieLens file")
+    p.add_argument("--store", help="RatingsStore dir to read instead of source")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--rank", type=int)
+    p.add_argument("--algorithm", choices=["als", "sgd", "ials"])
+    p.add_argument("--shards", type=int)
+    p.add_argument("--out", default="runs")
+    p.add_argument("--resume", help="checkpoint dir to resume from")
+    p.add_argument("--platform", help="force jax platform (e.g. cpu)")
+    p.add_argument("--users", type=int, help="synthetic n_users")
+    p.add_argument("--items", type=int, help="synthetic n_items")
+    p.add_argument("--ratings", type=int, help="synthetic n_ratings")
+
+
+def _build_cfg(args):
+    cfg = get_preset(args.preset)
+    if args.algorithm:
+        cfg = cfg.replace(algorithm=args.algorithm)
+    dkw = {}
+    if args.source:
+        if args.source == "synthetic":
+            dkw["source"] = "synthetic"
+        else:
+            ext = args.source.rsplit(".", 1)[-1]
+            dkw.update(source=f"file-{ext}", path=args.source)
+            dkw["source"] = {"data": "ml-100k", "dat": "ml-1m",
+                             "csv": "ml-20m"}.get(ext, "ml-20m")
+    for k, a in (("n_users", "users"), ("n_items", "items"),
+                 ("n_ratings", "ratings")):
+        v = getattr(args, a)
+        if v:
+            dkw[k] = v
+    if dkw:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **dkw))
+    for field, arg in (("als", "epochs"), ("sgd", "epochs"),
+                       ("ials", "epochs")):
+        if args.epochs:
+            cfg = cfg.replace(**{field: dataclasses.replace(
+                getattr(cfg, field), epochs=args.epochs)})
+    if args.rank:
+        for field in ("als", "sgd", "ials"):
+            cfg = cfg.replace(**{field: dataclasses.replace(
+                getattr(cfg, field), rank=args.rank)})
+    if args.shards:
+        cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh,
+                                                   n_shards=args.shards))
+    cfg = cfg.replace(out_dir=args.out)
+    return cfg
+
+
+def cmd_train(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = _build_cfg(args)
+    from ycnr_tpu.train.loop import train
+
+    ds = None
+    if args.store:
+        from ycnr_tpu.data.dataset import Dataset  # noqa: F401
+        from ycnr_tpu.data.store import RatingsStore
+
+        st = RatingsStore(args.store)
+        u, i, r = st.read_all()
+        from ycnr_tpu.data.dataset import load_dataset
+
+        # route through the standard split/layout path with explicit arrays
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, source="synthetic"))  # placeholder; we pass ds directly
+        from ycnr_tpu.data.split import train_test_split
+        from ycnr_tpu.ops.layout import build_blocked_csr
+        from ycnr_tpu.data.dataset import Dataset as DS
+
+        n_users, n_items = st.meta["n_users"], st.meta["n_items"]
+        (tu, ti, tr), (su, si, sr) = train_test_split(
+            u, i, r, cfg.data.test_fraction, cfg.data.seed)
+        params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
+        ul = build_blocked_csr(tu, ti, tr, n_users, n_items,
+                               cfg.data.chunk_len, rank_hint=params.rank)
+        il = build_blocked_csr(ti, tu, tr, n_items, n_users,
+                               cfg.data.chunk_len, rank_hint=params.rank)
+        ds = DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
+                train_r=tr, test_u=su, test_i=si, test_r=sr,
+                user_layout=ul, item_layout=il, mu=float(tr.mean()))
+
+    result = train(cfg, dataset=ds, resume=args.resume)
+    print(json.dumps({
+        "run": cfg.name, "algorithm": cfg.algorithm,
+        "epochs": len(result.rmse_history),
+        "final_rmse": result.rmse_history[-1] if result.rmse_history else None,
+        "out_dir": result.out_dir,
+    }))
+
+
+def cmd_prepare(args):
+    from ycnr_tpu.data.movielens import load_movielens
+    from ycnr_tpu.data.store import RatingsStore
+    from ycnr_tpu.data.synthetic import synthetic_ratings
+
+    store = RatingsStore(args.store)
+    if args.source == "synthetic":
+        u, i, r = synthetic_ratings(args.users, args.items, args.ratings,
+                                    seed=args.seed)
+    else:
+        u, i, r, _, _ = load_movielens(args.source)
+    for s in range(0, len(r), args.portion):
+        store.append(u[s:s + args.portion], i[s:s + args.portion],
+                     r[s:s + args.portion])
+    print(json.dumps({"store": args.store, "rows": store.n_rows,
+                      "n_users": store.meta["n_users"],
+                      "n_items": store.meta["n_items"]}))
+
+
+def cmd_recommend(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from ycnr_tpu.data.store import RatingsStore
+    from ycnr_tpu.serve.engine import Recommender
+    from ycnr_tpu.train.checkpoint import load_checkpoint
+
+    state, manifest = load_checkpoint(args.ckpt)
+    store = RatingsStore(args.store)
+    u, i, r = store.read_all()
+    rec = Recommender(state, u, i)
+    for uid in args.user:
+        items = rec.recommend(uid, args.n)
+        print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
+
+
+def cmd_presets(args):
+    for name in list_presets():
+        cfg = get_preset(name)
+        print(f"{name}: algo={cfg.algorithm} "
+              f"rank={_rank(cfg)} shards={cfg.mesh.n_shards} "
+              f"data={cfg.data.source}")
+
+
+def _rank(cfg):
+    return {"als": cfg.als.rank, "sgd": cfg.sgd.rank,
+            "ials": cfg.ials.rank}[cfg.algorithm]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ycnr")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a model from a preset")
+    _add_train_overrides(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("prepare", help="import ratings into a store")
+    p.add_argument("--source", required=True,
+                   help="synthetic | MovieLens file path")
+    p.add_argument("--store", required=True)
+    p.add_argument("--users", type=int, default=1000)
+    p.add_argument("--items", type=int, default=500)
+    p.add_argument("--ratings", type=int, default=50000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--portion", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("recommend", help="serve top-N from a checkpoint")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--store", required=True)
+    p.add_argument("--user", type=int, nargs="+", required=True)
+    p.add_argument("-n", type=int, default=10)
+    p.add_argument("--platform")
+    p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("presets", help="list config presets")
+    p.set_defaults(fn=cmd_presets)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Ratings store with portioned streaming (the reference's PostgreSQL role).
+
+SURVEY.md C7 / L1: the reference imports MovieLens into a Postgres ratings
+table and streams rows back out "in portions" to bound memory. The TPU
+rebuild's durable store is a binary columnar directory (u.npy/i.npy/r.npy +
+meta.json) with the same contract: append batches, stream fixed-size
+portions, and hand the full COO to the layout builder. No DB server needed;
+portioned iteration keeps host RAM bounded for out-of-core import.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+_META = "meta.json"
+
+
+class RatingsStore:
+    """Append-only columnar ratings store on disk."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._meta_path = os.path.join(path, _META)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+        else:
+            self.meta = {"n_rows": 0, "n_users": 0, "n_items": 0,
+                         "segments": []}
+
+    def _save_meta(self):
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def append(self, user_idx, item_idx, rating):
+        """Append one batch (the reference's batched INSERT, call stack 3.1)."""
+        u = np.asarray(user_idx, np.int32)
+        i = np.asarray(item_idx, np.int32)
+        r = np.asarray(rating, np.float32)
+        if not (len(u) == len(i) == len(r)):
+            raise ValueError("batch arrays must share length")
+        seg = len(self.meta["segments"])
+        base = os.path.join(self.path, f"seg{seg:05d}")
+        np.save(base + ".u.npy", u)
+        np.save(base + ".i.npy", i)
+        np.save(base + ".r.npy", r)
+        self.meta["segments"].append({"name": f"seg{seg:05d}", "rows": len(u)})
+        self.meta["n_rows"] += len(u)
+        if len(u):
+            self.meta["n_users"] = max(self.meta["n_users"], int(u.max()) + 1)
+            self.meta["n_items"] = max(self.meta["n_items"], int(i.max()) + 1)
+        self._save_meta()
+
+    def stream(self, portion: int = 1_000_000
+               ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (u, i, r) portions of at most `portion` rows (the
+        reference's portioned SELECT streaming)."""
+        buf_u, buf_i, buf_r, have = [], [], [], 0
+        for seg in self.meta["segments"]:
+            base = os.path.join(self.path, seg["name"])
+            u = np.load(base + ".u.npy", mmap_mode="r")
+            i = np.load(base + ".i.npy", mmap_mode="r")
+            r = np.load(base + ".r.npy", mmap_mode="r")
+            pos = 0
+            while pos < len(u):
+                take = min(portion - have, len(u) - pos)
+                buf_u.append(np.asarray(u[pos:pos + take]))
+                buf_i.append(np.asarray(i[pos:pos + take]))
+                buf_r.append(np.asarray(r[pos:pos + take]))
+                have += take
+                pos += take
+                if have == portion:
+                    yield (np.concatenate(buf_u), np.concatenate(buf_i),
+                           np.concatenate(buf_r))
+                    buf_u, buf_i, buf_r, have = [], [], [], 0
+        if have:
+            yield (np.concatenate(buf_u), np.concatenate(buf_i),
+                   np.concatenate(buf_r))
+
+    def read_all(self):
+        parts = list(self.stream())
+        if not parts:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                    np.zeros(0, np.float32))
+        return tuple(np.concatenate(x) for x in zip(*parts))
+
+    @property
+    def n_rows(self) -> int:
+        return self.meta["n_rows"]

@@ -39,14 +39,24 @@ def synthetic_ratings(
 
     pu = zipf_probs(n_users)
     pi = zipf_probs(n_items)
-    # oversample, then dedupe (u, i)
-    m = int(n_ratings * 1.3) + 16
-    u = rng.choice(n_users, size=m, p=pu).astype(np.int64)
-    i = rng.choice(n_items, size=m, p=pi).astype(np.int64)
-    key = u * n_items + i
-    _, first = np.unique(key, return_index=True)
-    first = np.sort(first)[:n_ratings]
-    u, i = u[first], i[first]
+    # sample in rounds, deduping (u, i) cumulatively, until the target count
+    # is reached (zipf-concentrated popularity collides heavily, so a single
+    # oversampled draw can fall far short)
+    seen = np.zeros(0, np.int64)
+    for _ in range(12):
+        short = n_ratings - len(seen)
+        if short <= 0:
+            break
+        m = int(short * 1.6) + 16
+        uu = rng.choice(n_users, size=m, p=pu).astype(np.int64)
+        ii = rng.choice(n_items, size=m, p=pi).astype(np.int64)
+        seen = np.unique(np.concatenate([seen, uu * n_items + ii]))
+        if len(seen) >= 0.98 * n_users * n_items:
+            break  # grid nearly full; stop resampling
+    if len(seen) > n_ratings:
+        seen = seen[rng.choice(len(seen), n_ratings, replace=False)]
+    u = (seen // n_items).astype(np.int64)
+    i = (seen % n_items).astype(np.int64)
 
     P = rng.normal(0, 1.0 / np.sqrt(true_rank), (n_users, true_rank))
     Q = rng.normal(0, 1.0 / np.sqrt(true_rank), (n_items, true_rank))

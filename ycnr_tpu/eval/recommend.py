@@ -38,8 +38,8 @@ def _topn_blocks(state: MFState, layout: BlockedCSR, n: int):
         scores = (state.mu + state.bu[blk.entity_ids][:, None] + state.bi[None, :]
                   + rows @ V.T)  # [C_B, n_items + 1]
         # mask this block's rated pairs: chunk_seg -> local slot row
-        C_B = blk.chunk_seg.shape[0]
-        slot = jnp.minimum(blk.chunk_seg, C_B - 1)  # padding chunks -> safe row
+        U_B = blk.entity_ids.shape[0]
+        slot = jnp.minimum(blk.chunk_seg, U_B - 1)  # padding chunks -> safe row
         flat_rows = jnp.repeat(slot, blk.other_idx.shape[1])
         flat_cols = blk.other_idx.reshape(-1)  # padding -> col n_items
         scores = scores.at[flat_rows, flat_cols].set(NEG_INF)

@@ -103,16 +103,15 @@ def solve_block(F_pad: jnp.ndarray, blk: BlockData, lam: float,
     Returns (entity_ids, new_rows [C_B, k]).
     """
     Fg = F_pad[blk.other_idx]  # [C_B, L, k] gather
+    n_slots = blk.entity_ids.shape[0]  # U_B
     if gram_weight_alpha is None:
         G, b = chunk_gram_rhs(Fg, blk.rating)
-        A, rhs = segment_reduce_block(G, b, blk.chunk_seg,
-                                      blk.chunk_seg.shape[0])
+        A, rhs = segment_reduce_block(G, b, blk.chunk_seg, n_slots)
         reg = lam * blk.entity_cnt + (blk.entity_cnt == 0)
     else:
         w = gram_weight_alpha * blk.rating
         G, b = chunk_gram_rhs(Fg, blk.rating, weight=w, rhs_weight=1.0 + w)
-        A, rhs = segment_reduce_block(G, b, blk.chunk_seg,
-                                      blk.chunk_seg.shape[0])
+        A, rhs = segment_reduce_block(G, b, blk.chunk_seg, n_slots)
         A = A + base_gram[None]
         reg = jnp.full_like(blk.entity_cnt, base_reg)
     # Padding slots: explicit path solves I x = 0, implicit path solves

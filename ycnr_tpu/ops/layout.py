@@ -21,17 +21,19 @@ into per-user ``(itemIdx[], rating[])`` typed arrays (SURVEY.md C7, call stack
   solver writes zeros there (their normal equations are the guarded identity
   system), so the trash row *stays* zero and the trick self-maintains.
 
-Shapes (NB = number of blocks):
+Shapes (NB = number of blocks, U_B = entity slots per block):
     other_idx   [NB, C_B, L]  int32   column index into the other factor
     rating      [NB, C_B, L]  float32 rating value (0 at padding)
     chunk_seg   [NB, C_B]     int32   local entity slot of each chunk
-                                       (C_B for padding chunks)
-    entity_ids  [NB, C_B]     int32   global entity row per local slot
+                                       (U_B for padding chunks)
+    entity_ids  [NB, U_B]     int32   global entity row per local slot
                                        (n_entities for padding slots)
-    entity_cnt  [NB, C_B]     float32 true rating count n_e per slot (0 pad)
+    entity_cnt  [NB, U_B]     float32 true rating count n_e per slot (0 pad)
 
-The local-slot axis is sized C_B (worst case: every entity in a block owns
-exactly one chunk), so packing by chunk budget alone can never overflow it.
+C_B (chunk budget) and U_B (entity budget) are independent: a block closes
+when either fills. Sizing U_B near C_B * (entities per chunk) keeps the
+batched Cholesky batch nearly dense instead of mostly padding slots (the
+per-slot solve costs O(k^3) whether or not the slot is real).
 """
 
 from __future__ import annotations
@@ -62,6 +64,10 @@ class BlockedCSR(NamedTuple):
     def chunk_len(self) -> int:
         return self.other_idx.shape[2]
 
+    @property
+    def block_entities(self) -> int:
+        return self.entity_ids.shape[1]
+
 
 def _auto_block_chunks(total_chunks: int, chunk_len: int, rank_hint: int = 64,
                        target_bytes: int = 192 * 2**20) -> int:
@@ -70,6 +76,16 @@ def _auto_block_chunks(total_chunks: int, chunk_len: int, rank_hint: int = 64,
     cb = max(64, min(total_chunks, target_bytes // max(per_chunk, 1)))
     # round up to a multiple of 8 (fp32 sublane) for tidy tiling
     return int(-(-cb // 8) * 8)
+
+
+def _auto_block_entities(block_chunks: int, n_active: int,
+                         total_chunks: int) -> int:
+    """U_B sized so real entities nearly fill the solve batch: average
+    entities-per-chunk times C_B with ~35% headroom, multiple of 8."""
+    ratio = n_active / max(total_chunks, 1)
+    ub = int(np.ceil(block_chunks * ratio * 1.35))
+    ub = max(8, min(block_chunks, ub))
+    return int(-(-ub // 8) * 8)
 
 
 def build_blocked_csr(
@@ -81,6 +97,7 @@ def build_blocked_csr(
     chunk_len: int = 32,
     block_chunks: Optional[int] = None,
     rank_hint: int = 64,
+    block_entities: Optional[int] = None,
 ) -> BlockedCSR:
     """Build the blocked layout grouping by ``entity_idx``.
 
@@ -111,14 +128,16 @@ def build_blocked_csr(
 
     C_B = block_chunks or _auto_block_chunks(total_chunks, L, rank_hint)
     C_B = int(max(C_B, int(n_chunks_per.max(initial=1))))  # a mega-entity must fit
+    U_B = block_entities or _auto_block_entities(C_B, active.shape[0],
+                                                 total_chunks)
+    U_B = int(min(U_B, C_B))  # an entity owns >=1 chunk, so U_B > C_B is waste
 
-    # greedy pack entities into blocks by chunk budget (entity budget == C_B
-    # is automatically satisfied since every entity uses >=1 chunk)
+    # greedy pack entities into blocks; close a block when either budget fills
     blocks: list[list[int]] = [[]]  # active-entity positions per block
     used = 0
     for pos in range(active.shape[0]):
         need = int(n_chunks_per[pos])
-        if used + need > C_B and blocks[-1]:
+        if (used + need > C_B or len(blocks[-1]) >= U_B) and blocks[-1]:
             blocks.append([])
             used = 0
         blocks[-1].append(pos)
@@ -129,9 +148,9 @@ def build_blocked_csr(
 
     out_oi = np.full((NB, C_B, L), n_other, dtype=np.int32)
     out_r = np.zeros((NB, C_B, L), dtype=np.float32)
-    out_seg = np.full((NB, C_B), C_B, dtype=np.int32)
-    out_eid = np.full((NB, C_B), n_entities, dtype=np.int32)
-    out_cnt = np.zeros((NB, C_B), dtype=np.float32)
+    out_seg = np.full((NB, C_B), U_B, dtype=np.int32)
+    out_eid = np.full((NB, U_B), n_entities, dtype=np.int32)
+    out_cnt = np.zeros((NB, U_B), dtype=np.float32)
 
     ent_starts = np.zeros(n_entities + 1, dtype=np.int64)
     np.cumsum(counts, out=ent_starts[1:])
@@ -200,8 +219,9 @@ def unpack_blocked_csr(layout: BlockedCSR, n_entities: int, n_other: int):
     seg = np.asarray(layout.chunk_seg)
     eid = np.asarray(layout.entity_ids)
     NB, C_B, L = oi.shape
+    U_B = eid.shape[1]
     ent_of_chunk = np.where(
-        seg < C_B, np.take_along_axis(eid, np.minimum(seg, C_B - 1), axis=1),
+        seg < U_B, np.take_along_axis(eid, np.minimum(seg, U_B - 1), axis=1),
         n_entities)
     ent = np.repeat(ent_of_chunk[:, :, None], L, axis=2)
     valid = oi != n_other

@@ -104,15 +104,15 @@ def _pad_blocks(layout: BlockedCSR, nb: int, n_entities: int,
     add = nb - layout.n_blocks
     if add == 0:
         return layout
-    C_B, L = layout.block_chunks, layout.chunk_len
+    C_B, L, U_B = layout.block_chunks, layout.chunk_len, layout.block_entities
     return BlockedCSR(
         np.concatenate([layout.other_idx,
                         np.full((add, C_B, L), n_other, np.int32)]),
         np.concatenate([layout.rating, np.zeros((add, C_B, L), np.float32)]),
-        np.concatenate([layout.chunk_seg, np.full((add, C_B), C_B, np.int32)]),
+        np.concatenate([layout.chunk_seg, np.full((add, C_B), U_B, np.int32)]),
         np.concatenate([layout.entity_ids,
-                        np.full((add, C_B), n_entities, np.int32)]),
-        np.concatenate([layout.entity_cnt, np.zeros((add, C_B), np.float32)]),
+                        np.full((add, U_B), n_entities, np.int32)]),
+        np.concatenate([layout.entity_cnt, np.zeros((add, U_B), np.float32)]),
     )
 
 
@@ -158,13 +158,27 @@ def build_sharded_data(
         block_chunks = _auto_block_chunks(max(total, 1), chunk_len, rank_hint)
     C_B = max(block_chunks, max_user_chunks, max_item_chunks)
 
+    # uniform entity budgets across shards (stacked arrays must agree)
+    from ycnr_tpu.ops.layout import _auto_block_entities
+    ub_user, ub_item = 8, 8
+    for d, p in enumerate(per):
+        du = np.bincount(train_u[p], minlength=1)
+        du = du[du > 0]
+        chunks_u = int(np.sum(-(-du // chunk_len))) or 1
+        ub_user = max(ub_user, _auto_block_entities(C_B, len(du), chunks_u))
+        di = deg_i_per[d][deg_i_per[d] > 0]
+        chunks_i = int(np.sum(-(-di // chunk_len))) or 1
+        ub_item = max(ub_item, _auto_block_entities(C_B, len(di), chunks_i))
+
     u_lays, i_lays = [], []
     for d, p in enumerate(per):
         lu = local_of[train_u[p]].astype(np.int64)
         u_lays.append(build_blocked_csr(lu, train_i[p], train_r[p], upd,
-                                        n_items, chunk_len, C_B))
+                                        n_items, chunk_len, C_B,
+                                        block_entities=ub_user))
         i_lays.append(build_blocked_csr(train_i[p], lu, train_r[p], n_items,
-                                        upd, chunk_len, C_B))
+                                        upd, chunk_len, C_B,
+                                        block_entities=ub_item))
     nb_u = max(l.n_blocks for l in u_lays)
     nb_i = max(l.n_blocks for l in i_lays)
     u_lays = [_pad_blocks(l, nb_u, upd, n_items) for l in u_lays]
@@ -336,7 +350,7 @@ def _gram_psum_phase_local(F_local, layout: BlockedCSR, entity_deg, *,
             G, bb = chunk_gram_rhs(Fg, blk.rating, weight=w,
                                    rhs_weight=1.0 + w)
         As, bs = segment_reduce_block(G, bb, blk.chunk_seg,
-                                      blk.chunk_seg.shape[0])
+                                      blk.entity_ids.shape[0])
         return (A.at[blk.entity_ids].add(As),
                 b.at[blk.entity_ids].add(bs)), None
 

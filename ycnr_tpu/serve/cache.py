@@ -1,0 +1,51 @@
+"""Recommendation cache (the reference's Redis role, SURVEY.md C8).
+
+The reference keeps a Redis client, most plausibly caching computed
+recommendations / job state. Stand-in: a process-local LRU with optional
+TTL — same contract (get/put/invalidate by user), no external service.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Hashable, Optional
+
+
+class RecCache:
+    def __init__(self, capacity: int = 100_000, ttl_s: Optional[float] = None):
+        self.capacity = capacity
+        self.ttl_s = ttl_s
+        self._d: OrderedDict[Hashable, tuple] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        item = self._d.get(key)
+        if item is None:
+            self.misses += 1
+            return None
+        value, ts = item
+        if self.ttl_s is not None and time.time() - ts > self.ttl_s:
+            del self._d[key]
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return value
+
+    def put(self, key, value):
+        self._d[key] = (value, time.time())
+        self._d.move_to_end(key)
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+
+    def invalidate(self, key=None):
+        """Drop one key, or everything (e.g. after factors are retrained)."""
+        if key is None:
+            self._d.clear()
+        else:
+            self._d.pop(key, None)
+
+    def __len__(self):
+        return len(self._d)

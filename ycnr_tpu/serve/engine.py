@@ -1,0 +1,44 @@
+"""Serving facade: the reference's engine.recommend(userId, N) entry
+(SURVEY.md §1 public interface; call stack 3.5), with the C8 cache in front.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ycnr_tpu.eval.recommend import recommend_users
+from ycnr_tpu.models.base import MFState
+from ycnr_tpu.serve.cache import RecCache
+
+
+class Recommender:
+    def __init__(self, state: MFState, train_u, train_i,
+                 cache: Optional[RecCache] = None):
+        self.state = state
+        self.train_u = np.asarray(train_u)
+        self.train_i = np.asarray(train_i)
+        self.cache = cache if cache is not None else RecCache()
+
+    def recommend(self, user_id: int, n: int = 10):
+        """Top-n item ids for one user (rated items masked)."""
+        key = (int(user_id), int(n))
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        items, _ = recommend_users(self.state, self.train_u, self.train_i,
+                                   np.asarray([user_id]), n)
+        result = items[0]
+        self.cache.put(key, result)
+        return result
+
+    def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
+        items, _ = recommend_users(self.state, self.train_u, self.train_i,
+                                   np.asarray(user_ids), n)
+        return items
+
+    def update_state(self, state: MFState):
+        """Swap in retrained factors; cached recs are stale -> flush."""
+        self.state = state
+        self.cache.invalidate()

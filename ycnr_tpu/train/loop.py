@@ -1,0 +1,171 @@
+"""Unified training driver (the reference EmfMaster role, SURVEY.md C2).
+
+Runs any of the three algorithm families from a RunConfig, single-chip or
+over a mesh, with per-epoch held-out RMSE, JSONL metrics, and checkpointing
+with resume — the reference's train loop (stream -> epochs -> RMSE log),
+minus the worker fork/IPC machinery.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ycnr_tpu.config import RunConfig
+from ycnr_tpu.data.dataset import Dataset, load_dataset
+from ycnr_tpu.models.als import als_epoch
+from ycnr_tpu.models.base import (
+    MFState,
+    device_layout,
+    init_state,
+    rmse_padded,
+)
+from ycnr_tpu.models.ials import ials_epoch
+from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
+from ycnr_tpu.train.checkpoint import config_dict, load_checkpoint, save_checkpoint
+from ycnr_tpu.train.metrics import MetricsLogger
+
+
+@dataclass
+class TrainResult:
+    state: MFState
+    dataset: Dataset
+    rmse_history: list
+    out_dir: Optional[str]
+
+
+def _algo_params(cfg: RunConfig):
+    return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
+
+
+def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
+          resume: Optional[str] = None,
+          out_dir: Optional[str] = None) -> TrainResult:
+    """Train per config. If cfg.mesh.n_shards > 1, runs the sharded path."""
+    params = _algo_params(cfg)
+    ds = dataset or load_dataset(cfg.data, rank_hint=params.rank)
+    out = out_dir if out_dir is not None else (
+        os.path.join(cfg.out_dir, cfg.name) if cfg.out_dir else None)
+    metrics = MetricsLogger(os.path.join(out, "metrics.jsonl") if out else None)
+
+    if cfg.mesh.n_shards > 1:
+        return _train_sharded(cfg, ds, metrics, out, resume)
+
+    dtype = jnp.dtype(params.dtype)
+    mu = ds.mu if cfg.algorithm == "sgd" else 0.0
+    start_epoch = 0
+    if resume:
+        state, manifest = load_checkpoint(resume)
+        start_epoch = manifest["epoch"]
+        metrics.log(event="resume", epoch=start_epoch)
+    else:
+        state = init_state(ds.n_users, ds.n_items, params.rank,
+                           seed=cfg.seed, mu=mu, dtype=dtype)
+
+    pu, pi, pr, n_test = ds.padded_test()
+    dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
+
+    dul = dil = sgd_data = trainer = None
+    if cfg.algorithm in ("als", "ials"):
+        dul = device_layout(ds.user_layout, dtype)
+        dil = device_layout(ds.item_layout, dtype)
+    else:
+        trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
+                            cfg.sgd.batch_size, seed=cfg.seed)
+        sgd_data = prepare_sgd_data(ds.train_u, ds.train_i, ds.train_r,
+                                    cfg.sgd.batch_size, ds.n_users,
+                                    ds.n_items, dtype)
+
+    history = []
+    for epoch in range(start_epoch, params.epochs):
+        t0 = time.time()
+        if cfg.algorithm == "als":
+            state = als_epoch(state, dul, dil, cfg.als.lam)
+        elif cfg.algorithm == "ials":
+            state = ials_epoch(state, dul, dil, cfg.ials.lam, cfg.ials.alpha)
+        else:
+            state = trainer.epoch(state, sgd_data, epoch)
+        jax.block_until_ready(state.U)
+        epoch_s = time.time() - t0
+        rmse = float(rmse_padded(state, dpu, dpi, dpr, n_test))
+        history.append(rmse)
+        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
+        if out and cfg.checkpoint_every and (
+                (epoch + 1) % cfg.checkpoint_every == 0
+                or epoch + 1 == params.epochs):
+            save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
+                            config=config_dict(cfg))
+    return TrainResult(state=state, dataset=ds, rmse_history=history,
+                       out_dir=out)
+
+
+def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
+                   out: Optional[str], resume: Optional[str]) -> TrainResult:
+    from ycnr_tpu.parallel import (
+        build_sharded_data,
+        gather_state,
+        make_mesh,
+        scatter_state,
+        sharded_als_epoch,
+        sharded_ials_epoch,
+        sharded_rmse,
+        sharded_sgd_epoch,
+    )
+
+    params = _algo_params(cfg)
+    dtype = jnp.dtype(params.dtype)
+    D = cfg.mesh.n_shards
+    mesh = make_mesh(D, cfg.mesh.axis)
+    mu = ds.mu if cfg.algorithm == "sgd" else 0.0
+    data, meta = build_sharded_data(
+        ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
+        chunk_len=cfg.data.chunk_len, block_chunks=cfg.data.block_chunks,
+        rank_hint=params.rank, test_u=ds.test_u, test_i=ds.test_i,
+        test_r=ds.test_r,
+        sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh)
+
+    start_epoch = 0
+    if resume:
+        gstate, manifest = load_checkpoint(resume)
+        start_epoch = manifest["epoch"]
+        metrics.log(event="resume", epoch=start_epoch)
+    else:
+        gstate = init_state(ds.n_users, ds.n_items, params.rank,
+                            seed=cfg.seed, mu=mu, dtype=dtype)
+    st = scatter_state(gstate, meta, mesh)
+
+    history = []
+    key = jax.random.key(cfg.seed)
+    for epoch in range(start_epoch, params.epochs):
+        t0 = time.time()
+        if cfg.algorithm == "als":
+            st = sharded_als_epoch(mesh, st, data, cfg.als.lam)
+        elif cfg.algorithm == "ials":
+            st = sharded_ials_epoch(mesh, st, data, cfg.ials.lam,
+                                    cfg.ials.alpha)
+        else:
+            lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
+            st = sharded_sgd_epoch(mesh, st, data, cfg.sgd.lam, lr,
+                                   jax.random.fold_in(key, epoch),
+                                   cfg.sgd.batch_size)
+        jax.block_until_ready(st.U)
+        epoch_s = time.time() - t0
+        rmse = sharded_rmse(mesh, st, data, meta.test_n)
+        history.append(rmse)
+        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm, shards=D)
+        if out and cfg.checkpoint_every and (
+                (epoch + 1) % cfg.checkpoint_every == 0
+                or epoch + 1 == params.epochs):
+            save_checkpoint(os.path.join(out, "ckpt"),
+                            gather_state(st, meta), epoch + 1,
+                            config=config_dict(cfg))
+    return TrainResult(state=gather_state(st, meta), dataset=ds,
+                       rmse_history=history, out_dir=out)
