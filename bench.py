@@ -57,9 +57,14 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
     lam = 0.05
 
+    def sync(x):
+        # axon's block_until_ready does not reliably block; a scalar
+        # readback does (see memory: tpu-env-facts)
+        return float(jax.device_get(jnp.sum(x)))
+
     t0 = time.time()
     state = als_epoch(state, dul, dil, lam)
-    jax.block_until_ready(state.U)
+    sync(state.U)
     log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s "
         f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
 
@@ -67,7 +72,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     for ep in range(epochs):
         t0 = time.time()
         state = als_epoch(state, dul, dil, lam)
-        jax.block_until_ready(state.U)
+        sync(state.U)
         times.append(time.time() - t0)
         log(f"epoch {ep + 2}: {times[-1]:.3f}s "
             f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")

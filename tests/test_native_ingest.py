@@ -1,0 +1,68 @@
+"""Native C++ ingest vs NumPy fallback parity (reference C6/C7 analog)."""
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.native import get_lib, parse_ratings_native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no g++ toolchain; NumPy fallback covers functionality")
+    return lib
+
+
+def test_count_and_parse_tab(tmp_path, lib):
+    p = tmp_path / "u.data"
+    rows = [(1, 10, 4.0), (2, 11, 3.5), (7, 10, 1.0)]
+    p.write_text("".join(f"{u}\t{i}\t{r}\t999\n" for u, i, r in rows))
+    assert lib.ycnr_count_rows(str(p).encode()) == 3
+    u, i, r = parse_ratings_native(str(p), "\t")
+    np.testing.assert_array_equal(u, [1, 2, 7])
+    np.testing.assert_array_equal(i, [10, 11, 10])
+    np.testing.assert_allclose(r, [4.0, 3.5, 1.0])
+
+
+def test_parse_dat_and_csv(tmp_path, lib):
+    p = tmp_path / "ratings.dat"
+    p.write_text("3::7::5::111\n4::2::2.5::111\n")
+    u, i, r = parse_ratings_native(str(p), "::")
+    np.testing.assert_array_equal(u, [3, 4])
+    np.testing.assert_allclose(r, [5.0, 2.5])
+
+    p = tmp_path / "ratings.csv"
+    p.write_text("userId,movieId,rating,timestamp\n8,1,3.0,1\n9,2,4.5,1\n")
+    u, i, r = parse_ratings_native(str(p), ",")
+    np.testing.assert_array_equal(u, [8, 9])
+    np.testing.assert_allclose(r, [3.0, 4.5])
+
+
+def test_parse_no_trailing_newline(tmp_path, lib):
+    p = tmp_path / "u.data"
+    p.write_text("1\t2\t3.0\t9\n4\t5\t1.5\t9")  # unterminated last line
+    u, i, r = parse_ratings_native(str(p), "\t")
+    assert len(u) == 2 and r[1] == 1.5
+
+
+def test_native_pack_matches_python(lib, monkeypatch):
+    """build_blocked_csr with and without the native fill must agree."""
+    from ycnr_tpu.data.synthetic import synthetic_ratings
+    from ycnr_tpu.ops import layout as L
+
+    u, i, r = synthetic_ratings(80, 50, 3000, seed=5)
+    a = L.build_blocked_csr(u, i, r, 80, 50, 8, 64)
+
+    import ycnr_tpu.native as native
+
+    monkeypatch.setattr(native, "pack_chunks_native",
+                        lambda *args, **kw: False)
+    b = L.build_blocked_csr(u, i, r, 80, 50, 8, 64)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_parse_missing_file(lib):
+    with pytest.raises(FileNotFoundError):
+        parse_ratings_native("/definitely/not/here.csv", ",")

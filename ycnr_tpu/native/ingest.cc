@@ -1,0 +1,132 @@
+// Native data-ingestion kernels (the reference's C++ addon layer).
+//
+// The reference engine leans on node-gyp C++ addons for everything hot on
+// the host side (SURVEY.md C6a/C6b/C6c: nblas-plus, nlapack,
+// shm-typed-array) and streams MovieLens rows through PostgreSQL (C7).
+// On the TPU rebuild the device math is XLA/Pallas; what remains host-hot is
+// ingestion: parsing tens of millions of rating rows and packing the
+// chunked layout. This library provides those as a C ABI for ctypes:
+//
+//   ycnr_count_rows(path)                    -> row count (for preallocation)
+//   ycnr_parse_ratings(path, sep, ...)       -> fill user/item/rating arrays
+//   ycnr_group_chunks(...)                   -> entity-grouped chunk packing
+//                                               (the inner loop of
+//                                                ops/layout.build_blocked_csr)
+//
+// Build: g++ -O3 -march=native -shared -fPIC ingest.cc -o libycnr_ingest.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Count data rows (newline count, minus a possible "userId,..." header).
+long long ycnr_count_rows(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  long long lines = 0;
+  bool header = false;
+  std::vector<char> buf(1 << 20);
+  size_t got;
+  bool first_chunk = true;
+  char last = '\n';
+  while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+    if (first_chunk) {
+      header = (got > 6 && strncmp(buf.data(), "userId", 6) == 0);
+      first_chunk = false;
+    }
+    for (size_t i = 0; i < got; i++)
+      if (buf[i] == '\n') lines++;
+    last = buf[got - 1];
+  }
+  fclose(f);
+  if (last != '\n') lines++;  // unterminated final line
+  return lines - (header ? 1 : 0);
+}
+
+// Parse "<user><sep><item><sep><rating>..." rows. sep_mode: 0 = single char
+// in sep[0] (tab or comma), 1 = the two-char separator "::" (ml-1m/10m).
+// Skips a "userId..." header. Returns rows parsed, or -1 on open failure.
+long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
+                             int64_t cap, int32_t* users, int32_t* items,
+                             float* ratings) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  // read whole file (bench-scale: ~500MB; fine for the import host)
+  fseek(f, 0, SEEK_END);
+  long long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> data((size_t)n + 1);
+  if (fread(data.data(), 1, (size_t)n, f) != (size_t)n) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+  data[(size_t)n] = '\0';
+
+  char* p = data.data();
+  char* end = p + n;
+  if (strncmp(p, "userId", 6) == 0) {  // csv header
+    while (p < end && *p != '\n') p++;
+    if (p < end) p++;
+  }
+  const char s0 = sep[0];
+  long long row = 0;
+  while (p < end && row < cap) {
+    if (*p == '\n') { p++; continue; }
+    char* q;
+    long u = strtol(p, &q, 10);
+    if (q == p) break;
+    p = q + (sep_mode == 1 ? 2 : 1);
+    long it = strtol(p, &q, 10);
+    if (q == p) break;
+    p = q + (sep_mode == 1 ? 2 : 1);
+    float r = strtof(p, &q);
+    if (q == p) break;
+    p = q;
+    users[row] = (int32_t)u;
+    items[row] = (int32_t)it;
+    ratings[row] = r;
+    row++;
+    while (p < end && *p != '\n') p++;  // skip timestamp column
+    if (p < end) p++;
+    (void)s0;
+  }
+  return row;
+}
+
+// Chunk-pack pre-sorted COO (sorted by entity; see build_blocked_csr).
+// Inputs: sorted entity/other/rating arrays (n rows), per-entity start
+// offsets for the n_active entities present (starts[n_active+1]), their
+// entity ids (ids[n_active]), chunk geometry, and the block assignment
+// (block_of[n_active], slot_of[n_active], chunk_base[n_active] = first chunk
+// row of this entity inside its block).
+// Outputs (preallocated, already filled with padding values):
+//   out_oi   [NB * C_B * L]  int32
+//   out_r    [NB * C_B * L]  float
+//   out_seg  [NB * C_B]      int32
+// Returns 0.
+int ycnr_pack_chunks(const int64_t* starts, const int32_t* block_of,
+                     const int32_t* slot_of, const int32_t* chunk_base,
+                     int64_t n_active, const int32_t* o_sorted,
+                     const float* r_sorted, int64_t C_B, int64_t L,
+                     int32_t* out_oi, float* out_r, int32_t* out_seg) {
+  for (int64_t a = 0; a < n_active; a++) {
+    const int64_t s = starts[a], t = starts[a + 1];
+    const int64_t b = block_of[a];
+    const int32_t slot = slot_of[a];
+    int64_t c = (int64_t)chunk_base[a];
+    const int64_t base_oi = (b * C_B + c) * L;
+    const int64_t cnt = t - s;
+    memcpy(out_oi + base_oi, o_sorted + s, sizeof(int32_t) * cnt);
+    memcpy(out_r + base_oi, r_sorted + s, sizeof(float) * cnt);
+    const int64_t nch = (cnt + L - 1) / L;
+    for (int64_t j = 0; j < nch; j++) out_seg[b * C_B + c + j] = slot;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -152,28 +152,53 @@ def build_blocked_csr(
     out_eid = np.full((NB, U_B), n_entities, dtype=np.int32)
     out_cnt = np.zeros((NB, U_B), dtype=np.float32)
 
-    ent_starts = np.zeros(n_entities + 1, dtype=np.int64)
-    np.cumsum(counts, out=ent_starts[1:])
-
+    # packing plan per active entity: (block, slot, first chunk row)
+    n_active = active.shape[0]
+    block_of = np.empty(n_active, np.int32)
+    slot_of = np.empty(n_active, np.int32)
+    chunk_base = np.empty(n_active, np.int32)
+    a = 0
     for b, members in enumerate(blocks):
         c = 0
         for slot, pos in enumerate(members):
-            e = active[pos]
-            s, t = ent_starts[e], ent_starts[e + 1]
+            block_of[a] = b
+            slot_of[a] = slot
+            chunk_base[a] = c
+            c += int(n_chunks_per[pos])
+            a += 1
+    assert a == n_active
+
+    out_eid[block_of, slot_of] = active.astype(np.int32)
+    out_cnt[block_of, slot_of] = counts[active]
+
+    # starts of each active entity in the sorted COO
+    ent_starts = np.zeros(n_entities + 1, dtype=np.int64)
+    np.cumsum(counts, out=ent_starts[1:])
+    starts = np.empty(n_active + 1, np.int64)
+    starts[:-1] = ent_starts[active]
+    starts[-1] = ent_starts[active[-1] + 1] if n_active else 0
+
+    o32 = np.ascontiguousarray(o_sorted, np.int32)
+    r32 = np.ascontiguousarray(r_sorted, np.float32)
+    filled = False
+    try:
+        from ycnr_tpu.native import pack_chunks_native
+
+        filled = pack_chunks_native(starts, block_of, slot_of, chunk_base,
+                                    o32, r32, C_B, L, out_oi, out_r, out_seg)
+    except Exception:
+        filled = False
+    if not filled:  # NumPy fallback (same semantics as the C++ fill)
+        for a in range(n_active):
+            s, t = starts[a], starts[a + 1]
             n = int(t - s)
-            out_eid[b, slot] = e
-            out_cnt[b, slot] = n
-            nch = int(n_chunks_per[pos])
-            oi = o_sorted[s:t]
-            rr = r_sorted[s:t]
-            flat_oi = np.full(nch * L, n_other, dtype=np.int32)
-            flat_r = np.zeros(nch * L, dtype=np.float32)
-            flat_oi[:n] = oi
-            flat_r[:n] = rr
-            out_oi[b, c : c + nch] = flat_oi.reshape(nch, L)
-            out_r[b, c : c + nch] = flat_r.reshape(nch, L)
-            out_seg[b, c : c + nch] = slot
-            c += nch
+            b, c = block_of[a], chunk_base[a]
+            nch = -(-n // L)
+            flat = out_oi[b].reshape(-1)
+            flat[c * L : c * L + n] = o32[s:t]
+            flat = out_r[b].reshape(-1)
+            flat[c * L : c * L + n] = r32[s:t]
+            out_seg[b, c : c + nch] = slot_of[a]
 
     return BlockedCSR(out_oi, out_r, out_seg, out_eid, out_cnt)
 
