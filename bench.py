@@ -24,15 +24,14 @@ def log(*a):
 
 def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
-              topn_users: int = 0):
+              topn_users: int = 0, layout: str = "bucketed"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ycnr_tpu.data.split import train_test_split
     from ycnr_tpu.data.synthetic import synthetic_ratings
-    from ycnr_tpu.models.als import als_epoch
-    from ycnr_tpu.models.base import device_layout, init_state, rmse_padded
+    from ycnr_tpu.models.base import init_state, rmse_padded
     from ycnr_tpu.ops.layout import build_blocked_csr, layout_stats, pad_coo
 
     log(f"devices: {jax.devices()}")
@@ -43,15 +42,35 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     log(f"data gen: {len(r):,} ratings in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    ul = build_blocked_csr(tu, ti, tr, n_users, n_items, chunk_len,
-                           rank_hint=rank)
-    il = build_blocked_csr(ti, tu, tr, n_items, n_users, chunk_len,
-                           rank_hint=rank)
-    log(f"layouts: {time.time() - t0:.1f}s "
-        f"user={layout_stats(ul, len(tr))} item={layout_stats(il, len(tr))}")
+    if layout == "bucketed":
+        from ycnr_tpu.models.bucketed_phase import (
+            als_epoch_bucketed as epoch_fn,
+            device_bucketed,
+        )
+        from ycnr_tpu.ops.bucketed import bucketed_stats, build_bucketed
 
-    dul = device_layout(ul)
-    dil = device_layout(il)
+        ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len, rank)
+        il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len, rank)
+        log(f"layouts: {time.time() - t0:.1f}s "
+            f"user={bucketed_stats(ul, len(tr))} "
+            f"item={bucketed_stats(il, len(tr))}")
+        dul = device_bucketed(ul)
+        dil = device_bucketed(il)
+        ul_serving = None
+    else:
+        from ycnr_tpu.models.als import als_epoch as epoch_fn
+        from ycnr_tpu.models.base import device_layout
+
+        ul = build_blocked_csr(tu, ti, tr, n_users, n_items, chunk_len,
+                               rank_hint=rank)
+        il = build_blocked_csr(ti, tu, tr, n_items, n_users, chunk_len,
+                               rank_hint=rank)
+        log(f"layouts: {time.time() - t0:.1f}s "
+            f"user={layout_stats(ul, len(tr))} "
+            f"item={layout_stats(il, len(tr))}")
+        dul = device_layout(ul)
+        dil = device_layout(il)
+        ul_serving = ul
     state = init_state(n_users, n_items, rank, seed=seed)
     pu, pi, pr, n = pad_coo(su, si, sr, n_users, n_items, 8192)
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
@@ -63,7 +82,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         return float(jax.device_get(jnp.sum(x)))
 
     t0 = time.time()
-    state = als_epoch(state, dul, dil, lam)
+    state = epoch_fn(state, dul, dil, lam)
     sync(state.U)
     log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s "
         f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
@@ -71,7 +90,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     times = []
     for ep in range(epochs):
         t0 = time.time()
-        state = als_epoch(state, dul, dil, lam)
+        state = epoch_fn(state, dul, dil, lam)
         sync(state.U)
         times.append(time.time() - t0)
         log(f"epoch {ep + 2}: {times[-1]:.3f}s "
@@ -81,8 +100,11 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     if topn_users:
         from ycnr_tpu.eval.recommend import recommend_all
 
+        if ul_serving is None:
+            ul_serving = build_blocked_csr(tu, ti, tr, n_users, n_items,
+                                           chunk_len, rank_hint=rank)
         t0 = time.time()
-        uids, items, _ = recommend_all(state, ul, n=10)
+        uids, items, _ = recommend_all(state, ul_serving, n=10)
         dt = time.time() - t0
         log(f"top-10 for {len(uids):,} users in {dt:.2f}s "
             f"= {len(uids) / dt:,.0f} recs/s")
@@ -98,13 +120,16 @@ def main():
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--topn", action="store_true",
                     help="also measure top-10 serving throughput (stderr)")
+    ap.add_argument("--layout", choices=["bucketed", "blocked"],
+                    default="bucketed")
     args = ap.parse_args()
 
     if args.smoke:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1)
+        epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1,
+                            layout=args.layout)
         metric = "smoke_als_epoch_s"
         base = None
     else:
@@ -112,7 +137,8 @@ def main():
         # items, 20.0M ratings, rank 64
         epoch_s = run_bench(138_493, 26_744, 20_000_263, args.rank,
                             args.epochs, args.chunk_len,
-                            topn_users=1 if args.topn else 0)
+                            topn_users=1 if args.topn else 0,
+                            layout=args.layout)
         metric = "ml20m_als_epoch_s_rank64_1chip"
         base = 10.0
     out = {"metric": metric, "value": round(epoch_s, 4), "unit": "s/epoch",

@@ -1,0 +1,104 @@
+"""Bucketed layout + phases: round-trip and parity vs the blocked path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ycnr_tpu.data.split import train_test_split
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.models.als import als_epoch
+from ycnr_tpu.models.base import device_layout, state_from_numpy, unpad
+from ycnr_tpu.models.bucketed_phase import (
+    als_epoch_bucketed,
+    device_bucketed,
+    ials_epoch_bucketed,
+)
+from ycnr_tpu.models.ials import ials_epoch
+from ycnr_tpu.ops.bucketed import bucketed_stats, build_bucketed
+from ycnr_tpu.ops.layout import build_blocked_csr
+from ycnr_tpu.oracle import numpy_mf as om
+
+
+def _setup(seed=0, n_users=60, n_items=45, nnz=2500, k=6):
+    u, i, r = synthetic_ratings(n_users, n_items, nnz, true_rank=4, seed=seed)
+    (tu, ti, tr), _ = train_test_split(u, i, r, 0.1, seed)
+    rng = np.random.default_rng(seed)
+    U0 = rng.normal(0, 0.1, (n_users, k))
+    V0 = rng.normal(0, 0.1, (n_items, k))
+    return tu, ti, tr, U0, V0, n_users, n_items
+
+
+def test_bucketed_roundtrip():
+    tu, ti, tr, *_, nu, ni = _setup()
+    groups = build_bucketed(tu, ti, tr, nu, ni, chunk_len=8)
+    st = bucketed_stats(groups, len(tr))
+    assert 0 < st["fill"] <= 1.0
+    # reconstruct COO from buckets
+    es, os_, rs = [], [], []
+    for g in groups:
+        eid = np.repeat(np.asarray(g.entity_ids).reshape(-1), g.rows)
+        oi = np.asarray(g.other_idx).reshape(-1)
+        rr = np.asarray(g.rating).reshape(-1)
+        valid = oi != ni
+        es.append(eid[valid])
+        os_.append(oi[valid])
+        rs.append(rr[valid])
+    e = np.concatenate(es)
+    o = np.concatenate(os_)
+    r2 = np.concatenate(rs)
+    order = np.lexsort((o, e))
+    ref = np.lexsort((ti, tu))
+    np.testing.assert_array_equal(e[order], tu[ref])
+    np.testing.assert_array_equal(o[order], ti[ref])
+    np.testing.assert_allclose(r2[order], tr[ref])
+
+
+def test_bucketed_als_matches_blocked_and_oracle():
+    tu, ti, tr, U0, V0, nu, ni = _setup(seed=3)
+    lam = 0.05
+    ug = device_bucketed(build_bucketed(tu, ti, tr, nu, ni, 8), jnp.float64)
+    ig = device_bucketed(build_bucketed(ti, tu, tr, ni, nu, 8), jnp.float64)
+    dul = device_layout(build_blocked_csr(tu, ti, tr, nu, ni, 8, 32),
+                        jnp.float64)
+    dil = device_layout(build_blocked_csr(ti, tu, tr, ni, nu, 8, 32),
+                        jnp.float64)
+    sb = state_from_numpy(U0, V0, dtype=jnp.float64)
+    sk = state_from_numpy(U0, V0, dtype=jnp.float64)
+    Uo, Vo = U0.copy(), V0.copy()
+    for _ in range(3):
+        sb = als_epoch_bucketed(sb, ug, ig, lam)
+        sk = als_epoch(sk, dul, dil, lam)
+        Uo, Vo = om.als_wr_epoch(Uo, Vo, tu, ti, tr, lam)
+    np.testing.assert_allclose(np.asarray(sb.U), np.asarray(sk.U),
+                               rtol=1e-9, atol=1e-9)
+    Ud, Vd, *_ = unpad(sb)
+    np.testing.assert_allclose(Ud, Uo, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(Vd, Vo, rtol=1e-9, atol=1e-9)
+    assert np.all(np.asarray(sb.U)[-1] == 0)
+
+
+def test_bucketed_ials_matches_oracle():
+    tu, ti, tr, U0, V0, nu, ni = _setup(seed=4)
+    lam, alpha = 0.1, 8.0
+    ug = device_bucketed(build_bucketed(tu, ti, tr, nu, ni, 8), jnp.float64)
+    ig = device_bucketed(build_bucketed(ti, tu, tr, ni, nu, 8), jnp.float64)
+    sb = state_from_numpy(U0, V0, dtype=jnp.float64)
+    Uo, Vo = U0.copy(), V0.copy()
+    for _ in range(2):
+        sb = ials_epoch_bucketed(sb, ug, ig, lam, alpha)
+        Uo, Vo = om.ials_epoch(Uo, Vo, tu, ti, tr, lam, alpha)
+    Ud, Vd, *_ = unpad(sb)
+    np.testing.assert_allclose(Ud, Uo, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(Vd, Vo, rtol=1e-8, atol=1e-10)
+
+
+def test_bucketed_mega_entity():
+    # one user rating everything (single row spanning many chunks)
+    u = np.zeros(500, np.int32)
+    i = np.arange(500, dtype=np.int32) % 500
+    r = np.ones(500, np.float32)
+    groups = build_bucketed(u, i, r, 1, 500, chunk_len=8)
+    assert sum(g.other_idx.shape[0] * g.other_idx.shape[1]
+               for g in groups) >= 1
+    total_valid = sum(int((np.asarray(g.other_idx) != 500).sum())
+                      for g in groups)
+    assert total_valid == 500

@@ -64,6 +64,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.ycnr_pack_rows.restype = ctypes.c_int
+        lib.ycnr_pack_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
@@ -92,6 +98,24 @@ def parse_ratings_native(path: str, sep: str):
     if got < 0:
         raise FileNotFoundError(path)
     return (u[:got].astype(np.int64), i[:got].astype(np.int64), r[:got])
+
+
+def pack_rows_native(src_start, src_cnt, o_sorted, r_sorted, out_oi,
+                     out_r) -> bool:
+    """Row-major bucket fill in C++ (bucketed layout). False if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n, R = out_oi.shape[0], out_oi.shape[1]
+    assert len(src_start) == len(src_cnt) and len(src_start) <= n
+    lib.ycnr_pack_rows(
+        _ptr(np.ascontiguousarray(src_start, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(src_cnt, np.int64), ctypes.c_int64),
+        len(src_start), _ptr(o_sorted, ctypes.c_int32),
+        _ptr(r_sorted, ctypes.c_float), R,
+        _ptr(out_oi.reshape(-1), ctypes.c_int32),
+        _ptr(out_r.reshape(-1), ctypes.c_float))
+    return True
 
 
 def pack_chunks_native(starts, block_of, slot_of, chunk_base, o_sorted,

@@ -129,4 +129,18 @@ int ycnr_pack_chunks(const int64_t* starts, const int32_t* block_of,
   return 0;
 }
 
+// Row-major pack for the bucketed layout: entity j's ratings copied into
+// row j of flat [n, R] outputs (prefilled with padding).
+int ycnr_pack_rows(const int64_t* src_start, const int64_t* src_cnt,
+                   int64_t n, const int32_t* o_sorted, const float* r_sorted,
+                   int64_t R, int32_t* out_oi, float* out_r) {
+  for (int64_t j = 0; j < n; j++) {
+    const int64_t s = src_start[j];
+    const int64_t c = src_cnt[j];
+    memcpy(out_oi + j * R, o_sorted + s, sizeof(int32_t) * c);
+    memcpy(out_r + j * R, r_sorted + s, sizeof(float) * c);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: batched small-matrix Cholesky solve.
+
+Why: the ALS normal equations need ~10^5 solves of k x k SPD systems per
+epoch (k = 10..128). XLA's `lax.linalg.cholesky` + `triangular_solve` on
+TPU lower to loopy code built for big matrices; measured on v5e they eat
+~90% of the ALS phase (492 ms of 543 ms at quarter-ML-20M scale). This
+kernel vectorizes the textbook algorithms across the *batch* dimension
+instead: every step is a [B_t, n] or [B_t, n, n] dense VPU op with static
+indices (the column loop is a Python range over the static n), so the whole
+solve is straight-line vector code — no dynamic control flow, no per-matrix
+loops.
+
+Cost model: full-matrix rank-1 updates do n^3 FMA per matrix (3x the
+triangular minimum) but at VPU rates that is ~1-2 ms per 10^5 matrices of
+n=64 — a ~30x win over the XLA path.
+
+The guarded contract matches ops.gram.guarded_batched_solve: callers add the
+ridge (and the empty-slot identity guard) to A beforehand; padding systems
+are exactly I x = 0 and solve to 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _solve_kernel(a_ref, b_ref, x_ref, s_ref, l_ref, invd_ref, n: int):
+    """One batch tile: factorize A = L L^T, then two substitutions.
+
+    a_ref:  [B_t, n, n] VMEM in    (SPD, ridge already added)
+    b_ref:  [B_t, n]    VMEM in
+    x_ref:  [B_t, n]    VMEM out
+    s_ref:  [B_t, n, n] VMEM scratch (working copy of A)
+    l_ref:  [B_t, n, n] VMEM scratch (L)
+    invd_ref: [B_t, n]  VMEM scratch (1/diag(L))
+    """
+    s_ref[:] = a_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, n]
+
+    # --- Cholesky, right-looking, vectorized over batch ---
+    for j in range(n):
+        c = s_ref[:, :, j]  # [B_t, n] column j of the working matrix
+        pj = c[:, j : j + 1]  # [B_t, 1]
+        inv = jax.lax.rsqrt(pj)
+        c = c * inv  # scaled column
+        c = jnp.where(row >= j, c, 0.0)  # zero the strictly-upper part
+        l_ref[:, :, j] = c
+        invd_ref[:, j : j + 1] = inv
+        # trailing update: S[:, :, m] -= c_r c_m for m > j (mask via c itself:
+        # entries with row < j are already 0; mask columns <= j)
+        cm = jnp.where(row > j, c, 0.0)  # [B_t, n] used as the column axis
+        s_ref[:] = s_ref[:] - c[:, :, None] * cm[:, None, :]
+
+    # --- forward substitution: L y = b ---
+    acc = b_ref[:]  # [B_t, n]
+    for j in range(n):
+        yj = acc[:, j : j + 1] * invd_ref[:, j : j + 1]  # [B_t, 1]
+        lcol = jnp.where(row > j, l_ref[:, :, j], 0.0)
+        acc = acc - lcol * yj
+        # store y_j in place of acc_j (acc_j no longer read)
+        acc = jnp.where(row == j, yj, acc)
+
+    # --- back substitution: L^T x = y ---
+    for j in range(n - 1, -1, -1):
+        xj = acc[:, j : j + 1] * invd_ref[:, j : j + 1]
+        lrow = jnp.where(row < j, l_ref[:, j, :], 0.0)  # L[j, r] for r < j
+        acc = acc - lrow * xj
+        acc = jnp.where(row == j, xj, acc)
+    x_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Solve A x = b for a batch of SPD systems. A: [B, n, n], b: [B, n].
+
+    B is padded to a multiple of batch_tile internally (identity systems).
+    float32 only (TPU VPU native); use the XLA path for float64 parity runs.
+    """
+    B, n, _ = A.shape
+    Bp = -(-B // batch_tile) * batch_tile
+    if Bp != B:
+        padA = jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (Bp - B, 1, 1))
+        A = jnp.concatenate([A, padA], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
+
+    kernel = functools.partial(_solve_kernel, n=n)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Bp // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n), A.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, n, n), A.dtype),
+            pltpu.VMEM((batch_tile, n, n), A.dtype),
+            pltpu.VMEM((batch_tile, n), A.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * n * n * n,
+            bytes_accessed=Bp * (n * n + 2 * n) * 4,
+            transcendentals=Bp * n,
+        ),
+        interpret=interpret,
+    )(A, b)
+    return x[:B]

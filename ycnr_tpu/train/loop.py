@@ -19,14 +19,7 @@ import numpy as np
 
 from ycnr_tpu.config import RunConfig
 from ycnr_tpu.data.dataset import Dataset, load_dataset
-from ycnr_tpu.models.als import als_epoch
-from ycnr_tpu.models.base import (
-    MFState,
-    device_layout,
-    init_state,
-    rmse_padded,
-)
-from ycnr_tpu.models.ials import ials_epoch
+from ycnr_tpu.models.base import MFState, init_state, rmse_padded
 from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
 from ycnr_tpu.train.checkpoint import config_dict, load_checkpoint, save_checkpoint
 from ycnr_tpu.train.metrics import MetricsLogger
@@ -73,8 +66,16 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
     dul = dil = sgd_data = trainer = None
     if cfg.algorithm in ("als", "ials"):
-        dul = device_layout(ds.user_layout, dtype)
-        dil = device_layout(ds.item_layout, dtype)
+        # single-chip fast path: bucketed (segsum-free) layout
+        from ycnr_tpu.models.bucketed_phase import device_bucketed
+        from ycnr_tpu.ops.bucketed import build_bucketed
+
+        dul = device_bucketed(build_bucketed(
+            ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
+            cfg.data.chunk_len, params.rank), dtype)
+        dil = device_bucketed(build_bucketed(
+            ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
+            cfg.data.chunk_len, params.rank), dtype)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed)
@@ -82,13 +83,19 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                                     cfg.sgd.batch_size, ds.n_users,
                                     ds.n_items, dtype)
 
+    from ycnr_tpu.models.bucketed_phase import (
+        als_epoch_bucketed,
+        ials_epoch_bucketed,
+    )
+
     history = []
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
         if cfg.algorithm == "als":
-            state = als_epoch(state, dul, dil, cfg.als.lam)
+            state = als_epoch_bucketed(state, dul, dil, cfg.als.lam)
         elif cfg.algorithm == "ials":
-            state = ials_epoch(state, dul, dil, cfg.ials.lam, cfg.ials.alpha)
+            state = ials_epoch_bucketed(state, dul, dil, cfg.ials.lam,
+                                        cfg.ials.alpha)
         else:
             state = trainer.epoch(state, sgd_data, epoch)
         jax.block_until_ready(state.U)
