@@ -54,6 +54,9 @@ class SGDConfig:
     batch_size: int = 4096
     init_scale: float = 0.1
     dtype: str = "float32"
+    # "sum" = per-sample accumulation (oracle-exact); "mean" = per-entity
+    # batch-mean, stable for hot entities in large batches (see models/sgd.py)
+    grad_mode: str = "sum"
 
 
 @dataclass(frozen=True)

@@ -1,2 +1,3 @@
 from ycnr_tpu.models.base import predict, rmse_padded  # noqa: F401
 from ycnr_tpu.eval.recommend import recommend_all, recommend_users  # noqa: F401
+from ycnr_tpu.eval.ranking import hit_rate_at_n  # noqa: F401

@@ -43,18 +43,30 @@ def prepare_sgd_data(train_u, train_i, train_r, batch_size: int,
     return SGDData(jnp.asarray(u), jnp.asarray(i), jnp.asarray(r, dtype), n)
 
 
-@partial(jax.jit, static_argnames=("lam", "batch_size"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),
+         donate_argnums=(0,))
 def sgd_epoch(state: MFState, data: SGDData, perm: jnp.ndarray, lam: float,
-              lr: jnp.ndarray, batch_size: int) -> MFState:
+              lr: jnp.ndarray, batch_size: int,
+              grad_mode: str = "sum") -> MFState:
     """One epoch over all batches in the order given by ``perm``.
 
     perm permutes the padded COO (the reference shuffles rating order per
     epoch, call stack 3.3); padding rides along and is masked.
+
+    grad_mode:
+      "sum"  — duplicates within a batch accumulate (per-sample SGD
+               semantics; matches the oracle bit-for-bit)
+      "mean" — each entity's accumulated update is divided by its batch
+               multiplicity. With power-law data a hot user can appear
+               hundreds of times per large batch; "sum" then takes a step
+               hundreds of times larger than intended and diverges (NaNs at
+               lr that is fine for "mean").
     """
     u = data.u[perm].reshape(-1, batch_size)
     i = data.i[perm].reshape(-1, batch_size)
     r = data.r[perm].reshape(-1, batch_size)
     n_users = state.n_users
+    n_items = state.n_items
     lr = jnp.asarray(lr, state.U.dtype)
 
     def body(carry, batch):
@@ -67,11 +79,18 @@ def sgd_epoch(state: MFState, data: SGDData, perm: jnp.ndarray, lam: float,
         pred = state.mu + buu + bii + jnp.einsum("nk,nk->n", Uu, Vi)
         m = (ub < n_users).astype(U.dtype)  # padding mask
         e = (rb - pred) * m
+        if grad_mode == "mean":
+            cu = jnp.zeros(n_users + 1, U.dtype).at[ub].add(m)
+            ci = jnp.zeros(n_items + 1, U.dtype).at[ib].add(m)
+            wu = m / jnp.maximum(cu[ub], 1.0)
+            wi = m / jnp.maximum(ci[ib], 1.0)
+        else:
+            wu = wi = m
         # updates per Appendix A; every term masked so trash rows stay zero
-        U = U.at[ub].add(lr * m[:, None] * (e[:, None] * Vi - lam * Uu))
-        V = V.at[ib].add(lr * m[:, None] * (e[:, None] * Uu - lam * Vi))
-        bu = bu.at[ub].add(lr * m * (e - lam * buu))
-        bi = bi.at[ib].add(lr * m * (e - lam * bii))
+        U = U.at[ub].add(lr * wu[:, None] * (e[:, None] * Vi - lam * Uu))
+        V = V.at[ib].add(lr * wi[:, None] * (e[:, None] * Uu - lam * Vi))
+        bu = bu.at[ub].add(lr * wu * (e - lam * buu))
+        bi = bi.at[ib].add(lr * wi * (e - lam * bii))
         return (U, V, bu, bi), None
 
     (U, V, bu, bi), _ = lax.scan(body, (state.U, state.V, state.bu, state.bi),
@@ -85,12 +104,13 @@ class BiasedSGD:
 
     def __init__(self, lam: float = 0.02, lr: float = 0.01,
                  lr_decay: float = 0.95, batch_size: int = 4096,
-                 seed: int = 0):
+                 seed: int = 0, grad_mode: str = "sum"):
         self.lam = float(lam)
         self.lr0 = float(lr)
         self.lr_decay = float(lr_decay)
         self.batch_size = int(batch_size)
         self.seed = seed
+        self.grad_mode = grad_mode
 
     def lr_at(self, epoch: int) -> float:
         return self.lr0 * self.lr_decay**epoch
@@ -101,4 +121,4 @@ class BiasedSGD:
             key = jax.random.key(self.seed + 7919 * epoch_idx)
             perm = jax.random.permutation(key, data.u.shape[0])
         return sgd_epoch(state, data, perm, self.lam, self.lr_at(epoch_idx),
-                         self.batch_size)
+                         self.batch_size, self.grad_mode)

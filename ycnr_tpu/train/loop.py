@@ -78,7 +78,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             cfg.data.chunk_len, params.rank), dtype)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
-                            cfg.sgd.batch_size, seed=cfg.seed)
+                            cfg.sgd.batch_size, seed=cfg.seed,
+                            grad_mode=cfg.sgd.grad_mode)
         sgd_data = prepare_sgd_data(ds.train_u, ds.train_i, ds.train_r,
                                     cfg.sgd.batch_size, ds.n_users,
                                     ds.n_items, dtype)
@@ -102,8 +103,17 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         epoch_s = time.time() - t0
         rmse = float(rmse_padded(state, dpu, dpi, dpr, n_test))
         history.append(rmse)
-        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
-                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
+        record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                      epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
+        if cfg.algorithm == "ials":
+            # RMSE vs raw ratings is not meaningful for preference scores;
+            # report the implicit-feedback ranking metric as well
+            from ycnr_tpu.eval.ranking import hit_rate_at_n
+
+            record["hit_rate"] = round(hit_rate_at_n(
+                state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
+                n=cfg.topn, max_users=512), 4)
+        metrics.log(**record)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs):
