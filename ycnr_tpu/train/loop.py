@@ -141,6 +141,13 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     D = cfg.mesh.n_shards
     mesh = make_mesh(D, cfg.mesh.axis)
     mu = ds.mu if cfg.algorithm == "sgd" else 0.0
+
+    # item_sharded mode: both factor axes sharded, all-gather the other side
+    # (SURVEY.md M6 alternative; ALS/iALS only — SGD needs replicated V)
+    if (cfg.mesh.vstep_mode == "item_sharded"
+            and cfg.algorithm in ("als", "ials")):
+        return _train_dual(cfg, ds, metrics, out, resume, mesh, params,
+                           dtype)
     data, meta = build_sharded_data(
         ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
         chunk_len=cfg.data.chunk_len, block_chunks=cfg.data.block_chunks,
@@ -185,4 +192,57 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                             gather_state(st, meta), epoch + 1,
                             config=config_dict(cfg))
     return TrainResult(state=gather_state(st, meta), dataset=ds,
+                       rmse_history=history, out_dir=out)
+
+
+def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
+                out: Optional[str], resume: Optional[str], mesh, params,
+                dtype) -> TrainResult:
+    from ycnr_tpu.parallel.dual import (
+        build_dual_sharded_data,
+        dual_als_epoch,
+        dual_gather_state,
+        dual_ials_epoch,
+        dual_rmse,
+        dual_scatter_state,
+    )
+
+    data, meta = build_dual_sharded_data(
+        ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
+        cfg.mesh.n_shards, chunk_len=cfg.data.chunk_len,
+        block_chunks=cfg.data.block_chunks, rank_hint=params.rank,
+        test_u=ds.test_u, test_i=ds.test_i, test_r=ds.test_r, dtype=dtype,
+        mesh=mesh)
+    start_epoch = 0
+    if resume:
+        gstate, manifest = load_checkpoint(resume)
+        start_epoch = manifest["epoch"]
+        metrics.log(event="resume", epoch=start_epoch)
+    else:
+        gstate = init_state(ds.n_users, ds.n_items, params.rank,
+                            seed=cfg.seed, dtype=dtype)
+    st = dual_scatter_state(gstate, meta, mesh)
+
+    history = []
+    for epoch in range(start_epoch, params.epochs):
+        t0 = time.time()
+        if cfg.algorithm == "als":
+            st = dual_als_epoch(mesh, st, data, cfg.als.lam)
+        else:
+            st = dual_ials_epoch(mesh, st, data, cfg.ials.lam,
+                                 cfg.ials.alpha)
+        jax.block_until_ready(st.U)
+        epoch_s = time.time() - t0
+        rmse = dual_rmse(mesh, st, data, meta.test_n)
+        history.append(rmse)
+        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm,
+                    shards=cfg.mesh.n_shards, mode="item_sharded")
+        if out and cfg.checkpoint_every and (
+                (epoch + 1) % cfg.checkpoint_every == 0
+                or epoch + 1 == params.epochs):
+            save_checkpoint(os.path.join(out, "ckpt"),
+                            dual_gather_state(st, meta), epoch + 1,
+                            config=config_dict(cfg))
+    return TrainResult(state=dual_gather_state(st, meta), dataset=ds,
                        rmse_history=history, out_dir=out)
