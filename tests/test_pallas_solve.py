@@ -50,3 +50,14 @@ def test_identity_guard_rows():
     x = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
                                     batch_tile=8, interpret=True))
     assert np.all(x == 0)
+
+
+def test_unrolled_variant_matches():
+    A, b = _spd_batch(16, 8, seed=3)
+    xl = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                     batch_tile=8, interpret=True,
+                                     variant="looped"))
+    xu = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                     batch_tile=8, interpret=True,
+                                     variant="unrolled"))
+    np.testing.assert_allclose(xl, xu, rtol=1e-5, atol=1e-6)

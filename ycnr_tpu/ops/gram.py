@@ -68,20 +68,36 @@ def segment_reduce_block(G: jnp.ndarray, b: jnp.ndarray,
     return A, r
 
 
-def guarded_batched_solve(A: jnp.ndarray, b: jnp.ndarray,
-                          reg: jnp.ndarray) -> jnp.ndarray:
-    """Solve (A + diag-broadcast reg * I) x = b per batch element via
-    batched Cholesky (the XLA-native form of the reference's nlapack
-    `gesv`/`potrf`-class per-user solves, SURVEY.md C6b).
+def guarded_batched_solve(A: jnp.ndarray, b: jnp.ndarray, reg: jnp.ndarray,
+                          method: str = "auto") -> jnp.ndarray:
+    """Solve (A + diag-broadcast reg * I) x = b per batch element
+    (the reference's nlapack `gesv`/`potrf`-class per-user solves,
+    SURVEY.md C6b).
 
     reg: [B] per-entity ridge; callers pass lam*n_e + (n_e==0) so empty
     slots solve I x = 0 -> exactly 0 (SURVEY.md §7 hard part: cold-entity
     singularity guard).
+
+    method: "auto" picks the Pallas batch-vectorized Cholesky kernel on TPU
+    for float32 (XLA's batched small-matrix cholesky/triangular_solve eats
+    ~90% of the ALS phase on v5e, see ops/pallas_solve.py); "xla" forces
+    the lax.linalg path (used for float64 parity runs and CPU tests).
     """
     k = A.shape[-1]
     eye = jnp.eye(k, dtype=A.dtype)
     A = A + reg[:, None, None] * eye
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))  # enforce symmetry
+
+    if method == "auto":
+        use_pallas = (A.dtype == jnp.float32
+                      and jax.default_backend() == "tpu" and k <= 256)
+    else:
+        use_pallas = method == "pallas"
+    if use_pallas:
+        from ycnr_tpu.ops.pallas_solve import pallas_spd_solve
+
+        return pallas_spd_solve(A, b)
+
     chol = lax.linalg.cholesky(A)
     y = lax.linalg.triangular_solve(chol, b[..., None], left_side=True,
                                     lower=True)

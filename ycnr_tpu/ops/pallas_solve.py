@@ -74,9 +74,66 @@ def _solve_kernel(a_ref, b_ref, x_ref, s_ref, l_ref, invd_ref, n: int):
     x_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def _solve_kernel_looped(a_ref, b_ref, x_ref, lt_ref, n: int):
+    """fori_loop variant: one compiled body instead of 3n unrolled steps.
+
+    Works column-major in place: A is symmetric, so a_ref IS the column-major
+    working copy; at step j the finished L column overwrites column j (the
+    trailing rank-1 update masks columns <= j, so stored columns are never
+    touched again). After factorization one explicit transpose materializes
+    L^T so back-substitution also reads columns via (cheap, supported)
+    sublane dynamic slices; 1/diag(L) is carried functionally to avoid
+    dynamic lane writes. All lane extractions are masked reductions on
+    [B, n] tiles only.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, n]
+
+    def chol_step(j, invd):
+        c = a_ref[:, j, :]  # [B, n] column j (sublane dynamic index)
+        pj = jnp.sum(jnp.where(row == j, c, 0.0), axis=1, keepdims=True)
+        inv = jax.lax.rsqrt(pj)
+        c = jnp.where(row >= j, c * inv, 0.0)
+        a_ref[:, j, :] = c  # store L column in place
+        cm = jnp.where(row > j, c, 0.0)
+        # trailing update on columns > j only (cm masks the column axis, so
+        # already-stored L columns and column j stay intact)
+        a_ref[:] = a_ref[:] - cm[:, :, None] * c[:, None, :]
+        return jnp.where(row == j, inv, invd)
+
+    invd = jax.lax.fori_loop(
+        0, n, chol_step, jnp.zeros_like(b_ref[:]))  # [B, n] 1/diag(L)
+
+    lt_ref[:] = jnp.swapaxes(a_ref[:], 1, 2)  # L^T, column-major
+
+    # forward substitution: L y = b, walking columns of L (in a_ref)
+    def fwd_step(j, acc):
+        lcol = a_ref[:, j, :]
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        yj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row > j, lcol, 0.0) * yj
+        return jnp.where(row == j, yj, acc)
+
+    acc = jax.lax.fori_loop(0, n, fwd_step, b_ref[:])
+
+    # back substitution: L^T x = y, walking columns of L^T (rows of L)
+    def bwd_step(t, acc):
+        j = n - 1 - t
+        lrow = lt_ref[:, j, :]  # [B, n] row j of L
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        xj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row < j, lrow, 0.0) * xj
+        return jnp.where(row == j, xj, acc)
+
+    x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch_tile", "interpret", "variant"))
 def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     variant: str = "looped") -> jnp.ndarray:
     """Solve A x = b for a batch of SPD systems. A: [B, n, n], b: [B, n].
 
     B is padded to a multiple of batch_tile internally (identity systems).
@@ -89,7 +146,18 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
 
-    kernel = functools.partial(_solve_kernel, n=n)
+    if variant == "looped":
+        kernel = functools.partial(_solve_kernel_looped, n=n)
+        scratch = [
+            pltpu.VMEM((batch_tile, n, n), A.dtype),  # L^T (column-major)
+        ]
+    else:
+        kernel = functools.partial(_solve_kernel, n=n)
+        scratch = [
+            pltpu.VMEM((batch_tile, n, n), A.dtype),
+            pltpu.VMEM((batch_tile, n, n), A.dtype),
+            pltpu.VMEM((batch_tile, n), A.dtype),
+        ]
     x = pl.pallas_call(
         kernel,
         grid=(Bp // batch_tile,),
@@ -102,11 +170,7 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
         out_specs=pl.BlockSpec((batch_tile, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, n), A.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((batch_tile, n, n), A.dtype),
-            pltpu.VMEM((batch_tile, n, n), A.dtype),
-            pltpu.VMEM((batch_tile, n), A.dtype),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * n * n * n,
             bytes_accessed=Bp * (n * n + 2 * n) * 4,
