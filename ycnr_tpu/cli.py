@@ -26,9 +26,13 @@ def _add_train_overrides(p):
     p.add_argument("--rank", type=int)
     p.add_argument("--algorithm", choices=["als", "sgd", "ials"])
     p.add_argument("--shards", type=int)
+    p.add_argument("--vstep-mode", choices=["gram_psum", "item_sharded"],
+                   help="sharded V-step collective strategy")
     p.add_argument("--out", default="runs")
     p.add_argument("--resume", help="checkpoint dir to resume from")
     p.add_argument("--platform", help="force jax platform (e.g. cpu)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     p.add_argument("--users", type=int, help="synthetic n_users")
     p.add_argument("--items", type=int, help="synthetic n_items")
     p.add_argument("--ratings", type=int, help="synthetic n_ratings")
@@ -63,9 +67,13 @@ def _build_cfg(args):
         for field in ("als", "sgd", "ials"):
             cfg = cfg.replace(**{field: dataclasses.replace(
                 getattr(cfg, field), rank=args.rank)})
+    mesh_kw = {}
     if args.shards:
-        cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh,
-                                                   n_shards=args.shards))
+        mesh_kw["n_shards"] = args.shards
+    if getattr(args, "vstep_mode", None):
+        mesh_kw["vstep_mode"] = args.vstep_mode
+    if mesh_kw:
+        cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
     cfg = cfg.replace(out_dir=args.out)
     return cfg
 
@@ -106,7 +114,13 @@ def cmd_train(args):
                 train_r=tr, test_u=su, test_i=si, test_r=sr,
                 user_layout=ul, item_layout=il, mu=float(tr.mean()))
 
-    result = train(cfg, dataset=ds, resume=args.resume)
+    if args.profile:
+        from ycnr_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            result = train(cfg, dataset=ds, resume=args.resume)
+    else:
+        result = train(cfg, dataset=ds, resume=args.resume)
     print(json.dumps({
         "run": cfg.name, "algorithm": cfg.algorithm,
         "epochs": len(result.rmse_history),

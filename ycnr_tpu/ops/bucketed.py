@@ -65,19 +65,30 @@ def build_bucketed(
     np.cumsum(counts, out=starts[1:])
 
     active = np.nonzero(counts)[0]
-    nch = -(-counts[active] // L)
-    pow2 = 1 << np.ceil(np.log2(nch)).astype(np.int64)  # nch >= 1
+    # Row ladder {8, 12, 16, 24, 32, 48, 64, ...} (pow2 plus 1.5x midpoints,
+    # min 8 = fp32 sublane): each entity gets the smallest rung holding its
+    # rating count. Row-granular rungs matter: with power-law data most
+    # entities are tiny, and chunk-granular (L-row) slots pushed fill to
+    # ~0.6; row rungs keep worst-case padding at 50% on the smallest rung
+    # and 33% elsewhere.
+    maxn = int(counts[active].max(initial=1))
+    ladder = sorted({v for base in (8 << np.arange(0, 36, dtype=np.int64))
+                     for v in (int(base), int(base * 3 // 2))
+                     if v <= 2 * maxn} | {8})
+    ladder = np.asarray(ladder, np.int64)
+    rung = ladder[np.searchsorted(ladder, counts[active])]
 
     groups = []
-    for p in np.unique(pow2):
-        ents = active[pow2 == p]
-        R = int(p) * L
+    for p in np.unique(rung):
+        ents = active[rung == p]
+        R = int(p)
         n_e = len(ents)
-        # block size: ~target_bytes of gathered [NE_b, R, k] fp32
-        ne_b = max(8, target_bytes // (R * rank_hint * 4))
-        ne_b = int(min(ne_b, -(-n_e // 1)))
-        ne_b = int(-(-min(ne_b, n_e) // 8) * 8)
-        nb = -(-n_e // ne_b)
+        # blocks sized for ~target_bytes of gathered [NE_b, R, k] fp32, but
+        # BALANCED across the group (a fixed block size would leave the last
+        # block mostly dummy entities — measured as the main fill loss)
+        ne_target = max(8, target_bytes // (R * rank_hint * 4))
+        nb = max(1, -(-n_e // ne_target))
+        ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)  # ceil(n_e/nb) to mult of 8
 
         oi = np.full((nb * ne_b, R), n_other, np.int32)
         rr = np.zeros((nb * ne_b, R), np.float32)
