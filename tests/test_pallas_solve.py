@@ -61,3 +61,14 @@ def test_unrolled_variant_matches():
                                      batch_tile=8, interpret=True,
                                      variant="unrolled"))
     np.testing.assert_allclose(xl, xu, rtol=1e-5, atol=1e-6)
+
+
+def test_panel_variant_matches():
+    for n in (8, 16, 64, 24):  # incl. non-multiple-of-16 rank
+        A, b = _spd_batch(16, n, seed=n + 1)
+        xp = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                         batch_tile=8, interpret=True,
+                                         variant="panel"))
+        ref = np.linalg.solve(A.astype(np.float64),
+                              b.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(xp, ref, rtol=2e-3, atol=2e-4)

@@ -129,11 +129,83 @@ def _solve_kernel_looped(a_ref, b_ref, x_ref, lt_ref, n: int):
     x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
 
 
+def _solve_kernel_panel(a_ref, b_ref, x_ref, lt_ref, n: int, panel: int = 16):
+    """Panel-blocked variant: the looped kernel is VMEM-bandwidth-bound on
+    its per-column full-matrix rank-1 updates (read+write of [B, n, n] per
+    column). Here columns are factored in panels of `panel`; within a panel
+    only [B, n] column updates run, and the full-matrix trailing update is
+    applied ONCE per panel as a fused sum of `panel` outer products —
+    n/panel full-matrix passes instead of n (~16x less VMEM traffic at
+    n=64, panel=16). Statically unrolled: n + n/panel steps of small IR.
+    """
+    assert n % panel == 0, "panel variant needs panel | n"
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, n]
+
+    def panel_step(pi, invd):
+        jp = pi * panel
+
+        def col_step(jj, invd):
+            j = jp + jj
+            c = a_ref[:, j, :]
+            pj = jnp.sum(jnp.where(row == j, c, 0.0), axis=1, keepdims=True)
+            inv = jax.lax.rsqrt(pj)
+            c = jnp.where(row >= j, c * inv, 0.0)
+            a_ref[:, j, :] = c
+
+            # update the remaining columns of this panel ([B, n] ops)
+            def inner(m, _):
+                cm = jnp.sum(jnp.where(row == m, c, 0.0), axis=1,
+                             keepdims=True)
+                a_ref[:, m, :] = a_ref[:, m, :] - cm * c
+                return 0
+
+            jax.lax.fori_loop(j + 1, jp + panel, inner, 0)
+            return jnp.where(row == j, inv, invd)
+
+        invd = jax.lax.fori_loop(0, panel, col_step, invd)
+
+        # one trailing update per panel: T = C^T C over the panel axis on the
+        # MXU (C = panel columns of L, trailing columns masked on one side)
+        C = a_ref[:, pl.ds(jp, panel), :]  # [B, panel, n]
+        Cm = jnp.where(row[:, None, :] > jp + panel - 1, C, 0.0)
+        T = jax.lax.dot_general(Cm, C, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=C.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+        a_ref[:] = a_ref[:] - T
+        return invd
+
+    invd = jax.lax.fori_loop(0, n // panel, panel_step,
+                             jnp.zeros_like(b_ref[:]))
+
+    lt_ref[:] = jnp.swapaxes(a_ref[:], 1, 2)
+
+    def fwd_step(j, acc):
+        lcol = a_ref[:, j, :]
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        yj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row > j, lcol, 0.0) * yj
+        return jnp.where(row == j, yj, acc)
+
+    acc = jax.lax.fori_loop(0, n, fwd_step, b_ref[:])
+
+    def bwd_step(t, acc):
+        j = n - 1 - t
+        lrow = lt_ref[:, j, :]
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        xj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row < j, lrow, 0.0) * xj
+        return jnp.where(row == j, xj, acc)
+
+    x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch_tile", "interpret", "variant"))
 def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
                      interpret: bool = False,
-                     variant: str = "looped") -> jnp.ndarray:
+                     variant: str = "panel") -> jnp.ndarray:
     """Solve A x = b for a batch of SPD systems. A: [B, n, n], b: [B, n].
 
     B is padded to a multiple of batch_tile internally (identity systems).
@@ -146,7 +218,15 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
 
-    if variant == "looped":
+    if variant == "panel" and not (n % 16 == 0 or n % 8 == 0):
+        variant = "looped"  # panel width must divide n
+    if variant == "panel":
+        kernel = functools.partial(_solve_kernel_panel, n=n,
+                                   panel=16 if n % 16 == 0 else 8)
+        scratch = [
+            pltpu.VMEM((batch_tile, n, n), A.dtype),  # L^T (column-major)
+        ]
+    elif variant == "looped":
         kernel = functools.partial(_solve_kernel_looped, n=n)
         scratch = [
             pltpu.VMEM((batch_tile, n, n), A.dtype),  # L^T (column-major)
