@@ -128,6 +128,9 @@ def main():
                     help="also measure top-10 serving throughput (stderr)")
     ap.add_argument("--layout", choices=["bucketed", "blocked"],
                     default="bucketed")
+    ap.add_argument("--scale", choices=["ml20m", "netflix"], default="ml20m",
+                    help="netflix = 480k users x 17.8k items, 100M ratings "
+                         "(BASELINE config 5 shape, single chip)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -137,6 +140,14 @@ def main():
         epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1,
                             layout=args.layout)
         metric = "smoke_als_epoch_s"
+        base = None
+    elif args.scale == "netflix":
+        # Netflix-scale synthetic (BASELINE.json:11 shape) on one chip
+        epoch_s = run_bench(480_189, 17_770, 100_480_507, args.rank,
+                            args.epochs, args.chunk_len,
+                            topn_users=1 if args.topn else 0,
+                            layout=args.layout)
+        metric = "netflix_als_epoch_s_rank64_1chip"
         base = None
     else:
         # MovieLens-20M scale (BASELINE.json:9): 138,493 users x 26,744

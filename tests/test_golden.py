@@ -1,0 +1,44 @@
+"""Golden regression metrics (SURVEY.md §4 item 4).
+
+Deterministic seeds end-to-end, so the held-out RMSE after k epochs is a
+stable regression number on every platform (CPU here; fp32 path). If an
+intentional change moves these, update the constants in the same commit.
+"""
+
+import numpy as np
+
+from ycnr_tpu.config import ALSConfig, DataConfig, IALSConfig, RunConfig, SGDConfig
+from ycnr_tpu.train.loop import train
+
+
+def _cfg(algorithm, **algo_kw):
+    return RunConfig(
+        name="golden",
+        algorithm=algorithm,
+        data=DataConfig(source="synthetic", n_users=400, n_items=200,
+                        n_ratings=20_000, chunk_len=8, seed=7),
+        als=ALSConfig(rank=10, lam=0.05, epochs=5, **algo_kw
+                      ) if algorithm == "als" else ALSConfig(),
+        sgd=SGDConfig(rank=10, lr=0.02, lr_decay=0.95, epochs=5,
+                      batch_size=1024) if algorithm == "sgd" else SGDConfig(),
+        ials=IALSConfig(rank=10, lam=0.3, alpha=5.0, epochs=3
+                        ) if algorithm == "ials" else IALSConfig(),
+        out_dir="",  # no artifacts
+        seed=3,
+    )
+
+
+def test_golden_als_rmse():
+    res = train(_cfg("als"), out_dir=None)
+    # pinned 2026-08-16 (fp32, bucketed path)
+    assert abs(res.rmse_history[-1] - 0.4413) < 0.01, res.rmse_history
+
+
+def test_golden_sgd_rmse():
+    res = train(_cfg("sgd"), out_dir=None)
+    assert abs(res.rmse_history[-1] - 0.576) < 0.02, res.rmse_history
+
+
+def test_golden_ials_runs():
+    res = train(_cfg("ials"), out_dir=None)
+    assert np.isfinite(res.rmse_history).all()
