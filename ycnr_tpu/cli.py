@@ -11,11 +11,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import sys
 
-import numpy as np
-
-from ycnr_tpu.config import DataConfig, get_preset, list_presets
+from ycnr_tpu.config import get_preset, list_presets
 
 
 def _add_train_overrides(p):
@@ -88,20 +85,13 @@ def cmd_train(args):
 
     ds = None
     if args.store:
-        from ycnr_tpu.data.dataset import Dataset  # noqa: F401
+        from ycnr_tpu.data.dataset import Dataset as DS
+        from ycnr_tpu.data.split import train_test_split
         from ycnr_tpu.data.store import RatingsStore
+        from ycnr_tpu.ops.layout import build_blocked_csr
 
         st = RatingsStore(args.store)
         u, i, r = st.read_all()
-        from ycnr_tpu.data.dataset import load_dataset
-
-        # route through the standard split/layout path with explicit arrays
-        cfg = cfg.replace(data=dataclasses.replace(
-            cfg.data, source="synthetic"))  # placeholder; we pass ds directly
-        from ycnr_tpu.data.split import train_test_split
-        from ycnr_tpu.ops.layout import build_blocked_csr
-        from ycnr_tpu.data.dataset import Dataset as DS
-
         n_users, n_items = st.meta["n_users"], st.meta["n_items"]
         (tu, ti, tr), (su, si, sr) = train_test_split(
             u, i, r, cfg.data.test_fraction, cfg.data.seed)
