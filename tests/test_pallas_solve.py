@@ -72,3 +72,14 @@ def test_panel_variant_matches():
         ref = np.linalg.solve(A.astype(np.float64),
                               b.astype(np.float64)[..., None])[..., 0]
         np.testing.assert_allclose(xp, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_lanes_variant_matches():
+    for n in (16, 64):
+        A, b = _spd_batch(24, n, seed=n + 2)
+        xl = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                         batch_tile=8, interpret=True,
+                                         variant="lanes"))
+        ref = np.linalg.solve(A.astype(np.float64),
+                              b.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(xl, ref, rtol=2e-3, atol=2e-4)

@@ -201,11 +201,88 @@ def _solve_kernel_panel(a_ref, b_ref, x_ref, lt_ref, n: int, panel: int = 16):
     x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
 
 
+def _solve_kernel_lanes(a_ref, b_ref, x_ref, invd_ref, n: int,
+                        panel: int = 16):
+    """Batch-on-lanes variant: blocks come in TRANSPOSED as [n, n, B_t]
+    (A[c, r, b]; symmetric, so row/col order is moot) and b as [n, B_t].
+
+    With the batch on the lane axis every per-column quantity is an [n, B]
+    or [B] tile: pivots are direct ref reads a_ref[j, j, :] (no masked lane
+    reductions), columns are a_ref[j], and the panel trailing update is a
+    fused sum of `panel` rank-1 outer products broadcast across lanes —
+    full-width VPU work. All traced-index reads go through refs (Mosaic has
+    no value-level dynamic_slice); x_ref doubles as the substitution
+    accumulator.
+    """
+    assert n % panel == 0
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # [n, 1] sublanes
+
+    def panel_step(pi, _):
+        jp = pi * panel
+
+        def col_step(jj, _):
+            j = jp + jj
+            c = a_ref[j, :, :]  # [n, B] column j
+            inv = jax.lax.rsqrt(a_ref[j, j, :])  # [B] direct pivot read
+            c = jnp.where(rowv >= j, c * inv[None, :], 0.0)
+            a_ref[j, :, :] = c  # store L column in place
+            invd_ref[j, :] = inv
+
+            # update remaining panel columns; c_m read back through the ref
+            def inner(m, _):
+                a_ref[m, :, :] = (a_ref[m, :, :]
+                                  - a_ref[j, m, :][None, :] * c)
+                return 0
+
+            jax.lax.fori_loop(j + 1, jp + panel, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, panel, col_step, 0)
+
+        # fused trailing update for all columns beyond this panel:
+        # S[m, r, b] -= sum_p C[p][m] * C[p][r] for m > jp+panel-1
+        C = a_ref[pl.ds(jp, panel), :, :]  # [panel, n, B] (ref slice)
+        last = jp + panel - 1
+        upd = None
+        for p in range(panel):
+            cp = C[p]  # [n, B] (static index into a value)
+            cpm = jnp.where(rowv > last, cp, 0.0)  # mask target columns
+            term = cpm[:, None, :] * cp[None, :, :]  # [n(m), n(r), B]
+            upd = term if upd is None else upd + term
+        a_ref[:] = a_ref[:] - upd
+        return 0
+
+    jax.lax.fori_loop(0, n // panel, panel_step, 0)
+
+    # forward substitution: L y = b (accumulator lives in x_ref)
+    x_ref[:] = b_ref[:]
+
+    def fwd_step(j, _):
+        lcol = a_ref[j, :, :]  # [n, B] column j of L
+        yj = x_ref[j, :] * invd_ref[j, :]  # [B]
+        x_ref[:] = x_ref[:] - jnp.where(rowv > j, lcol, 0.0) * yj[None, :]
+        x_ref[j, :] = yj
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    # back substitution: L^T x = y; row j of L = a_ref[:, j, :]
+    def bwd_step(t, _):
+        j = n - 1 - t
+        lrow = a_ref[:, j, :]  # [n(m=col), B]: L[j, m] entries
+        xj = x_ref[j, :] * invd_ref[j, :]
+        x_ref[:] = x_ref[:] - jnp.where(rowv < j, lrow, 0.0) * xj[None, :]
+        x_ref[j, :] = xj
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd_step, 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch_tile", "interpret", "variant"))
-def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
+def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 256,
                      interpret: bool = False,
-                     variant: str = "panel") -> jnp.ndarray:
+                     variant: str = "lanes") -> jnp.ndarray:
     """Solve A x = b for a batch of SPD systems. A: [B, n, n], b: [B, n].
 
     B is padded to a multiple of batch_tile internally (identity systems).
@@ -218,8 +295,37 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
 
-    if variant == "panel" and not (n % 16 == 0 or n % 8 == 0):
+    if variant in ("panel", "lanes") and not (n % 16 == 0 or n % 8 == 0):
         variant = "looped"  # panel width must divide n
+    if variant != "lanes":
+        batch_tile = min(batch_tile, 128)  # 2 square VMEM buffers at n=64
+    if variant == "lanes":
+        # batch on the lane axis: transpose in, run, transpose out
+        At = jnp.transpose(A, (1, 2, 0))  # [n, n, B] (A symmetric)
+        bt = b.T  # [n, B]
+        kernel = functools.partial(_solve_kernel_lanes, n=n,
+                                   panel=16 if n % 16 == 0 else 8)
+        xt = pl.pallas_call(
+            kernel,
+            grid=(Bp // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((n, n, batch_tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, batch_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, batch_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, Bp), A.dtype),
+            scratch_shapes=[pltpu.VMEM((n, batch_tile), A.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * n * n * n,
+                bytes_accessed=Bp * (n * n + 2 * n) * 4,
+                transcendentals=Bp * n,
+            ),
+            interpret=interpret,
+        )(At, bt)
+        return xt.T[:B]
     if variant == "panel":
         kernel = functools.partial(_solve_kernel_panel, n=n,
                                    panel=16 if n % 16 == 0 else 8)
