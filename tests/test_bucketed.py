@@ -102,3 +102,18 @@ def test_bucketed_mega_entity():
     total_valid = sum(int((np.asarray(g.other_idx) != 500).sum())
                       for g in groups)
     assert total_valid == 500
+
+
+def test_bf16_gather_close_to_f32():
+    from ycnr_tpu.models.bucketed_phase import als_epoch_bucketed
+    tu, ti, tr, U0, V0, nu, ni = _setup(seed=6, nnz=4000)
+    ug = device_bucketed(build_bucketed(tu, ti, tr, nu, ni, 8), jnp.float32)
+    ig = device_bucketed(build_bucketed(ti, tu, tr, ni, nu, 8), jnp.float32)
+    s32 = state_from_numpy(U0, V0, dtype=jnp.float32)
+    s16 = state_from_numpy(U0, V0, dtype=jnp.float32)
+    for _ in range(3):
+        s32 = als_epoch_bucketed(s32, ug, ig, 0.05)
+        s16 = als_epoch_bucketed(s16, ug, ig, 0.05, gather_bf16=True)
+    a, b = np.asarray(s32.U), np.asarray(s16.U)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 2e-2, rel  # bf16 inputs, f32 accumulation

@@ -156,6 +156,41 @@ def cmd_recommend(args):
         print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
 
 
+def cmd_validate(args):
+    """Held-out validation from a checkpoint (the reference's `validate`
+    entry: RMSE over a split — SURVEY.md §1 public interface, call stack
+    3.4 — plus hit-rate@N for implicit models)."""
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.data.store import RatingsStore
+    from ycnr_tpu.eval.ranking import hit_rate_at_n
+    from ycnr_tpu.models.base import rmse_padded
+    from ycnr_tpu.ops.layout import pad_coo
+    from ycnr_tpu.train.checkpoint import load_checkpoint
+
+    state, manifest = load_checkpoint(args.ckpt)
+    store = RatingsStore(args.store)
+    u, i, r = store.read_all()
+    (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r,
+                                                  args.test_fraction,
+                                                  args.seed)
+    pu, pi, pr, n = pad_coo(su, si, sr, state.n_users, state.n_items)
+    rmse = float(rmse_padded(state, jnp.asarray(pu), jnp.asarray(pi),
+                             jnp.asarray(pr), n))
+    out = {"ckpt": args.ckpt, "epoch": manifest["epoch"],
+           "n_test": int(n), "rmse_test": round(rmse, 6)}
+    if args.hit_rate:
+        out["hit_rate"] = round(hit_rate_at_n(
+            state, tu, ti, su, si, n=args.n, max_users=args.max_users), 4)
+    print(json.dumps(out))
+
+
 def cmd_presets(args):
     for name in list_presets():
         cfg = get_preset(name)
@@ -195,6 +230,17 @@ def main(argv=None):
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("validate", help="held-out RMSE from a checkpoint")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--store", required=True)
+    p.add_argument("--test-fraction", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hit-rate", action="store_true")
+    p.add_argument("-n", type=int, default=10)
+    p.add_argument("--max-users", type=int, default=2048)
+    p.add_argument("--platform")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("presets", help="list config presets")
     p.set_defaults(fn=cmd_presets)

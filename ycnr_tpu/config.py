@@ -40,6 +40,9 @@ class ALSConfig:
     lam: float = 0.05  # weighted-lambda: per-entity lambda * n_e
     epochs: int = 10
     dtype: str = "float32"
+    # "bfloat16" halves gather bandwidth (f32 Gram accumulation kept);
+    # ~1e-3 class accuracy cost - see models/bucketed_phase.py
+    gather_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -68,6 +71,7 @@ class IALSConfig:
     alpha: float = 40.0  # confidence c = 1 + alpha * r
     epochs: int = 10
     dtype: str = "float32"
+    gather_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -93,10 +93,13 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
         if cfg.algorithm == "als":
-            state = als_epoch_bucketed(state, dul, dil, cfg.als.lam)
+            state = als_epoch_bucketed(
+                state, dul, dil, cfg.als.lam,
+                gather_bf16=cfg.als.gather_dtype == "bfloat16")
         elif cfg.algorithm == "ials":
-            state = ials_epoch_bucketed(state, dul, dil, cfg.ials.lam,
-                                        cfg.ials.alpha)
+            state = ials_epoch_bucketed(
+                state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
+                gather_bf16=cfg.ials.gather_dtype == "bfloat16")
         else:
             state = trainer.epoch(state, sgd_data, epoch)
         jax.block_until_ready(state.U)
