@@ -24,7 +24,8 @@ def log(*a):
 
 def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
-              topn_users: int = 0, layout: str = "bucketed"):
+              topn_users: int = 0, layout: str = "bucketed",
+              algo: str = "als", bf16: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,10 +45,20 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     t0 = time.time()
     if layout == "bucketed":
         from ycnr_tpu.models.bucketed_phase import (
-            als_epoch_bucketed as epoch_fn,
+            als_epoch_bucketed,
             device_bucketed,
+            ials_epoch_bucketed,
         )
         from ycnr_tpu.ops.bucketed import bucketed_stats, build_bucketed
+
+        if algo == "ials":
+            def epoch_fn(state, dul, dil, lam):
+                return ials_epoch_bucketed(state, dul, dil, lam, 40.0,
+                                           gather_bf16=bf16)
+        else:
+            def epoch_fn(state, dul, dil, lam):
+                return als_epoch_bucketed(state, dul, dil, lam,
+                                          gather_bf16=bf16)
 
         ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len, rank)
         il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len, rank)
@@ -131,6 +142,9 @@ def main():
     ap.add_argument("--scale", choices=["ml20m", "netflix"], default="ml20m",
                     help="netflix = 480k users x 17.8k items, 100M ratings "
                          "(BASELINE config 5 shape, single chip)")
+    ap.add_argument("--algo", choices=["als", "ials"], default="als")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 gathers (f32 accumulation)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -138,16 +152,18 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1,
-                            layout=args.layout)
-        metric = "smoke_als_epoch_s"
+                            layout=args.layout, algo=args.algo,
+                            bf16=args.bf16)
+        metric = f"smoke_{args.algo}_epoch_s"
         base = None
     elif args.scale == "netflix":
         # Netflix-scale synthetic (BASELINE.json:11 shape) on one chip
         epoch_s = run_bench(480_189, 17_770, 100_480_507, args.rank,
                             args.epochs, args.chunk_len,
                             topn_users=1 if args.topn else 0,
-                            layout=args.layout)
-        metric = "netflix_als_epoch_s_rank64_1chip"
+                            layout=args.layout, algo=args.algo,
+                            bf16=args.bf16)
+        metric = f"netflix_{args.algo}_epoch_s_rank64_1chip"
         base = None
     else:
         # MovieLens-20M scale (BASELINE.json:9): 138,493 users x 26,744
@@ -155,8 +171,9 @@ def main():
         epoch_s = run_bench(138_493, 26_744, 20_000_263, args.rank,
                             args.epochs, args.chunk_len,
                             topn_users=1 if args.topn else 0,
-                            layout=args.layout)
-        metric = "ml20m_als_epoch_s_rank64_1chip"
+                            layout=args.layout, algo=args.algo,
+                            bf16=args.bf16)
+        metric = f"ml20m_{args.algo}_epoch_s_rank64_1chip"
         base = 10.0
     out = {"metric": metric, "value": round(epoch_s, 4), "unit": "s/epoch",
            "vs_baseline": round(base / epoch_s, 3) if base else None}
