@@ -143,8 +143,11 @@ def main():
                     help="netflix = 480k users x 17.8k items, 100M ratings "
                          "(BASELINE config 5 shape, single chip)")
     ap.add_argument("--algo", choices=["als", "ials"], default="als")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bfloat16 gathers (f32 accumulation)")
+    ap.add_argument("--bf16", dest="bf16", action="store_true", default=True,
+                    help="bfloat16 gathers with f32 accumulation (default; "
+                         "RMSE trajectory matches f32 to 1e-4 at ML-20M)")
+    ap.add_argument("--f32", dest="bf16", action="store_false",
+                    help="force float32 gathers")
     args = ap.parse_args()
 
     if args.smoke:

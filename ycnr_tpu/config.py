@@ -141,7 +141,8 @@ _PRESETS = {
         algorithm="als",
         data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
                         n_ratings=20_000_263, chunk_len=32),
-        als=ALSConfig(rank=64, lam=0.05, epochs=10),
+        als=ALSConfig(rank=64, lam=0.05, epochs=10,
+                      gather_dtype="bfloat16"),
     ),
     # BASELINE.json:10 — "Implicit-feedback weighted ALS (confidence-weighted,
     # binarized ML-20M)"
@@ -150,7 +151,8 @@ _PRESETS = {
         algorithm="ials",
         data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
                         n_ratings=20_000_263, chunk_len=32, implicit=True),
-        ials=IALSConfig(rank=64, lam=0.1, alpha=40.0, epochs=10),
+        ials=IALSConfig(rank=64, lam=0.1, alpha=40.0, epochs=10,
+                        gather_dtype="bfloat16"),
     ),
     # BASELINE.json:11 — "Sharded ALS + full top-N recommendation serving over
     # 8-chip mesh (Netflix-scale synthetic)"
@@ -159,7 +161,8 @@ _PRESETS = {
         algorithm="als",
         data=DataConfig(source="synthetic", n_users=480_189, n_items=17_770,
                         n_ratings=100_480_507, true_rank=32, chunk_len=32),
-        als=ALSConfig(rank=64, lam=0.05, epochs=5),
+        als=ALSConfig(rank=64, lam=0.05, epochs=5,
+                      gather_dtype="bfloat16"),
         mesh=MeshConfig(n_shards=8),
         topn=10,
     ),
