@@ -83,3 +83,14 @@ def test_lanes_variant_matches():
         ref = np.linalg.solve(A.astype(np.float64),
                               b.astype(np.float64)[..., None])[..., 0]
         np.testing.assert_allclose(xl, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_static_variant_matches():
+    for n in (16, 64):
+        A, b = _spd_batch(16, n, seed=n + 5)
+        xs = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                         batch_tile=8, interpret=True,
+                                         variant="static"))
+        ref = np.linalg.solve(A.astype(np.float64),
+                              b.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(xs, ref, rtol=2e-3, atol=2e-4)

@@ -278,11 +278,66 @@ def _solve_kernel_lanes(a_ref, b_ref, x_ref, invd_ref, n: int,
     jax.lax.fori_loop(0, n, bwd_step, 0)
 
 
+def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16):
+    """Fully static batch-on-lanes variant (layout as _solve_kernel_lanes).
+
+    Measurement showed the lanes kernel dominated by fori_loop iteration
+    overhead (hundreds of cycles per step for tiny [n, B] ops), not math.
+    Here EVERY index is a Python int: the panel factorization, panel-column
+    updates and both substitutions are straight-line unrolled vector code
+    (~700 small [n, B] ops), and only n/panel big trailing updates touch
+    [*, n, B] — restricted to the statically-known remaining columns.
+    """
+    assert n % panel == 0
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # [n, 1]
+    invs = []  # [B] per column, consumed by static index later
+
+    for jp in range(0, n, panel):
+        # panel columns as values; updated in registers, stored once
+        pcols = [a_ref[jp + jj, :, :] for jj in range(panel)]
+        for jj in range(panel):
+            c = pcols[jj]
+            inv = jax.lax.rsqrt(c[jp + jj, :])  # static-index pivot [B]
+            c = jnp.where(rowv >= jp + jj, c * inv[None, :], 0.0)
+            pcols[jj] = c
+            invs.append(inv)
+            for mm in range(jj + 1, panel):
+                pcols[mm] = pcols[mm] - c[jp + mm, :][None, :] * c
+        for jj in range(panel):
+            a_ref[jp + jj, :, :] = pcols[jj]
+        rest = n - jp - panel
+        if rest == 0:
+            break
+        # trailing update only on the statically-known remaining columns
+        upd = None
+        for jj in range(panel):
+            c = pcols[jj]
+            term = c[jp + panel :, :][:, None, :] * c[None, :, :]
+            upd = term if upd is None else upd + term
+        a_ref[jp + panel :, :, :] = a_ref[jp + panel :, :, :] - upd
+
+    # forward substitution: L y = b (all static steps)
+    acc = b_ref[:]
+    for j in range(n):
+        yj = acc[j, :] * invs[j]  # [B]
+        lcol = a_ref[j, :, :]
+        acc = acc - jnp.where(rowv > j, lcol, 0.0) * yj[None, :]
+        acc = jnp.where(rowv == j, yj[None, :], acc)
+
+    # back substitution: L^T x = y
+    for j in range(n - 1, -1, -1):
+        xj = acc[j, :] * invs[j]
+        lrow = a_ref[:, j, :]  # static lane index is fine on a ref read
+        acc = acc - jnp.where(rowv < j, lrow, 0.0) * xj[None, :]
+        acc = jnp.where(rowv == j, xj[None, :], acc)
+    x_ref[:] = acc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch_tile", "interpret", "variant"))
-def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 256,
+def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
                      interpret: bool = False,
-                     variant: str = "lanes") -> jnp.ndarray:
+                     variant: str = "static") -> jnp.ndarray:
     """Solve A x = b for a batch of SPD systems. A: [B, n, n], b: [B, n].
 
     B is padded to a multiple of batch_tile internally (identity systems).
@@ -295,16 +350,22 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 256,
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
 
-    if variant in ("panel", "lanes") and not (n % 16 == 0 or n % 8 == 0):
+    if variant in ("panel", "lanes", "static") and not (
+            n % 16 == 0 or n % 8 == 0):
         variant = "looped"  # panel width must divide n
-    if variant != "lanes":
+    if variant not in ("lanes", "static"):
         batch_tile = min(batch_tile, 128)  # 2 square VMEM buffers at n=64
-    if variant == "lanes":
+    if variant in ("lanes", "static"):
         # batch on the lane axis: transpose in, run, transpose out
         At = jnp.transpose(A, (1, 2, 0))  # [n, n, B] (A symmetric)
         bt = b.T  # [n, B]
-        kernel = functools.partial(_solve_kernel_lanes, n=n,
-                                   panel=16 if n % 16 == 0 else 8)
+        panel = 16 if n % 16 == 0 else 8
+        if variant == "static":
+            kernel = functools.partial(_solve_kernel_static, n=n, panel=panel)
+            scratch = []
+        else:
+            kernel = functools.partial(_solve_kernel_lanes, n=n, panel=panel)
+            scratch = [pltpu.VMEM((n, batch_tile), A.dtype)]
         xt = pl.pallas_call(
             kernel,
             grid=(Bp // batch_tile,),
@@ -317,7 +378,7 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 256,
             out_specs=pl.BlockSpec((n, batch_tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, Bp), A.dtype),
-            scratch_shapes=[pltpu.VMEM((n, batch_tile), A.dtype)],
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
                 flops=2 * Bp * n * n * n,
                 bytes_accessed=Bp * (n * n + 2 * n) * 4,
