@@ -88,7 +88,6 @@ def cmd_train(args):
         from ycnr_tpu.data.dataset import Dataset as DS
         from ycnr_tpu.data.split import train_test_split
         from ycnr_tpu.data.store import RatingsStore
-        from ycnr_tpu.ops.layout import build_blocked_csr
 
         st = RatingsStore(args.store)
         u, i, r = st.read_all()
@@ -96,13 +95,10 @@ def cmd_train(args):
         (tu, ti, tr), (su, si, sr) = train_test_split(
             u, i, r, cfg.data.test_fraction, cfg.data.seed)
         params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
-        ul = build_blocked_csr(tu, ti, tr, n_users, n_items,
-                               cfg.data.chunk_len, rank_hint=params.rank)
-        il = build_blocked_csr(ti, tu, tr, n_items, n_users,
-                               cfg.data.chunk_len, rank_hint=params.rank)
         ds = DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
                 train_r=tr, test_u=su, test_i=si, test_r=sr,
-                user_layout=ul, item_layout=il, mu=float(tr.mean()))
+                mu=float(tr.mean()), chunk_len=cfg.data.chunk_len,
+                rank_hint=params.rank)
 
     if args.profile:
         from ycnr_tpu.utils.profiling import trace
@@ -129,13 +125,16 @@ def cmd_prepare(args):
         u, i, r = synthetic_ratings(args.users, args.items, args.ratings,
                                     seed=args.seed)
     else:
-        u, i, r, _, _ = load_movielens(args.source)
+        u, i, r, _, _, umap, imap = load_movielens(args.source,
+                                                   return_maps=True)
+        store.set_id_maps(umap, imap)  # dense index -> original dataset id
     for s in range(0, len(r), args.portion):
         store.append(u[s:s + args.portion], i[s:s + args.portion],
                      r[s:s + args.portion])
     print(json.dumps({"store": args.store, "rows": store.n_rows,
                       "n_users": store.meta["n_users"],
-                      "n_items": store.meta["n_items"]}))
+                      "n_items": store.meta["n_items"],
+                      "id_maps": bool(store.meta.get("has_id_maps"))}))
 
 
 def cmd_recommend(args):
@@ -143,6 +142,8 @@ def cmd_recommend(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
     from ycnr_tpu.data.store import RatingsStore
     from ycnr_tpu.serve.engine import Recommender
     from ycnr_tpu.train.checkpoint import load_checkpoint
@@ -151,8 +152,19 @@ def cmd_recommend(args):
     store = RatingsStore(args.store)
     u, i, r = store.read_all()
     rec = Recommender(state, u, i)
+    maps = store.id_maps()  # dense -> original dataset ids (if imported)
     for uid in args.user:
-        items = rec.recommend(uid, args.n)
+        dense = uid
+        if maps is not None:
+            pos = np.searchsorted(maps[0], uid)
+            if pos >= len(maps[0]) or maps[0][pos] != uid:
+                print(json.dumps({"user": uid,
+                                  "error": "unknown user id in this dataset"}))
+                continue
+            dense = int(pos)
+        items = rec.recommend(dense, args.n)
+        if maps is not None:
+            items = maps[1][np.asarray(items)]
         print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
 
 

@@ -29,7 +29,6 @@ class DataConfig:
     test_fraction: float = 0.1  # held-out split (reference train/test split)
     chunk_len: int = 32  # L: ratings per chunk in the blocked-CSR layout
     block_chunks: Optional[int] = None  # C_B: chunks per block (None = auto)
-    implicit: bool = False  # binarize ratings (iALS preset)
 
 
 @dataclass(frozen=True)
@@ -149,8 +148,10 @@ _PRESETS = {
     "ml20m-ials": RunConfig(
         name="ml20m-ials",
         algorithm="ials",
+        # iALS binarizes preferences internally (p = 1 on observed pairs)
+        # and uses the raw rating as confidence c = 1 + alpha*r (Hu/Koren)
         data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
-                        n_ratings=20_000_263, chunk_len=32, implicit=True),
+                        n_ratings=20_000_263, chunk_len=32),
         ials=IALSConfig(rank=64, lam=0.1, alpha=40.0, epochs=10,
                         gather_dtype="bfloat16"),
     ),

@@ -2,12 +2,15 @@
 
 This is the rebuild of the reference's `prepare` stage (SURVEY.md call stack
 3.1 + the ingestion half of 3.2): rows -> train/test split -> packed per-user
-and per-item (transposed) views, here as BlockedCSR layouts ready for HBM.
+and per-item (transposed) views. The BlockedCSR views are built LAZILY: the
+training fast path uses the bucketed layout instead (models/bucketed_phase),
+so the blocked views only materialize for consumers that need them
+(recommend_all's rated-item masks, the blocked solver, sharded stacking).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -23,7 +26,7 @@ from ycnr_tpu.ops.layout import BlockedCSR, build_blocked_csr, pad_coo
 class Dataset:
     n_users: int
     n_items: int
-    # train COO (host, for SGD shuffling and serving masks)
+    # train COO (host, for SGD shuffling, serving masks, bucketed builds)
     train_u: np.ndarray
     train_i: np.ndarray
     train_r: np.ndarray
@@ -31,14 +34,38 @@ class Dataset:
     test_u: np.ndarray
     test_i: np.ndarray
     test_r: np.ndarray
-    # blocked layouts for the ALS/iALS alternating solves
-    user_layout: BlockedCSR  # entity=user, other=item (U-step)
-    item_layout: BlockedCSR  # entity=item, other=user (V-step)
     mu: float  # global mean of train ratings (SGD baseline term)
+    # layout build parameters (used on first access)
+    chunk_len: int = 32
+    block_chunks: Optional[int] = None
+    rank_hint: int = 64
+    # lazily built blocked views (set explicitly to override)
+    user_layout_cache: Optional[BlockedCSR] = field(default=None, repr=False)
+    item_layout_cache: Optional[BlockedCSR] = field(default=None, repr=False)
 
     @property
     def nnz(self) -> int:
         return len(self.train_r)
+
+    @property
+    def user_layout(self) -> BlockedCSR:
+        """entity=user, other=item (U-step / serving masks); built on demand."""
+        if self.user_layout_cache is None:
+            self.user_layout_cache = build_blocked_csr(
+                self.train_u, self.train_i, self.train_r, self.n_users,
+                self.n_items, self.chunk_len, self.block_chunks,
+                self.rank_hint)
+        return self.user_layout_cache
+
+    @property
+    def item_layout(self) -> BlockedCSR:
+        """entity=item, other=user (V-step transposed view); built on demand."""
+        if self.item_layout_cache is None:
+            self.item_layout_cache = build_blocked_csr(
+                self.train_i, self.train_u, self.train_r, self.n_items,
+                self.n_users, self.chunk_len, self.block_chunks,
+                self.rank_hint)
+        return self.item_layout_cache
 
     def padded_test(self, multiple: int = 1024):
         return pad_coo(self.test_u, self.test_i, self.test_r,
@@ -60,18 +87,17 @@ def _load_source(cfg: DataConfig):
 def load_dataset(cfg: DataConfig, rank_hint: int = 64,
                  block_chunks: Optional[int] = None) -> Dataset:
     u, i, r, n_users, n_items = _load_source(cfg)
-    # cfg.implicit keeps raw r here; the iALS model binarizes on device.
+    # iALS consumes raw r as confidence (c = 1 + alpha*r) and binarizes
+    # preferences internally (p = 1 on observed pairs) - no flag needed.
     (tu, ti, tr), (su, si, sr) = train_test_split(
         u, i, r, cfg.test_fraction, cfg.seed)
-    bc = block_chunks if block_chunks is not None else cfg.block_chunks
-    user_layout = build_blocked_csr(tu, ti, tr, n_users, n_items,
-                                    cfg.chunk_len, bc, rank_hint)
-    item_layout = build_blocked_csr(ti, tu, tr, n_items, n_users,
-                                    cfg.chunk_len, bc, rank_hint)
     return Dataset(
         n_users=n_users, n_items=n_items,
         train_u=tu, train_i=ti, train_r=tr,
         test_u=su, test_i=si, test_r=sr,
-        user_layout=user_layout, item_layout=item_layout,
         mu=float(tr.mean()) if len(tr) else 0.0,
+        chunk_len=cfg.chunk_len,
+        block_chunks=block_chunks if block_chunks is not None
+        else cfg.block_chunks,
+        rank_hint=rank_hint,
     )

@@ -47,11 +47,14 @@ def _parse_python(path: str, sep: str):
             np.asarray(ratings, np.float32))
 
 
-def load_movielens(path: str, densify: bool = True):
+def load_movielens(path: str, densify: bool = True, return_maps: bool = False):
     """Parse a MovieLens ratings file.
 
     Returns (user_idx, item_idx, rating, n_users, n_items). With
-    ``densify=True`` raw ids are remapped to contiguous [0, n) indices.
+    ``densify=True`` raw ids are remapped to contiguous [0, n) indices;
+    pass ``return_maps=True`` to also get (user_ids, item_ids) arrays
+    mapping dense index -> original dataset id (needed to serve results in
+    the dataset's id space — the reference reads ids straight from its DB).
     """
     sep = _sep_for(path)
     try:
@@ -70,7 +73,11 @@ def load_movielens(path: str, densify: bool = True):
         ii, i = np.unique(i, return_inverse=True)
         n_users, n_items = len(uu), len(ii)
     else:
-        n_users = int(u.max()) + 1 if len(u) else 0
-        n_items = int(i.max()) + 1 if len(i) else 0
-    return (u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
-            n_users, n_items)
+        uu = np.arange(int(u.max()) + 1 if len(u) else 0, dtype=np.int64)
+        ii = np.arange(int(i.max()) + 1 if len(i) else 0, dtype=np.int64)
+        n_users, n_items = len(uu), len(ii)
+    out = (u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+           n_users, n_items)
+    if return_maps:
+        return out + (uu.astype(np.int64), ii.astype(np.int64))
+    return out

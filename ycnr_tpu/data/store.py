@@ -84,6 +84,24 @@ class RatingsStore:
             yield (np.concatenate(buf_u), np.concatenate(buf_i),
                    np.concatenate(buf_r))
 
+    def set_id_maps(self, user_ids, item_ids):
+        """Persist dense-index -> original-dataset-id maps (the reference
+        keeps original ids in its DB; we densify at import and must be able
+        to serve results back in the dataset's id space)."""
+        np.save(os.path.join(self.path, "user_ids.npy"),
+                np.asarray(user_ids, np.int64))
+        np.save(os.path.join(self.path, "item_ids.npy"),
+                np.asarray(item_ids, np.int64))
+        self.meta["has_id_maps"] = True
+        self._save_meta()
+
+    def id_maps(self):
+        """(user_ids, item_ids) arrays, or None if import didn't store them."""
+        if not self.meta.get("has_id_maps"):
+            return None
+        return (np.load(os.path.join(self.path, "user_ids.npy")),
+                np.load(os.path.join(self.path, "item_ids.npy")))
+
     def read_all(self):
         parts = list(self.stream())
         if not parts:

@@ -77,19 +77,34 @@ def _topn_users(state: MFState, user_ids: jnp.ndarray,
     return lax.top_k(scores, n)
 
 
-def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10):
-    """Top-N for an explicit user list (the reference's recommend(userId, N)
-    entry). Rated lists are gathered host-side and padded with n_items."""
+def sort_ratings_by_user(train_u, train_i):
+    """One-time host index for serving: (sorted_u, sorted_i). Build once and
+    pass to recommend_users to avoid re-sorting the COO per request."""
     train_u = np.asarray(train_u)
     train_i = np.asarray(train_i)
-    user_ids = np.asarray(user_ids, np.int32)
     order = np.argsort(train_u, kind="stable")
-    su, si = train_u[order], train_i[order]
+    return train_u[order], train_i[order]
+
+
+def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
+                    sorted_index=None):
+    """Top-N for an explicit user list (the reference's recommend(userId, N)
+    entry). Rated lists are gathered host-side and padded with n_items.
+
+    sorted_index: optional (sorted_u, sorted_i) from sort_ratings_by_user —
+    pass it for repeated serving so the O(nnz log nnz) sort happens once.
+    The mask width is padded to a power of two so the jitted scorer compiles
+    once per width bucket rather than once per distinct rated-count.
+    """
+    su, si = sorted_index if sorted_index is not None else (
+        sort_ratings_by_user(train_u, train_i))
+    user_ids = np.asarray(user_ids, np.int32)
     lists = []
     for u in user_ids:
         s, t = np.searchsorted(su, u), np.searchsorted(su, u, side="right")
         lists.append(si[s:t])
-    width = max(1, max((len(x) for x in lists), default=1))
+    width = max(8, max((len(x) for x in lists), default=1))
+    width = 1 << int(np.ceil(np.log2(width)))  # bound recompilations
     rated = np.full((len(user_ids), width), state.n_items, np.int32)
     for j, x in enumerate(lists):
         rated[j, : len(x)] = x

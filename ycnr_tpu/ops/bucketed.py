@@ -55,6 +55,12 @@ def build_bucketed(
     entity_idx = np.asarray(entity_idx, dtype=np.int64)
     o_all = np.asarray(other_idx, dtype=np.int64)
     r_all = np.asarray(rating, dtype=np.float32)
+    if not (len(entity_idx) == len(o_all) == len(r_all)):
+        raise ValueError("COO arrays must share length")
+    if len(entity_idx) and (entity_idx.max() >= n_entities
+                            or o_all.max() >= n_other
+                            or entity_idx.min() < 0 or o_all.min() < 0):
+        raise ValueError("index out of range")
     L = int(chunk_len)
 
     order = np.argsort(entity_idx, kind="stable")

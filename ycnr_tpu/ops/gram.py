@@ -38,7 +38,8 @@ class BlockData(NamedTuple):
 
 def chunk_gram_rhs(F_gathered: jnp.ndarray, rating: jnp.ndarray,
                    weight: Optional[jnp.ndarray] = None,
-                   rhs_weight: Optional[jnp.ndarray] = None):
+                   rhs_weight: Optional[jnp.ndarray] = None,
+                   acc_dtype=None):
     """Per-chunk Gram matrices and right-hand sides.
 
     F_gathered: [C_B, L, k] rows of the other factor for each rating slot.
@@ -48,12 +49,14 @@ def chunk_gram_rhs(F_gathered: jnp.ndarray, rating: jnp.ndarray,
                 to p=1); None = the rating itself (explicit ALS RHS).
     Returns (G [C_B, k, k], b [C_B, k]).
     """
-    lhs = F_gathered if weight is None else F_gathered * weight[..., None]
+    acc = acc_dtype or F_gathered.dtype
+    lhs = F_gathered if weight is None else (
+        F_gathered * weight.astype(F_gathered.dtype)[..., None])
     G = jnp.einsum("clk,clm->ckm", lhs, F_gathered,
-                   preferred_element_type=F_gathered.dtype)
+                   preferred_element_type=acc)
     rv = rating if rhs_weight is None else rhs_weight
-    b = jnp.einsum("clk,cl->ck", F_gathered, rv,
-                   preferred_element_type=F_gathered.dtype)
+    b = jnp.einsum("clk,cl->ck", F_gathered, rv.astype(F_gathered.dtype),
+                   preferred_element_type=acc)
     return G, b
 
 
@@ -109,24 +112,29 @@ def guarded_batched_solve(A: jnp.ndarray, b: jnp.ndarray, reg: jnp.ndarray,
 def solve_block(F_pad: jnp.ndarray, blk: BlockData, lam: float,
                 gram_weight_alpha: Optional[float] = None,
                 base_gram: Optional[jnp.ndarray] = None,
-                base_reg: float = 0.0):
+                base_reg: float = 0.0, gather_bf16: bool = False):
     """Solve one block's entities against the (padded) other factor.
 
     Explicit ALS-WR:  lam weighting = lam * n_e; no base Gram.
     Implicit iALS:    gram_weight_alpha=alpha (w = alpha*r), base_gram=F^T F,
                       base_reg=lam (constant, not count-weighted), RHS weight
                       c = 1 + alpha*r on p=1.
+    gather_bf16: gather F in bfloat16 (half the HBM bytes), accumulate in
+    F_pad's dtype.
     Returns (entity_ids, new_rows [C_B, k]).
     """
-    Fg = F_pad[blk.other_idx]  # [C_B, L, k] gather
+    acc_dtype = F_pad.dtype
+    F_src = F_pad.astype(jnp.bfloat16) if gather_bf16 else F_pad
+    Fg = F_src[blk.other_idx]  # [C_B, L, k] gather
     n_slots = blk.entity_ids.shape[0]  # U_B
     if gram_weight_alpha is None:
-        G, b = chunk_gram_rhs(Fg, blk.rating)
+        G, b = chunk_gram_rhs(Fg, blk.rating, acc_dtype=acc_dtype)
         A, rhs = segment_reduce_block(G, b, blk.chunk_seg, n_slots)
         reg = lam * blk.entity_cnt + (blk.entity_cnt == 0)
     else:
         w = gram_weight_alpha * blk.rating
-        G, b = chunk_gram_rhs(Fg, blk.rating, weight=w, rhs_weight=1.0 + w)
+        G, b = chunk_gram_rhs(Fg, blk.rating, weight=w, rhs_weight=1.0 + w,
+                              acc_dtype=acc_dtype)
         A, rhs = segment_reduce_block(G, b, blk.chunk_seg, n_slots)
         A = A + base_gram[None]
         reg = jnp.full_like(blk.entity_cnt, base_reg)

@@ -48,9 +48,9 @@ class BlockedCSR(NamedTuple):
 
     other_idx: np.ndarray  # [NB, C_B, L] int32
     rating: np.ndarray  # [NB, C_B, L] float32
-    chunk_seg: np.ndarray  # [NB, C_B] int32
-    entity_ids: np.ndarray  # [NB, C_B] int32
-    entity_cnt: np.ndarray  # [NB, C_B] float32
+    chunk_seg: np.ndarray  # [NB, C_B] int32 (slot in [0, U_B); U_B = pad)
+    entity_ids: np.ndarray  # [NB, U_B] int32
+    entity_cnt: np.ndarray  # [NB, U_B] float32
 
     @property
     def n_blocks(self) -> int:

@@ -211,12 +211,13 @@ def dual_gather_state(st: DualState, meta: DualMeta) -> MFState:
 
 
 def _phase_local(E_local, F_cat, layout: BlockedCSR, lam, alpha=None,
-                 base_gram=None):
+                 base_gram=None, gather_bf16=False):
     def body(Ec, blk_arrays):
         blk = BlockData(*blk_arrays)
         eid, rows = solve_block(F_cat, blk, lam, gram_weight_alpha=alpha,
                                 base_gram=base_gram,
-                                base_reg=lam if alpha is not None else 0.0)
+                                base_reg=lam if alpha is not None else 0.0,
+                                gather_bf16=gather_bf16)
         return Ec.at[eid].set(rows.astype(Ec.dtype)), None
 
     E_local, _ = lax.scan(body, E_local, tuple(x[0] for x in layout))
@@ -224,7 +225,7 @@ def _phase_local(E_local, F_cat, layout: BlockedCSR, lam, alpha=None,
 
 
 @lru_cache(maxsize=64)
-def _dual_epoch_fn(mesh: Mesh, lam: float, alpha):
+def _dual_epoch_fn(mesh: Mesh, lam: float, alpha, gather_bf16: bool = False):
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
     def local(U, V, ul_arrays, il_arrays):
@@ -232,18 +233,22 @@ def _dual_epoch_fn(mesh: Mesh, lam: float, alpha):
         if alpha is None:
             GV = GU_fn = None
             V_cat = lax.all_gather(V[0], AXIS, axis=0, tiled=True)
-            Ul = _phase_local(U[0], V_cat, ul_arrays, lam)
+            Ul = _phase_local(U[0], V_cat, ul_arrays, lam,
+                              gather_bf16=gather_bf16)
             U_cat = lax.all_gather(Ul, AXIS, axis=0, tiled=True)
-            Vl = _phase_local(V[0], U_cat, il_arrays, lam)
+            Vl = _phase_local(V[0], U_cat, il_arrays, lam,
+                              gather_bf16=gather_bf16)
         else:
             V_cat = lax.all_gather(V[0], AXIS, axis=0, tiled=True)
             GV = lax.psum(jnp.einsum("nk,nm->km", V[0], V[0],
                                      preferred_element_type=V.dtype), AXIS)
-            Ul = _phase_local(U[0], V_cat, ul_arrays, lam, alpha, GV)
+            Ul = _phase_local(U[0], V_cat, ul_arrays, lam, alpha, GV,
+                              gather_bf16=gather_bf16)
             U_cat = lax.all_gather(Ul, AXIS, axis=0, tiled=True)
             GU = lax.psum(jnp.einsum("nk,nm->km", Ul, Ul,
                                      preferred_element_type=U.dtype), AXIS)
-            Vl = _phase_local(V[0], U_cat, il_arrays, lam, alpha, GU)
+            Vl = _phase_local(V[0], U_cat, il_arrays, lam, alpha, GU,
+                              gather_bf16=gather_bf16)
         return Ul[None], Vl[None]
 
     shmapped = jax.shard_map(
@@ -259,13 +264,14 @@ def _dual_epoch_fn(mesh: Mesh, lam: float, alpha):
 
 
 def dual_als_epoch(mesh: Mesh, st: DualState, data: DualData,
-                   lam: float) -> DualState:
-    return _dual_epoch_fn(mesh, float(lam), None)(st, data)
+                   lam: float, gather_bf16: bool = False) -> DualState:
+    return _dual_epoch_fn(mesh, float(lam), None, bool(gather_bf16))(st, data)
 
 
 def dual_ials_epoch(mesh: Mesh, st: DualState, data: DualData, lam: float,
-                    alpha: float) -> DualState:
-    return _dual_epoch_fn(mesh, float(lam), float(alpha))(st, data)
+                    alpha: float, gather_bf16: bool = False) -> DualState:
+    return _dual_epoch_fn(mesh, float(lam), float(alpha),
+                          bool(gather_bf16))(st, data)
 
 
 @lru_cache(maxsize=8)

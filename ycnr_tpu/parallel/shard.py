@@ -306,7 +306,7 @@ def gather_state(st: ShardedState, meta: ShardedMeta) -> MFState:
 # ---------------------------------------------------------------------------
 
 def _solve_phase_local(E, F, layout: BlockedCSR, lam: float,
-                       alpha=None, base_gram=None):
+                       alpha=None, base_gram=None, gather_bf16=False):
     """Per-device: re-solve local entity rows of E against F (U-phase)."""
     El = E[0]
 
@@ -314,7 +314,8 @@ def _solve_phase_local(E, F, layout: BlockedCSR, lam: float,
         blk = BlockData(*blk_arrays)
         eid, rows = solve_block(F, blk, lam, gram_weight_alpha=alpha,
                                 base_gram=base_gram,
-                                base_reg=lam if alpha is not None else 0.0)
+                                base_reg=lam if alpha is not None else 0.0,
+                                gather_bf16=gather_bf16)
         return Ec.at[eid].set(rows.astype(Ec.dtype)), None
 
     El, _ = lax.scan(body, El, tuple(x[0] for x in layout))
@@ -323,7 +324,7 @@ def _solve_phase_local(E, F, layout: BlockedCSR, lam: float,
 
 def _gram_psum_phase_local(F_local, layout: BlockedCSR, entity_deg, *,
                            lam: float, n_entities: int,
-                           alpha=None, base_gram=None):
+                           alpha=None, base_gram=None, gather_bf16=False):
     """Per-device: accumulate partial per-entity Grams/RHS from the local
     rating shard, psum over ICI, then one replicated batched solve.
 
@@ -339,16 +340,18 @@ def _gram_psum_phase_local(F_local, layout: BlockedCSR, entity_deg, *,
                    to="varying")
     b0 = lax.pcast(jnp.zeros((n_entities + 1, k), dt), (AXIS,), to="varying")
 
+    F_src = Fl.astype(jnp.bfloat16) if gather_bf16 else Fl
+
     def body(carry, blk_arrays):
         A, b = carry
         blk = BlockData(*blk_arrays)
-        Fg = Fl[blk.other_idx]
+        Fg = F_src[blk.other_idx]
         if alpha is None:
-            G, bb = chunk_gram_rhs(Fg, blk.rating)
+            G, bb = chunk_gram_rhs(Fg, blk.rating, acc_dtype=dt)
         else:
             w = alpha * blk.rating
             G, bb = chunk_gram_rhs(Fg, blk.rating, weight=w,
-                                   rhs_weight=1.0 + w)
+                                   rhs_weight=1.0 + w, acc_dtype=dt)
         As, bs = segment_reduce_block(G, bb, blk.chunk_seg,
                                       blk.entity_ids.shape[0])
         return (A.at[blk.entity_ids].add(As),
@@ -370,18 +373,19 @@ def _gram_psum_phase_local(F_local, layout: BlockedCSR, entity_deg, *,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=64)
-def _als_epoch_fn(mesh: Mesh, lam: float):
+def _als_epoch_fn(mesh: Mesh, lam: float, gather_bf16: bool = False):
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
     u_phase = jax.shard_map(
-        partial(_solve_phase_local, lam=lam), mesh=mesh,
-        in_specs=(P(AXIS), P(), lay_spec), out_specs=P(AXIS))
+        partial(_solve_phase_local, lam=lam, gather_bf16=gather_bf16),
+        mesh=mesh, in_specs=(P(AXIS), P(), lay_spec), out_specs=P(AXIS))
 
     def epoch(st: ShardedState, data: ShardedData) -> ShardedState:
         n_items = st.V.shape[0] - 1
         U = u_phase(st.U, st.V, data.user_layout)
         v_phase = jax.shard_map(
-            partial(_gram_psum_phase_local, lam=lam, n_entities=n_items),
+            partial(_gram_psum_phase_local, lam=lam, n_entities=n_items,
+                    gather_bf16=gather_bf16),
             mesh=mesh, in_specs=(P(AXIS), lay_spec, P()), out_specs=P())
         V = v_phase(U, data.item_layout, data.item_deg)
         return st._replace(U=U, V=V)
@@ -390,12 +394,13 @@ def _als_epoch_fn(mesh: Mesh, lam: float):
 
 
 def sharded_als_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
-                      lam: float) -> ShardedState:
-    return _als_epoch_fn(mesh, float(lam))(st, data)
+                      lam: float, gather_bf16: bool = False) -> ShardedState:
+    return _als_epoch_fn(mesh, float(lam), bool(gather_bf16))(st, data)
 
 
 @lru_cache(maxsize=64)
-def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float):
+def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float,
+                   gather_bf16: bool = False):
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
     def epoch(st: ShardedState, data: ShardedData) -> ShardedState:
@@ -405,7 +410,7 @@ def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float):
 
         def u_local(E, F, layout, G):
             return _solve_phase_local(E, F, layout, lam, alpha=alpha,
-                                      base_gram=G)
+                                      base_gram=G, gather_bf16=gather_bf16)
 
         u_phase = jax.shard_map(
             u_local, mesh=mesh,
@@ -418,7 +423,8 @@ def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float):
                                      preferred_element_type=Ul.dtype), AXIS)
             return _gram_psum_phase_local(U_local, layout, deg, lam=lam,
                                           n_entities=n_items, alpha=alpha,
-                                          base_gram=GU)
+                                          base_gram=GU,
+                                          gather_bf16=gather_bf16)
 
         v_phase = jax.shard_map(v_local, mesh=mesh,
                                 in_specs=(P(AXIS), lay_spec, P()),
@@ -430,8 +436,10 @@ def _ials_epoch_fn(mesh: Mesh, lam: float, alpha: float):
 
 
 def sharded_ials_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
-                       lam: float, alpha: float) -> ShardedState:
-    return _ials_epoch_fn(mesh, float(lam), float(alpha))(st, data)
+                       lam: float, alpha: float,
+                       gather_bf16: bool = False) -> ShardedState:
+    return _ials_epoch_fn(mesh, float(lam), float(alpha),
+                          bool(gather_bf16))(st, data)
 
 
 @lru_cache(maxsize=64)

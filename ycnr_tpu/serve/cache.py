@@ -41,11 +41,16 @@ class RecCache:
             self._d.popitem(last=False)
 
     def invalidate(self, key=None):
-        """Drop one key, or everything (e.g. after factors are retrained)."""
+        """Drop everything (key=None), one exact key, or — when key matches
+        the first element of tuple keys — every entry for that user (the
+        engine keys entries as (user_id, n))."""
         if key is None:
             self._d.clear()
-        else:
-            self._d.pop(key, None)
+            return
+        self._d.pop(key, None)
+        for k in [k for k in self._d
+                  if isinstance(k, tuple) and k and k[0] == key]:
+            del self._d[k]
 
     def __len__(self):
         return len(self._d)

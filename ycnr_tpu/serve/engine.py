@@ -8,7 +8,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ycnr_tpu.eval.recommend import recommend_users
+from ycnr_tpu.eval.recommend import recommend_users, sort_ratings_by_user
 from ycnr_tpu.models.base import MFState
 from ycnr_tpu.serve.cache import RecCache
 
@@ -19,6 +19,8 @@ class Recommender:
         self.state = state
         self.train_u = np.asarray(train_u)
         self.train_i = np.asarray(train_i)
+        # one-time CSR sort so per-request mask building is O(log nnz)
+        self._sorted = sort_ratings_by_user(self.train_u, self.train_i)
         self.cache = cache if cache is not None else RecCache()
 
     def recommend(self, user_id: int, n: int = 10):
@@ -28,14 +30,16 @@ class Recommender:
         if hit is not None:
             return hit
         items, _ = recommend_users(self.state, self.train_u, self.train_i,
-                                   np.asarray([user_id]), n)
+                                   np.asarray([user_id]), n,
+                                   sorted_index=self._sorted)
         result = items[0]
         self.cache.put(key, result)
         return result
 
     def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
         items, _ = recommend_users(self.state, self.train_u, self.train_i,
-                                   np.asarray(user_ids), n)
+                                   np.asarray(user_ids), n,
+                                   sorted_index=self._sorted)
         return items
 
     def update_state(self, state: MFState):

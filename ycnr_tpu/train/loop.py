@@ -23,6 +23,7 @@ from ycnr_tpu.models.base import MFState, init_state, rmse_padded
 from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
 from ycnr_tpu.train.checkpoint import config_dict, load_checkpoint, save_checkpoint
 from ycnr_tpu.train.metrics import MetricsLogger
+from ycnr_tpu.utils.profiling import device_sync
 
 
 @dataclass
@@ -45,7 +46,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     ds = dataset or load_dataset(cfg.data, rank_hint=params.rank)
     out = out_dir if out_dir is not None else (
         os.path.join(cfg.out_dir, cfg.name) if cfg.out_dir else None)
-    metrics = MetricsLogger(os.path.join(out, "metrics.jsonl") if out else None)
+    metrics = MetricsLogger(os.path.join(out, "metrics.jsonl") if out else None,
+                            append=bool(resume))
 
     if cfg.mesh.n_shards > 1:
         return _train_sharded(cfg, ds, metrics, out, resume)
@@ -102,7 +104,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 gather_bf16=cfg.ials.gather_dtype == "bfloat16")
         else:
             state = trainer.epoch(state, sgd_data, epoch)
-        jax.block_until_ready(state.U)
+        device_sync(state.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
         rmse = float(rmse_padded(state, dpu, dpi, dpr, n_test))
         history.append(rmse)
@@ -173,16 +175,19 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
         if cfg.algorithm == "als":
-            st = sharded_als_epoch(mesh, st, data, cfg.als.lam)
+            st = sharded_als_epoch(
+                mesh, st, data, cfg.als.lam,
+                gather_bf16=cfg.als.gather_dtype == "bfloat16")
         elif cfg.algorithm == "ials":
-            st = sharded_ials_epoch(mesh, st, data, cfg.ials.lam,
-                                    cfg.ials.alpha)
+            st = sharded_ials_epoch(
+                mesh, st, data, cfg.ials.lam, cfg.ials.alpha,
+                gather_bf16=cfg.ials.gather_dtype == "bfloat16")
         else:
             lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
             st = sharded_sgd_epoch(mesh, st, data, cfg.sgd.lam, lr,
                                    jax.random.fold_in(key, epoch),
                                    cfg.sgd.batch_size)
-        jax.block_until_ready(st.U)
+        device_sync(st.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
         rmse = sharded_rmse(mesh, st, data, meta.test_n)
         history.append(rmse)
@@ -230,11 +235,14 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
         if cfg.algorithm == "als":
-            st = dual_als_epoch(mesh, st, data, cfg.als.lam)
+            st = dual_als_epoch(
+                mesh, st, data, cfg.als.lam,
+                gather_bf16=cfg.als.gather_dtype == "bfloat16")
         else:
-            st = dual_ials_epoch(mesh, st, data, cfg.ials.lam,
-                                 cfg.ials.alpha)
-        jax.block_until_ready(st.U)
+            st = dual_ials_epoch(
+                mesh, st, data, cfg.ials.lam, cfg.ials.alpha,
+                gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+        device_sync(st.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
         rmse = dual_rmse(mesh, st, data, meta.test_n)
         history.append(rmse)

@@ -15,15 +15,16 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    def __init__(self, path: Optional[str] = None, echo: bool = True,
+                 append: bool = False):
         self.path = path
         self.echo = echo
         self._t0 = time.time()
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            # truncate: one file per run
-            with open(path, "w"):
-                pass
+            if not append:  # truncate: one file per fresh run
+                with open(path, "w"):
+                    pass
 
     def log(self, **record):
         record.setdefault("t", round(time.time() - self._t0, 3))
