@@ -66,3 +66,23 @@ def test_native_pack_matches_python(lib, monkeypatch):
 def test_parse_missing_file(lib):
     with pytest.raises(FileNotFoundError):
         parse_ratings_native("/definitely/not/here.csv", ",")
+
+
+def test_id_maps_roundtrip(tmp_path, lib):
+    from ycnr_tpu.data.movielens import load_movielens
+    from ycnr_tpu.data.store import RatingsStore
+
+    p = tmp_path / "u.data"
+    p.write_text("10\t200\t4.0\t1\n99\t200\t3.0\t1\n10\t333\t5.0\t1\n")
+    u, i, r, nu, ni, umap, imap = load_movielens(str(p), return_maps=True)
+    assert nu == 2 and ni == 2
+    np.testing.assert_array_equal(umap, [10, 99])
+    np.testing.assert_array_equal(imap, [200, 333])
+    # densified indices round-trip through the maps
+    np.testing.assert_array_equal(umap[u], [10, 99, 10])
+    store = RatingsStore(str(tmp_path / "s"))
+    store.set_id_maps(umap, imap)
+    store.append(u, i, r)
+    m = RatingsStore(str(tmp_path / "s")).id_maps()
+    np.testing.assert_array_equal(m[0], umap)
+    np.testing.assert_array_equal(m[1], imap)

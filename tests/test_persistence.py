@@ -81,3 +81,27 @@ def test_rec_cache_ttl(monkeypatch):
     assert c.get("a") == 1
     now[0] += 11
     assert c.get("a") is None
+
+
+def test_metrics_append_on_resume(tmp_path):
+    from ycnr_tpu.train.metrics import MetricsLogger
+
+    p = str(tmp_path / "m.jsonl")
+    m1 = MetricsLogger(p, echo=False)
+    m1.log(epoch=1)
+    m2 = MetricsLogger(p, echo=False, append=True)  # resume
+    m2.log(epoch=2)
+    recs = m2.read()
+    assert [r["epoch"] for r in recs] == [1, 2]
+    m3 = MetricsLogger(p, echo=False)  # fresh run truncates
+    assert m3.read() == []
+
+
+def test_cache_invalidate_by_user():
+    c = RecCache()
+    c.put((7, 10), "a")
+    c.put((7, 5), "b")
+    c.put((8, 10), "c")
+    c.invalidate(7)
+    assert c.get((7, 10)) is None and c.get((7, 5)) is None
+    assert c.get((8, 10)) == "c"
