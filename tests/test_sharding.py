@@ -158,3 +158,28 @@ def test_sharded_sgd_d1_matches_single_chip():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(g.V), np.asarray(sst.V),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_recommend_all_matches_single_chip():
+    from ycnr_tpu.eval.recommend import recommend_all
+    from ycnr_tpu.parallel import sharded_recommend_all
+
+    (tu, ti, tr), _, U0, V0, nu, ni = _setup(seed=6)
+    mesh = make_mesh(4)
+    data, meta = build_sharded_data(tu, ti, tr, nu, ni, 4, chunk_len=8,
+                                    block_chunks=32, dtype=DT, mesh=mesh)
+    gstate = state_from_numpy(U0, V0, dtype=DT)
+    st = scatter_state(gstate, meta, mesh)
+
+    su, si, ss = sharded_recommend_all(mesh, st, data, meta, n=7)
+    from ycnr_tpu.ops.layout import build_blocked_csr as bb
+    lay = bb(tu, ti, tr, nu, ni, 8, 32)
+    gu, gi, gs = recommend_all(gstate, lay, n=7)
+
+    order_s = np.argsort(su)
+    order_g = np.argsort(gu)
+    np.testing.assert_array_equal(su[order_s], gu[order_g])
+    for a, b, uid in zip(si[order_s], gi[order_g], su[order_s]):
+        rated = set(ti[tu == uid].tolist())
+        m = min(7, ni - len(rated))  # -inf tail order is arbitrary
+        np.testing.assert_array_equal(a[:m], b[:m])

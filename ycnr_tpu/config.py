@@ -105,6 +105,8 @@ class RunConfig:
     seed: int = 0
     out_dir: str = "runs"
     checkpoint_every: int = 1  # epochs between checkpoints (0 = off)
+    log_train_rmse: bool = True  # per-epoch train RMSE in metrics
+    measure_serving: bool = False  # time top-N for all users after training
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

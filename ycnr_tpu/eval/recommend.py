@@ -26,26 +26,31 @@ from ycnr_tpu.ops.layout import BlockedCSR
 NEG_INF = -3.0e38  # large-negative fill (safe in fp32, avoids inf-inf NaNs)
 
 
+def topn_block(U, V, bu, bi, mu, blk: BlockData, n: int):
+    """Masked top-n for one layout block: scores U[slots] . V^T with this
+    block's rated pairs set to -inf. Shared by the single-chip and sharded
+    serving paths (U/bu may be a local shard; blk.entity_ids index into U)."""
+    n_items = V.shape[0] - 1
+    rows = U[blk.entity_ids]  # [U_B, k]
+    scores = (mu + bu[blk.entity_ids][:, None] + bi[None, :] + rows @ V.T)
+    U_B = blk.entity_ids.shape[0]
+    slot = jnp.minimum(blk.chunk_seg, U_B - 1)  # padding chunks -> safe row
+    flat_rows = jnp.repeat(slot, blk.other_idx.shape[1])
+    flat_cols = blk.other_idx.reshape(-1)  # padding -> col n_items
+    scores = scores.at[flat_rows, flat_cols].set(NEG_INF)
+    scores = scores.at[:, n_items].set(NEG_INF)  # trash column off
+    top_s, top_i = lax.top_k(scores, n)
+    return top_i.astype(jnp.int32), top_s
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _topn_blocks(state: MFState, layout: BlockedCSR, n: int):
-    """[NB, C_B, n] top items + scores per entity slot, rated items masked."""
-    V = state.V  # [n_items + 1, k], trailing zero row
-    n_items = V.shape[0] - 1
+    """[NB, U_B, n] top items + scores per entity slot, rated items masked."""
 
     def body(_, blk_arrays):
         blk = BlockData(*blk_arrays)
-        rows = state.U[blk.entity_ids]  # [C_B, k]
-        scores = (state.mu + state.bu[blk.entity_ids][:, None] + state.bi[None, :]
-                  + rows @ V.T)  # [C_B, n_items + 1]
-        # mask this block's rated pairs: chunk_seg -> local slot row
-        U_B = blk.entity_ids.shape[0]
-        slot = jnp.minimum(blk.chunk_seg, U_B - 1)  # padding chunks -> safe row
-        flat_rows = jnp.repeat(slot, blk.other_idx.shape[1])
-        flat_cols = blk.other_idx.reshape(-1)  # padding -> col n_items
-        scores = scores.at[flat_rows, flat_cols].set(NEG_INF)
-        scores = scores.at[:, n_items].set(NEG_INF)  # trash column off
-        top_s, top_i = lax.top_k(scores, n)
-        return None, (top_i.astype(jnp.int32), top_s)
+        return None, topn_block(state.U, state.V, state.bu, state.bi,
+                                state.mu, blk, n)
 
     _, (ids, sc) = lax.scan(body, None, tuple(layout))
     return ids, sc

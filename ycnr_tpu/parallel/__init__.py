@@ -7,6 +7,7 @@ from ycnr_tpu.parallel.shard import (  # noqa: F401
     scatter_state,
     sharded_als_epoch,
     sharded_ials_epoch,
+    sharded_recommend_all,
     sharded_rmse,
     sharded_sgd_epoch,
 )

@@ -498,6 +498,54 @@ def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
         st, data, key, jnp.asarray(lr, st.V.dtype))
 
 
+@lru_cache(maxsize=16)
+def _topn_fn(mesh: Mesh, n: int):
+    lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
+
+    def local(U, bu, V, bi, mu, lay_arrays):
+        from ycnr_tpu.eval.recommend import topn_block
+        from ycnr_tpu.ops.gram import BlockData as BD
+
+        def body(_, blk_arrays):
+            blk = BD(*blk_arrays)
+            return None, topn_block(U[0], V, bu[0], bi, mu, blk, n)
+
+        _, (ids, sc) = lax.scan(body, None,
+                                tuple(x[0] for x in lay_arrays))
+        return ids[None], sc[None]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), lay_spec),
+        out_specs=(P(AXIS), P(AXIS))))
+
+
+def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
+                          meta: ShardedMeta, n: int = 10):
+    """Top-N for every rated user, computed ON the mesh: each device scores
+    its own user shard against the replicated V and masks with its local
+    layout (BASELINE config 5: 'full top-N serving over 8-chip mesh').
+
+    Returns (user_ids, item_ids [m, n], scores [m, n]) as numpy in GLOBAL
+    user ids.
+    """
+    ids, sc = _topn_fn(mesh, n)(st.U, st.bu, st.V, st.bi, st.mu,
+                                data.user_layout)
+    ids = np.asarray(ids)  # [D, NB, U_B, n]
+    sc = np.asarray(sc)
+    eids_local = np.asarray(data.user_layout.entity_ids)  # [D, NB, U_B]
+    D = meta.n_shards
+    out_u, out_i, out_s = [], [], []
+    for d in range(D):
+        slots = eids_local[d].reshape(-1)
+        real = slots < meta.upd
+        out_u.append(meta.user_map[d][slots[real]])
+        out_i.append(ids[d].reshape(-1, n)[real])
+        out_s.append(sc[d].reshape(-1, n)[real])
+    return (np.concatenate(out_u), np.concatenate(out_i),
+            np.concatenate(out_s))
+
+
 @lru_cache(maxsize=8)
 def _rmse_fn(mesh: Mesh):
     def local(U, bu, V, bi, mu, tu, ti, tr):

@@ -65,6 +65,12 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
     pu, pi, pr, n_test = ds.padded_test()
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
+    if cfg.log_train_rmse:
+        from ycnr_tpu.ops.layout import pad_coo
+
+        qu, qi, qr, n_train = pad_coo(ds.train_u, ds.train_i, ds.train_r,
+                                      ds.n_users, ds.n_items)
+        dqu, dqi, dqr = jnp.asarray(qu), jnp.asarray(qi), jnp.asarray(qr)
 
     dul = dil = sgd_data = trainer = None
     if cfg.algorithm in ("als", "ials"):
@@ -110,6 +116,9 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         history.append(rmse)
         record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
                       epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
+        if cfg.log_train_rmse:
+            record["rmse_train"] = round(
+                float(rmse_padded(state, dqu, dqi, dqr, n_train)), 6)
         if cfg.algorithm == "ials":
             # RMSE vs raw ratings is not meaningful for preference scores;
             # report the implicit-feedback ranking metric as well
@@ -124,8 +133,30 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 or epoch + 1 == params.epochs):
             save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
                             config=config_dict(cfg))
+    if cfg.measure_serving:
+        _log_serving_metric(cfg, ds, state, metrics)
     return TrainResult(state=state, dataset=ds, rmse_history=history,
                        out_dir=out)
+
+
+def _log_serving_metric(cfg, ds, state, metrics):
+    """Time top-N for all rated users on device (BASELINE.json:2's
+    'top-10 recs/sec' metric), logged as the run's final record."""
+    from ycnr_tpu.eval.recommend import _topn_blocks
+    from ycnr_tpu.models.base import device_layout
+    from ycnr_tpu.utils.profiling import device_sync
+
+    dlay = device_layout(ds.user_layout, state.U.dtype)
+    n_served = int((np.asarray(ds.user_layout.entity_ids)
+                    < ds.n_users).sum())
+    ids, sc = _topn_blocks(state, dlay, cfg.topn)  # compile
+    device_sync(sc)
+    t0 = time.time()
+    ids, sc = _topn_blocks(state, dlay, cfg.topn)
+    device_sync(sc)
+    dt = max(time.time() - t0, 1e-9)
+    metrics.log(event="serving", users=n_served, topn=cfg.topn,
+                serve_s=round(dt, 4), recs_per_s=round(n_served / dt, 1))
 
 
 def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
