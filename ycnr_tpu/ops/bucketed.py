@@ -49,7 +49,7 @@ BucketedCSR = Tuple[BucketGroup, ...]
 def build_bucketed(
     entity_idx, other_idx, rating, n_entities: int, n_other: int,
     chunk_len: int = 32, rank_hint: int = 64,
-    target_bytes: int = 192 * 2**20,
+    target_bytes: int = 192 * 2**20, max_groups: int = 16,
 ) -> BucketedCSR:
     """Group entities by ceil-pow2 chunk count and pack rectangular buckets."""
     entity_idx = np.asarray(entity_idx, dtype=np.int64)
@@ -83,6 +83,21 @@ def build_bucketed(
                      if v <= 2 * maxn} | {8})
     ladder = np.asarray(ladder, np.int64)
     rung = ladder[np.searchsorted(ladder, counts[active])]
+
+    # cap the number of distinct rungs: every rung is one compiled program
+    # shape, and each jit costs seconds through a remote compile helper.
+    # Greedily merge the rung whose promotion to the next rung wastes the
+    # fewest slots until at most max_groups remain.
+    uniq = np.unique(rung)
+    while len(uniq) > max_groups:
+        costs = []
+        for gi in range(len(uniq) - 1):
+            members = rung == uniq[gi]
+            costs.append((int(uniq[gi + 1] - uniq[gi]) * int(members.sum()),
+                          gi))
+        cost, gi = min(costs)
+        rung[rung == uniq[gi]] = uniq[gi + 1]
+        uniq = np.unique(rung)
 
     groups = []
     for p in np.unique(rung):
