@@ -63,7 +63,9 @@ def build_bucketed(
         raise ValueError("index out of range")
     L = int(chunk_len)
 
-    order = np.argsort(entity_idx, kind="stable")
+    # sort by (entity, other): within-entity item order is ascending, which
+    # improves DRAM locality of the device gather at zero build cost
+    order = np.lexsort((o_all, entity_idx))
     o_sorted = np.ascontiguousarray(o_all[order], np.int32)
     r_sorted = np.ascontiguousarray(r_all[order], np.float32)
     counts = np.bincount(entity_idx, minlength=n_entities).astype(np.int64)

@@ -115,8 +115,9 @@ def build_blocked_csr(
         raise ValueError("index out of range")
     L = int(chunk_len)
 
-    # group by entity (stable -> per-entity order preserved)
-    order = np.argsort(entity_idx, kind="stable")
+    # group by (entity, other): ascending item order within each entity
+    # improves DRAM locality of the device gather at zero build cost
+    order = np.lexsort((other_idx, entity_idx))
     e_sorted = entity_idx[order]
     o_sorted = other_idx[order]
     r_sorted = rating[order]
