@@ -85,6 +85,18 @@ def test_lanes_variant_matches():
         np.testing.assert_allclose(xl, ref, rtol=2e-3, atol=2e-4)
 
 
+def test_large_rank_falls_back_to_panel():
+    # n=128: the lane-axis layout would need a [n, n, 128] VMEM block
+    # (8 MB + double-buffering) -> the dispatcher must fall back to the
+    # batch-first panel tiling with a VMEM-sized tile and stay correct.
+    A, b = _spd_batch(4, 128, seed=7)
+    x = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True, variant="static"))
+    ref = np.linalg.solve(A.astype(np.float64),
+                          b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(x, ref, rtol=2e-3, atol=2e-4)
+
+
 def test_static_variant_matches():
     for n in (16, 64):
         A, b = _spd_batch(16, n, seed=n + 5)

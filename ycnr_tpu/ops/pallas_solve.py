@@ -344,17 +344,26 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
     float32 only (TPU VPU native); use the XLA path for float64 parity runs.
     """
     B, n, _ = A.shape
+    if variant in ("panel", "lanes", "static") and not (
+            n % 16 == 0 or n % 8 == 0):
+        variant = "looped"  # panel width must divide n
+    # VMEM guard: the [n, n, tile] (or [tile, n, n]) block plus pipeline
+    # double-buffering must stay well under the ~16 MB budget at any rank
+    vmem_tile = max(8, (5 * 2**20) // (n * n * 4))
+    if variant in ("lanes", "static"):
+        # batch rides the lane axis -> the tile must be a multiple of 128
+        if vmem_tile < 128:
+            variant = "panel"  # batch-first tiling fits at large n
+        else:
+            batch_tile = max(128, min(batch_tile, vmem_tile) // 128 * 128)
+    if variant not in ("lanes", "static"):
+        batch_tile = min(batch_tile, 128, int(vmem_tile // 8 * 8) or 8)
+
     Bp = -(-B // batch_tile) * batch_tile
     if Bp != B:
         padA = jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (Bp - B, 1, 1))
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
-
-    if variant in ("panel", "lanes", "static") and not (
-            n % 16 == 0 or n % 8 == 0):
-        variant = "looped"  # panel width must divide n
-    if variant not in ("lanes", "static"):
-        batch_tile = min(batch_tile, 128)  # 2 square VMEM buffers at n=64
     if variant in ("lanes", "static"):
         # batch on the lane axis: transpose in, run, transpose out
         At = jnp.transpose(A, (1, 2, 0))  # [n, n, B] (A symmetric)
