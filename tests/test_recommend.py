@@ -64,6 +64,59 @@ def test_recommend_with_biases():
         np.testing.assert_array_equal(items[row], expect)
 
 
+def test_rated_bits_builder_matches_bruteforce():
+    u, i, r, U, V, nu, ni = _setup(seed=5)
+    from ycnr_tpu.eval.recommend import build_rated_bits
+
+    layout = build_blocked_csr(u, i, r, nu, ni, 8, 32)
+    bits = build_rated_bits(layout, ni)
+    W = 4 * (-(-(ni + 1) // 128))  # aligned to 128-bit segments
+    assert bits.shape == (layout.n_blocks, layout.block_entities, W)
+    # every pad column beyond n_items is masked
+    assert np.all(bits[..., (ni >> 5) + 1 :] == np.uint32(0xFFFFFFFF))
+    eid = np.asarray(layout.entity_ids)
+    for b in range(layout.n_blocks):
+        for s in range(layout.block_entities):
+            got = np.zeros(ni + 1, bool)
+            for w in range(W):
+                for bit in range(32):
+                    if w * 32 + bit <= ni and (bits[b, s, w] >> bit) & 1:
+                        got[w * 32 + bit] = True
+            want = np.zeros(ni + 1, bool)
+            want[ni] = True  # trash column always set
+            if eid[b, s] < nu:
+                want[np.unique(i[u == eid[b, s]])] = True
+            np.testing.assert_array_equal(got, want)
+
+
+def test_bits_path_matches_scatter_path():
+    """The fused bitmask + exact segment-top-k path must agree with the
+    scatter + full-sort reference path (needs n_items > n*128 so the
+    segment stage actually runs)."""
+    nu, ni, nnz, k, n = 60, 700, 9000, 6, 5
+    u, i, r = synthetic_ratings(nu, ni, nnz, true_rank=3, seed=7)
+    # one mega-user who rated most items
+    extra_i = np.setdiff1d(np.arange(ni), i[u == 0])[:600]
+    u = np.concatenate([u, np.zeros(len(extra_i), np.int64)])
+    i = np.concatenate([i, extra_i])
+    r = np.concatenate([r, np.ones(len(extra_i), np.float32)])
+    rng = np.random.default_rng(7)
+    state = state_from_numpy(rng.normal(size=(nu, k)),
+                             rng.normal(size=(ni, k)),
+                             rng.normal(0, 0.3, nu), rng.normal(0, 0.3, ni),
+                             mu=3.0)
+    layout = build_blocked_csr(u, i, r, nu, ni, 8, 32)
+    from ycnr_tpu.eval.recommend import _topn_blocks, build_rated_bits
+
+    ids_ref, sc_ref = _topn_blocks(state, layout, n)  # scatter path
+    bits = build_rated_bits(layout, ni)
+    ids_new, sc_new = _topn_blocks(state, layout, n, bits)
+    np.testing.assert_allclose(np.asarray(sc_new), np.asarray(sc_ref),
+                               rtol=0, atol=0)
+    # ids may differ only where scores tie exactly (measure-zero here)
+    np.testing.assert_array_equal(np.asarray(ids_new), np.asarray(ids_ref))
+
+
 def test_user_with_all_items_rated():
     # a user who rated every item gets NEG_INF everywhere; top-k still returns
     # n indices without crashing

@@ -160,6 +160,27 @@ def test_sharded_sgd_d1_matches_single_chip():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_recommend_all_bits_path():
+    """Sharded serving with the packed rated-bits fast path must agree with
+    the scatter reference path."""
+    from ycnr_tpu.eval.recommend import build_rated_bits
+    from ycnr_tpu.parallel import sharded_recommend_all
+
+    (tu, ti, tr), _, U0, V0, nu, ni = _setup(seed=9)
+    mesh = make_mesh(4)
+    data, meta = build_sharded_data(tu, ti, tr, nu, ni, 4, chunk_len=8,
+                                    block_chunks=32, dtype=DT)  # host arrays
+    bits = build_rated_bits(data.user_layout, ni)
+    st = scatter_state(state_from_numpy(U0, V0, dtype=DT), meta, mesh)
+
+    su, si, ss = sharded_recommend_all(mesh, st, data, meta, n=7)
+    bu_, bi_, bs_ = sharded_recommend_all(mesh, st, data, meta, n=7,
+                                          rated_bits=bits)
+    np.testing.assert_array_equal(su, bu_)
+    np.testing.assert_allclose(bs_, ss, rtol=0, atol=0)
+    np.testing.assert_array_equal(bi_, si)
+
+
 def test_sharded_recommend_all_matches_single_chip():
     from ycnr_tpu.eval.recommend import recommend_all
     from ycnr_tpu.parallel import sharded_recommend_all

@@ -26,13 +26,125 @@ from ycnr_tpu.ops.layout import BlockedCSR
 NEG_INF = -3.0e38  # large-negative fill (safe in fp32, avoids inf-inf NaNs)
 
 
-def topn_block(U, V, bu, bi, mu, blk: BlockData, n: int):
+def build_rated_bits(layout: BlockedCSR, n_items: int) -> np.ndarray:
+    """Precompute the rated-items mask as a packed bitfield, host-side.
+
+    Measured on v5e (ML-20M): the per-call XLA scatter of -inf into the
+    [U_B, n_items] score matrix costs ~610 ms per serving pass (element-op
+    bound; sorted/unique scatter hints change nothing). This one-time pack
+    turns the mask into [..., U_B, W] uint32 words (W = ceil((n_items+1)/32))
+    that the scorer unpacks with two fused elementwise ops per call.
+
+    Accepts single ([NB, C_B, L]) or sharded ([D, NB, C_B, L]) layouts; bit
+    for the trash column ``n_items`` is always set. Runs vectorized off the
+    layout's sort order (entities ascending, items ascending per entity), so
+    the group-reduce is a single ``bitwise_or.reduceat``.
+    """
+    oi = np.asarray(layout.other_idx)
+    seg = np.asarray(layout.chunk_seg)
+    U_B = layout.entity_ids.shape[-1]
+    lead = oi.shape[:-2]
+    C_B, L = oi.shape[-2:]
+    # W aligned to 4 words = 128 bits, matching _segment_topn's segment
+    # length, so W*32 == the padded score width exactly
+    W = 4 * (-(-(n_items + 1) // 128))
+    oi2 = oi.reshape(-1, C_B, L)
+    seg2 = seg.reshape(-1, C_B)
+    P_ = oi2.shape[0]
+    pref = np.arange(P_, dtype=np.int64)[:, None]
+    slot = np.minimum(seg2, U_B - 1).astype(np.int64)  # [P, C_B]
+    key = ((pref * U_B + slot)[:, :, None] * W
+           + (oi2 >> 5).astype(np.int64))  # [P, C_B, L]
+    val = (np.uint32(1) << (oi2 & 31).astype(np.uint32))
+    real = (seg2 < U_B)[:, :, None] & np.ones((1, 1, L), bool)
+    key = key[real]  # sorted: blocks asc, slots asc, items asc per entity
+    val = val[real]
+    out = np.zeros(P_ * U_B * W, np.uint32)
+    if key.size:
+        starts = np.flatnonzero(np.r_[True, np.diff(key) != 0])
+        out[key[starts]] = np.bitwise_or.reduceat(val, starts)
+    out = out.reshape(*lead, U_B, W)
+    # mask the trash column and every pad column up to the word boundary, so
+    # the scorer can run on a V padded to a multiple of the segment length
+    # (pad rows of V are zero -> scores mu + b_u there would otherwise rank)
+    out[..., :, n_items >> 5] |= ~np.uint32(
+        (np.uint32(1) << np.uint32(n_items & 31)) - 1)
+    out[..., :, (n_items >> 5) + 1 :] = np.uint32(0xFFFFFFFF)
+    return out
+
+
+def _pad_items(V, bi, W):
+    """Pad the item factor/bias to the bitmask's W*32 columns (zero rows;
+    the bits builder masks every column >= n_items)."""
+    M = W * 32
+    add = M - V.shape[0]
+    if add <= 0:
+        return V, bi
+    Vp = jnp.concatenate([V, jnp.zeros((add, V.shape[1]), V.dtype)])
+    bip = jnp.concatenate([bi, jnp.zeros((add,), bi.dtype)])
+    return Vp, bip
+
+
+def _mask_scores_bits(scores, bits):
+    """scores [U_B, M] with bit-marked positions set to NEG_INF (fused).
+
+    Unpacks byte-wise (bitcast to uint8, 8 shift lanes): measured 85 ms
+    faster than 32-bit shifts over [138k, 27k] on v5e — int8 VPU ops pack
+    4x denser than int32.
+    """
+    U_B, M = scores.shape
+    b8 = jax.lax.bitcast_convert_type(bits, jnp.uint8)  # [U_B, W, 4] LE
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    m = (b8[..., None] >> shifts) & jnp.uint8(1)  # [U_B, W, 4, 8]
+    m = m.reshape(U_B, -1)[:, :M]
+    return jnp.where(m != 0, NEG_INF, scores)
+
+
+def _segment_topn(scores, n: int, seg_len: int = 128):
+    """Exact top-n without a full-width sort: lax.top_k sorts the whole row
+    (~250 ms over [138k, 27k] on v5e), but every global top-n element lives
+    in a segment whose max is among the n largest segment maxes. So: segment
+    max (one bandwidth-bound pass), top-n segments (tiny sort), gather those
+    n*seg_len candidates, top-n of the candidates. Ties at the n-th value may
+    resolve to a different equal-scored item than a full sort would.
+    """
+    U_B, M = scores.shape
+    S = -(-M // seg_len)
+    if S <= n:  # tiny item spaces: plain sort is cheap and exact
+        v, i = lax.top_k(scores, n)
+        return i.astype(jnp.int32), v
+    if S * seg_len != M:  # callers pad V up front to skip this full copy
+        scores = jnp.pad(scores, ((0, 0), (0, S * seg_len - M)),
+                         constant_values=NEG_INF)
+    s3 = scores.reshape(U_B, S, seg_len)
+    _, top_seg = lax.top_k(s3.max(axis=2), n)  # [U_B, n]
+    # extract the n winning segments with a one-hot MXU matmul: measured
+    # ~2x faster than the XLA row gather on v5e (gathers run ~13 GB/s; the
+    # matmul streams s3 at full bandwidth). HIGHEST keeps values exact
+    # (0/1 weights; default bf16-pass matmuls would perturb the scores).
+    oh = jax.nn.one_hot(top_seg, S, dtype=s3.dtype)  # [U_B, n, S]
+    cand = jnp.einsum("uns,usl->unl", oh, s3,
+                      precision=jax.lax.Precision.HIGHEST)
+    v, loc = lax.top_k(cand.reshape(U_B, n * seg_len), n)
+    segsel, off = loc // seg_len, loc % seg_len
+    items = jnp.take_along_axis(top_seg, segsel, axis=1) * seg_len + off
+    return items.astype(jnp.int32), v
+
+
+def topn_block(U, V, bu, bi, mu, blk: BlockData, n: int, rated_bits=None):
     """Masked top-n for one layout block: scores U[slots] . V^T with this
     block's rated pairs set to -inf. Shared by the single-chip and sharded
-    serving paths (U/bu may be a local shard; blk.entity_ids index into U)."""
+    serving paths (U/bu may be a local shard; blk.entity_ids index into U).
+
+    rated_bits [U_B, W]: packed rated mask from build_rated_bits — the fast
+    path (fused unpack + exact segment top-k). None falls back to the
+    scatter + full top_k reference path (kept for parity tests).
+    """
     n_items = V.shape[0] - 1
     rows = U[blk.entity_ids]  # [U_B, k]
     scores = (mu + bu[blk.entity_ids][:, None] + bi[None, :] + rows @ V.T)
+    if rated_bits is not None:
+        return _segment_topn(_mask_scores_bits(scores, rated_bits), n)
     U_B = blk.entity_ids.shape[0]
     slot = jnp.minimum(blk.chunk_seg, U_B - 1)  # padding chunks -> safe row
     flat_rows = jnp.repeat(slot, blk.other_idx.shape[1])
@@ -44,24 +156,47 @@ def topn_block(U, V, bu, bi, mu, blk: BlockData, n: int):
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _topn_blocks(state: MFState, layout: BlockedCSR, n: int):
-    """[NB, U_B, n] top items + scores per entity slot, rated items masked."""
+def _topn_blocks(state: MFState, layout: BlockedCSR, n: int,
+                 rated_bits=None):
+    """[NB, U_B, n] top items + scores per entity slot, rated items masked.
 
-    def body(_, blk_arrays):
-        blk = BlockData(*blk_arrays)
-        return None, topn_block(state.U, state.V, state.bu, state.bi,
-                                state.mu, blk, n)
+    rated_bits [NB, U_B, W] (see build_rated_bits) selects the fast path.
+    """
+    if rated_bits is None:
+        def body(_, blk_arrays):
+            blk = BlockData(*blk_arrays)
+            return None, topn_block(state.U, state.V, state.bu, state.bi,
+                                    state.mu, blk, n)
 
-    _, (ids, sc) = lax.scan(body, None, tuple(layout))
+        _, (ids, sc) = lax.scan(body, None, tuple(layout))
+        return ids, sc
+
+    # pad V/bi to a whole number of segments ONCE, so the per-block matmul
+    # emits already-aligned scores (a post-hoc pad copies the whole score
+    # tensor); the bits builder masks every pad column
+    Vp, bip = _pad_items(state.V, state.bi, rated_bits.shape[-1])
+
+    def body_bits(_, xs):
+        blk = BlockData(*xs[:-1])
+        return None, topn_block(state.U, Vp, state.bu, bip,
+                                state.mu, blk, n, rated_bits=xs[-1])
+
+    _, (ids, sc) = lax.scan(body_bits, None, tuple(layout) + (rated_bits,))
     return ids, sc
 
 
-def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10):
+def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10,
+                  rated_bits=None):
     """Top-N for every user with >=1 training rating.
 
     Returns (user_ids [m], item_ids [m, n], scores [m, n]) as numpy.
+    rated_bits: packed mask from ``build_rated_bits(user_layout, n_items)``;
+    built automatically when the layout is host-resident (numpy). Pass it
+    explicitly for repeated serving so the pack happens once.
     """
-    ids, sc = _topn_blocks(state, user_layout, n)
+    if rated_bits is None and isinstance(user_layout.other_idx, np.ndarray):
+        rated_bits = build_rated_bits(user_layout, state.n_items)
+    ids, sc = _topn_blocks(state, user_layout, n, rated_bits)
     eids = np.asarray(user_layout.entity_ids).reshape(-1)
     ids = np.asarray(ids).reshape(-1, n)
     sc = np.asarray(sc).reshape(-1, n)

@@ -499,38 +499,53 @@ def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
 
 
 @lru_cache(maxsize=16)
-def _topn_fn(mesh: Mesh, n: int):
+def _topn_fn(mesh: Mesh, n: int, with_bits: bool):
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
-    def local(U, bu, V, bi, mu, lay_arrays):
-        from ycnr_tpu.eval.recommend import topn_block
+    def local(U, bu, V, bi, mu, lay_arrays, bits):
+        from ycnr_tpu.eval.recommend import _pad_items, topn_block
         from ycnr_tpu.ops.gram import BlockData as BD
 
-        def body(_, blk_arrays):
-            blk = BD(*blk_arrays)
-            return None, topn_block(U[0], V, bu[0], bi, mu, blk, n)
+        if with_bits:  # align scores to the bitmask width (see _topn_blocks)
+            V, bi = _pad_items(V, bi, bits.shape[-1])
 
-        _, (ids, sc) = lax.scan(body, None,
-                                tuple(x[0] for x in lay_arrays))
+        def body(_, xs):
+            blk = BD(*xs[:5])
+            rb = xs[5] if with_bits else None
+            return None, topn_block(U[0], V, bu[0], bi, mu, blk, n,
+                                    rated_bits=rb)
+
+        xs = tuple(x[0] for x in lay_arrays)
+        if with_bits:
+            xs = xs + (bits[0],)
+        _, (ids, sc) = lax.scan(body, None, xs)
         return ids[None], sc[None]
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), lay_spec),
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), lay_spec,
+                  P(AXIS) if with_bits else P()),
         out_specs=(P(AXIS), P(AXIS))))
 
 
 def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
-                          meta: ShardedMeta, n: int = 10):
+                          meta: ShardedMeta, n: int = 10, rated_bits=None):
     """Top-N for every rated user, computed ON the mesh: each device scores
     its own user shard against the replicated V and masks with its local
     layout (BASELINE config 5: 'full top-N serving over 8-chip mesh').
 
+    rated_bits [D, NB, U_B, W]: packed rated mask from
+    ``eval.recommend.build_rated_bits`` applied to the HOST per-shard user
+    layout (before device_put), sharded like the layout. Selects the fused
+    mask + segment-top-k fast path; None keeps the scatter reference path.
+
     Returns (user_ids, item_ids [m, n], scores [m, n]) as numpy in GLOBAL
     user ids.
     """
-    ids, sc = _topn_fn(mesh, n)(st.U, st.bu, st.V, st.bi, st.mu,
-                                data.user_layout)
+    with_bits = rated_bits is not None
+    bits_arg = rated_bits if with_bits else jnp.zeros((), jnp.uint32)
+    ids, sc = _topn_fn(mesh, n, with_bits)(st.U, st.bu, st.V, st.bi, st.mu,
+                                           data.user_layout, bits_arg)
     ids = np.asarray(ids)  # [D, NB, U_B, n]
     sc = np.asarray(sc)
     eids_local = np.asarray(data.user_layout.entity_ids)  # [D, NB, U_B]

@@ -142,17 +142,18 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 def _log_serving_metric(cfg, ds, state, metrics):
     """Time top-N for all rated users on device (BASELINE.json:2's
     'top-10 recs/sec' metric), logged as the run's final record."""
-    from ycnr_tpu.eval.recommend import _topn_blocks
+    from ycnr_tpu.eval.recommend import _topn_blocks, build_rated_bits
     from ycnr_tpu.models.base import device_layout
     from ycnr_tpu.utils.profiling import device_sync
 
     dlay = device_layout(ds.user_layout, state.U.dtype)
+    bits = jnp.asarray(build_rated_bits(ds.user_layout, ds.n_items))
     n_served = int((np.asarray(ds.user_layout.entity_ids)
                     < ds.n_users).sum())
-    ids, sc = _topn_blocks(state, dlay, cfg.topn)  # compile
+    ids, sc = _topn_blocks(state, dlay, cfg.topn, bits)  # compile
     device_sync(sc)
     t0 = time.time()
-    ids, sc = _topn_blocks(state, dlay, cfg.topn)
+    ids, sc = _topn_blocks(state, dlay, cfg.topn, bits)
     device_sync(sc)
     dt = max(time.time() - t0, 1e-9)
     metrics.log(event="serving", users=n_served, topn=cfg.topn,
