@@ -109,18 +109,19 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     epoch_s = float(np.median(times))
 
     if topn_users:
-        from ycnr_tpu.eval.recommend import _topn_blocks
+        from ycnr_tpu.eval.recommend import _topn_blocks, build_rated_bits
         from ycnr_tpu.models.base import device_layout
 
         if ul_serving is None:
             ul_serving = build_blocked_csr(tu, ti, tr, n_users, n_items,
                                            chunk_len, rank_hint=rank)
         dlay = device_layout(ul_serving)
+        bits = jnp.asarray(build_rated_bits(ul_serving, n_items))
         n_served = int((np.asarray(ul_serving.entity_ids) < n_users).sum())
-        ids, sc = _topn_blocks(state, dlay, 10)  # compile
+        ids, sc = _topn_blocks(state, dlay, 10, bits)  # compile
         sync(sc)
         t0 = time.time()
-        ids, sc = _topn_blocks(state, dlay, 10)
+        ids, sc = _topn_blocks(state, dlay, 10, bits)
         sync(sc)
         dt = time.time() - t0
         log(f"top-10 on device for {n_served:,} users in {dt:.2f}s "
