@@ -33,6 +33,9 @@ def _add_train_overrides(p):
     p.add_argument("--users", type=int, help="synthetic n_users")
     p.add_argument("--items", type=int, help="synthetic n_items")
     p.add_argument("--ratings", type=int, help="synthetic n_ratings")
+    p.add_argument("--measure-serving", action="store_true",
+                   help="time top-N for all users after training and log "
+                        "the recs/s metric (BASELINE.json:2)")
 
 
 def _build_cfg(args):
@@ -71,6 +74,8 @@ def _build_cfg(args):
         mesh_kw["vstep_mode"] = args.vstep_mode
     if mesh_kw:
         cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
+    if getattr(args, "measure_serving", False):
+        cfg = cfg.replace(measure_serving=True)
     cfg = cfg.replace(out_dir=args.out)
     return cfg
 
