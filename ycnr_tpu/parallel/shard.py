@@ -82,6 +82,9 @@ class ShardedMeta:
     user_local: np.ndarray  # [n_users] (shard, local) packed: shard*upd+local
     test_n: int  # real held-out count
     sgd_n: int  # real train count in the sgd stream
+    user_layout_host: "BlockedCSR | None" = None  # numpy [D, NB, ...] copy of
+    #   the per-shard user layout (pre-device_put), for host-side builders
+    #   like eval.recommend.build_rated_bits (sharded serving fast path)
 
 
 def _lpt_partition(degrees: np.ndarray, D: int):
@@ -244,7 +247,8 @@ def build_sharded_data(
     )
     meta = ShardedMeta(n_users=n_users, n_items=n_items, n_shards=D, upd=upd,
                        user_map=user_map, user_local=user_local,
-                       test_n=len(test_r), sgd_n=len(train_r))
+                       test_n=len(test_r), sgd_n=len(train_r),
+                       user_layout_host=user_layout)
     if mesh is not None:
         data = put_sharded(data, mesh)
     return data, meta

@@ -231,8 +231,32 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             save_checkpoint(os.path.join(out, "ckpt"),
                             gather_state(st, meta), epoch + 1,
                             config=config_dict(cfg))
+    if cfg.measure_serving:
+        _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics)
     return TrainResult(state=gather_state(st, meta), dataset=ds,
                        rmse_history=history, out_dir=out)
+
+
+def _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics):
+    """Top-N for every rated user ON the mesh (BASELINE config 5: 'full
+    top-N serving over 8-chip mesh'), via the rated-bits fast path."""
+    from ycnr_tpu.eval.recommend import build_rated_bits
+    from ycnr_tpu.parallel.shard import _topn_fn
+    from ycnr_tpu.utils.profiling import device_sync
+
+    bits = build_rated_bits(meta.user_layout_host, ds.n_items)
+    n_served = int((np.asarray(meta.user_layout_host.entity_ids)
+                    < meta.upd).sum())
+    fn = _topn_fn(mesh, cfg.topn, True)
+    ids, sc = fn(st.U, st.bu, st.V, st.bi, st.mu, data.user_layout, bits)
+    device_sync(sc)
+    t0 = time.time()
+    ids, sc = fn(st.U, st.bu, st.V, st.bi, st.mu, data.user_layout, bits)
+    device_sync(sc)
+    dt = max(time.time() - t0, 1e-9)
+    metrics.log(event="serving", users=n_served, topn=cfg.topn,
+                shards=meta.n_shards, serve_s=round(dt, 4),
+                recs_per_s=round(n_served / dt, 1))
 
 
 def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
@@ -287,5 +311,10 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             save_checkpoint(os.path.join(out, "ckpt"),
                             dual_gather_state(st, meta), epoch + 1,
                             config=config_dict(cfg))
-    return TrainResult(state=dual_gather_state(st, meta), dataset=ds,
+    gstate = dual_gather_state(st, meta)
+    if cfg.measure_serving:
+        # dual mode shards V too; serve from the gathered single-chip state
+        # (the mesh serving path needs a replicated V — shard.py mode)
+        _log_serving_metric(cfg, ds, gstate, metrics)
+    return TrainResult(state=gstate, dataset=ds,
                        rmse_history=history, out_dir=out)
