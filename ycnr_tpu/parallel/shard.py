@@ -124,11 +124,15 @@ def build_sharded_data(
     chunk_len: int = 32, block_chunks=None, rank_hint: int = 64,
     test_u=None, test_i=None, test_r=None, sgd_batch: int = 4096,
     dtype=jnp.float32, mesh: Mesh | None = None,
+    host_user_layout: bool = False,
 ):
     """Partition ratings by user across shards and build all device inputs.
 
     Returns (ShardedData, ShardedMeta). If ``mesh`` is given, arrays are
     device_put with their final shardings (leading axis over the mesh).
+    host_user_layout=True keeps the numpy per-shard user layout on
+    ``meta.user_layout_host`` for host-side builders (serving bits); it pins
+    nnz-proportional host RAM, so it is opt-in.
     """
     D = n_shards
     train_u = np.asarray(train_u)
@@ -248,7 +252,8 @@ def build_sharded_data(
     meta = ShardedMeta(n_users=n_users, n_items=n_items, n_shards=D, upd=upd,
                        user_map=user_map, user_local=user_local,
                        test_n=len(test_r), sgd_n=len(train_r),
-                       user_layout_host=user_layout)
+                       user_layout_host=(user_layout if host_user_layout
+                                         else None))
     if mesh is not None:
         data = put_sharded(data, mesh)
     return data, meta

@@ -139,25 +139,33 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                        out_dir=out)
 
 
-def _log_serving_metric(cfg, ds, state, metrics):
+def _time_serving(call):
+    """Shared serving-timing protocol: one call to compile/warm, sync, then
+    time a second call with a device sync. Inputs must already live on
+    device — a host array in `call`'s closure would put its transfer inside
+    the timed window."""
+    from ycnr_tpu.utils.profiling import device_sync
+
+    device_sync(call())
+    t0 = time.time()
+    device_sync(call())
+    return max(time.time() - t0, 1e-9)
+
+
+def _log_serving_metric(cfg, ds, state, metrics, **extra):
     """Time top-N for all rated users on device (BASELINE.json:2's
     'top-10 recs/sec' metric), logged as the run's final record."""
     from ycnr_tpu.eval.recommend import _topn_blocks, build_rated_bits
     from ycnr_tpu.models.base import device_layout
-    from ycnr_tpu.utils.profiling import device_sync
 
     dlay = device_layout(ds.user_layout, state.U.dtype)
     bits = jnp.asarray(build_rated_bits(ds.user_layout, ds.n_items))
     n_served = int((np.asarray(ds.user_layout.entity_ids)
                     < ds.n_users).sum())
-    ids, sc = _topn_blocks(state, dlay, cfg.topn, bits)  # compile
-    device_sync(sc)
-    t0 = time.time()
-    ids, sc = _topn_blocks(state, dlay, cfg.topn, bits)
-    device_sync(sc)
-    dt = max(time.time() - t0, 1e-9)
+    dt = _time_serving(lambda: _topn_blocks(state, dlay, cfg.topn, bits)[1])
     metrics.log(event="serving", users=n_served, topn=cfg.topn,
-                serve_s=round(dt, 4), recs_per_s=round(n_served / dt, 1))
+                serve_s=round(dt, 4), recs_per_s=round(n_served / dt, 1),
+                **extra)
 
 
 def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
@@ -190,7 +198,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         chunk_len=cfg.data.chunk_len, block_chunks=cfg.data.block_chunks,
         rank_hint=params.rank, test_u=ds.test_u, test_i=ds.test_i,
         test_r=ds.test_r,
-        sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh)
+        sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh,
+        host_user_layout=cfg.measure_serving)
 
     start_epoch = 0
     if resume:
@@ -203,6 +212,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     st = scatter_state(gstate, meta, mesh)
 
     history = []
+    gstate = None  # set when the final-epoch checkpoint gathers the state
     key = jax.random.key(cfg.seed)
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
@@ -228,34 +238,39 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs):
-            save_checkpoint(os.path.join(out, "ckpt"),
-                            gather_state(st, meta), epoch + 1,
+            gstate = gather_state(st, meta)  # reused for TrainResult below
+            save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg))
+        else:
+            gstate = None
     if cfg.measure_serving:
         _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics)
-    return TrainResult(state=gather_state(st, meta), dataset=ds,
+    if gstate is None:
+        gstate = gather_state(st, meta)
+    return TrainResult(state=gstate, dataset=ds,
                        rmse_history=history, out_dir=out)
 
 
 def _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics):
     """Top-N for every rated user ON the mesh (BASELINE config 5: 'full
     top-N serving over 8-chip mesh'), via the rated-bits fast path."""
-    from ycnr_tpu.eval.recommend import build_rated_bits
-    from ycnr_tpu.parallel.shard import _topn_fn
-    from ycnr_tpu.utils.profiling import device_sync
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    bits = build_rated_bits(meta.user_layout_host, ds.n_items)
+    from ycnr_tpu.eval.recommend import build_rated_bits
+    from ycnr_tpu.parallel.mesh import AXIS
+    from ycnr_tpu.parallel.shard import _topn_fn
+
+    # commit the bits to their mesh sharding BEFORE timing, or the timed
+    # call would include the host->device transfer (~1 GB at netflix scale)
+    bits = jax.device_put(build_rated_bits(meta.user_layout_host, ds.n_items),
+                          NamedSharding(mesh, P(AXIS)))
     n_served = int((np.asarray(meta.user_layout_host.entity_ids)
                     < meta.upd).sum())
     fn = _topn_fn(mesh, cfg.topn, True)
-    ids, sc = fn(st.U, st.bu, st.V, st.bi, st.mu, data.user_layout, bits)
-    device_sync(sc)
-    t0 = time.time()
-    ids, sc = fn(st.U, st.bu, st.V, st.bi, st.mu, data.user_layout, bits)
-    device_sync(sc)
-    dt = max(time.time() - t0, 1e-9)
+    dt = _time_serving(lambda: fn(st.U, st.bu, st.V, st.bi, st.mu,
+                                  data.user_layout, bits)[1])
     metrics.log(event="serving", users=n_served, topn=cfg.topn,
-                shards=meta.n_shards, serve_s=round(dt, 4),
+                shards=meta.n_shards, mode="mesh", serve_s=round(dt, 4),
                 recs_per_s=round(n_served / dt, 1))
 
 
@@ -315,6 +330,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     if cfg.measure_serving:
         # dual mode shards V too; serve from the gathered single-chip state
         # (the mesh serving path needs a replicated V — shard.py mode)
-        _log_serving_metric(cfg, ds, gstate, metrics)
+        _log_serving_metric(cfg, ds, gstate, metrics, shards=1,
+                            mode="gathered_single_chip")
     return TrainResult(state=gstate, dataset=ds,
                        rmse_history=history, out_dir=out)
