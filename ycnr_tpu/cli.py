@@ -36,6 +36,10 @@ def _add_train_overrides(p):
     p.add_argument("--measure-serving", action="store_true",
                    help="time top-N for all users after training and log "
                         "the recs/s metric (BASELINE.json:2)")
+    p.add_argument("--publish-shm", metavar="NAME",
+                   help="publish factors into shared memory after each "
+                        "epoch so serving processes hot-reload them "
+                        "(serve.ShmRecommender)")
 
 
 def _build_cfg(args):
@@ -76,6 +80,8 @@ def _build_cfg(args):
         cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
     if getattr(args, "measure_serving", False):
         cfg = cfg.replace(measure_serving=True)
+    if getattr(args, "publish_shm", None):
+        cfg = cfg.replace(publish_shm=args.publish_shm)
     cfg = cfg.replace(out_dir=args.out)
     return cfg
 
@@ -143,6 +149,8 @@ def cmd_prepare(args):
 
 
 def cmd_recommend(args):
+    if not args.ckpt and not args.shm:
+        raise SystemExit("recommend: one of --ckpt / --shm is required")
     if args.platform:
         import jax
 
@@ -150,13 +158,19 @@ def cmd_recommend(args):
     import numpy as np
 
     from ycnr_tpu.data.store import RatingsStore
-    from ycnr_tpu.serve.engine import Recommender
-    from ycnr_tpu.train.checkpoint import load_checkpoint
 
-    state, manifest = load_checkpoint(args.ckpt)
     store = RatingsStore(args.store)
     u, i, r = store.read_all()
-    rec = Recommender(state, u, i)
+    if args.shm:
+        from ycnr_tpu.serve.shm import ShmRecommender
+
+        rec = ShmRecommender(args.shm, u, i)
+    else:
+        from ycnr_tpu.serve.engine import Recommender
+        from ycnr_tpu.train.checkpoint import load_checkpoint
+
+        state, manifest = load_checkpoint(args.ckpt)
+        rec = Recommender(state, u, i)
     maps = store.id_maps()  # dense -> original dataset ids (if imported)
     for uid in args.user:
         dense = uid
@@ -171,6 +185,15 @@ def cmd_recommend(args):
         if maps is not None:
             items = maps[1][np.asarray(items)]
         print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
+
+
+def cmd_publish(args):
+    """Load a checkpoint and publish it into a named shm segment (boots a
+    serving fleet from durable storage; reference C6c + C8 pattern)."""
+    from ycnr_tpu.serve.shm import publish_checkpoint
+
+    epoch = publish_checkpoint(args.ckpt, args.shm)
+    print(json.dumps({"shm": args.shm, "ckpt": args.ckpt, "epoch": epoch}))
 
 
 def cmd_validate(args):
@@ -240,13 +263,24 @@ def main(argv=None):
     p.add_argument("--portion", type=int, default=1_000_000)
     p.set_defaults(fn=cmd_prepare)
 
-    p = sub.add_parser("recommend", help="serve top-N from a checkpoint")
-    p.add_argument("--ckpt", required=True)
+    p = sub.add_parser("recommend",
+                       help="serve top-N from a checkpoint or shm store")
+    p.add_argument("--ckpt", help="checkpoint dir (or use --shm)")
+    p.add_argument("--shm", metavar="NAME",
+                   help="attach factors from a shared-memory store "
+                        "published by `train --publish-shm` / `publish`")
     p.add_argument("--store", required=True)
     p.add_argument("--user", type=int, nargs="+", required=True)
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("publish",
+                       help="publish checkpoint factors into shared memory "
+                            "for serving processes")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--shm", metavar="NAME", required=True)
+    p.set_defaults(fn=cmd_publish)
 
     p = sub.add_parser("validate", help="held-out RMSE from a checkpoint")
     p.add_argument("--ckpt", required=True)

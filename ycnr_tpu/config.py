@@ -107,6 +107,9 @@ class RunConfig:
     checkpoint_every: int = 1  # epochs between checkpoints (0 = off)
     log_train_rmse: bool = True  # per-epoch train RMSE in metrics
     measure_serving: bool = False  # time top-N for all users after training
+    # shm segment name to publish factors into after each checkpointed epoch
+    # (serving processes attach via serve.ShmRecommender) — reference C6c
+    publish_shm: Optional[str] = None
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -16,62 +16,101 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "ingest.cc")
-_LIB = os.path.join(_DIR, "libycnr_ingest.so")
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+_libs: dict = {}  # stem -> CDLL | None (None = build/load failed, cached)
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", _LIB + ".tmp"]
+def _build(src: str, lib_path: str) -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+           "-o", lib_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(lib_path + ".tmp", lib_path)
         return True
     except Exception:
         return False
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library, or None."""
-    global _lib, _tried
+def _load(stem: str) -> Optional[ctypes.CDLL]:
+    """Load (building with g++ if stale/missing) libycnr_<stem>.so, or None.
+    Failures are cached so a missing toolchain costs one attempt."""
+    src = os.path.join(_DIR, f"{stem}.cc")
+    lib_path = os.path.join(_DIR, f"libycnr_{stem}.so")
     with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            if not _build():
+        if stem in _libs:
+            return _libs[stem]
+        _libs[stem] = None
+        if not os.path.exists(lib_path) or (
+                os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            if not _build(src, lib_path):
                 return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            _libs[stem] = ctypes.CDLL(lib_path)
         except OSError:
             return None
-        lib.ycnr_count_rows.restype = ctypes.c_longlong
-        lib.ycnr_count_rows.argtypes = [ctypes.c_char_p]
-        lib.ycnr_parse_ratings.restype = ctypes.c_longlong
-        lib.ycnr_parse_ratings.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float)]
-        lib.ycnr_pack_chunks.restype = ctypes.c_int
-        lib.ycnr_pack_chunks.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32)]
-        lib.ycnr_pack_rows.restype = ctypes.c_int
-        lib.ycnr_pack_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
-        _lib = lib
-        return _lib
+        return _libs[stem]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The ingest library (parser/packers), with signatures set, or None."""
+    lib = _load("ingest")
+    if lib is None or hasattr(lib, "_ycnr_typed"):
+        return lib
+    lib._ycnr_typed = True
+    lib.ycnr_count_rows.restype = ctypes.c_longlong
+    lib.ycnr_count_rows.argtypes = [ctypes.c_char_p]
+    lib.ycnr_parse_ratings.restype = ctypes.c_longlong
+    lib.ycnr_parse_ratings.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.ycnr_pack_chunks.restype = ctypes.c_int
+    lib.ycnr_pack_chunks.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.ycnr_pack_rows.restype = ctypes.c_int
+    lib.ycnr_pack_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+    return lib
+
+
+def get_shm_lib() -> Optional[ctypes.CDLL]:
+    """The shared-memory factor-store library (reference C6c analog), with
+    signatures set, or None if unbuildable on this host."""
+    lib = _load("shm_store")
+    if lib is None or hasattr(lib, "_ycnr_typed"):
+        return lib
+    lib._ycnr_typed = True
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.ycnr_shm_create.restype = ctypes.c_void_p
+    lib.ycnr_shm_create.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64]
+    lib.ycnr_shm_attach.restype = ctypes.c_void_p
+    lib.ycnr_shm_attach.argtypes = [ctypes.c_char_p]
+    lib.ycnr_shm_dims.restype = ctypes.c_int
+    lib.ycnr_shm_dims.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64)]
+    lib.ycnr_shm_epoch.restype = ctypes.c_int64
+    lib.ycnr_shm_epoch.argtypes = [ctypes.c_void_p]
+    lib.ycnr_shm_publish.restype = ctypes.c_int
+    lib.ycnr_shm_publish.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_double, fp, fp, fp, fp]
+    lib.ycnr_shm_read.restype = ctypes.c_int64
+    lib.ycnr_shm_read.argtypes = [ctypes.c_void_p, fp, fp, fp, fp,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.c_int]
+    lib.ycnr_shm_detach.restype = ctypes.c_int
+    lib.ycnr_shm_detach.argtypes = [ctypes.c_void_p]
+    lib.ycnr_shm_unlink.restype = ctypes.c_int
+    lib.ycnr_shm_unlink.argtypes = [ctypes.c_char_p]
+    return lib
 
 
 def _ptr(a: np.ndarray, ct):

@@ -1,0 +1,209 @@
+// Native shared-memory factor store (the reference's shm-typed-array role).
+//
+// The reference engine shares U/V factor matrices between its master and
+// worker processes through a SysV shared-memory C++ addon (SURVEY.md C6c:
+// shm.create/get/detach over shmget/shmat). On the TPU rebuild the TRAINING
+// side of that role is HBM shardings; what remains genuinely cross-process
+// on the host is SERVING: several serving processes reading one copy of the
+// trained factors while a trainer republishes them between epochs.
+//
+// This library provides that as POSIX shared memory (shm_open + mmap) with a
+// seqlock-versioned header, so readers never observe a torn publish:
+//
+//   ycnr_shm_create(name, n_users, n_items, rank) -> handle
+//   ycnr_shm_attach(name)                         -> handle (or NULL)
+//   ycnr_shm_publish(handle, epoch, mu, U, V, bu, bi)
+//   ycnr_shm_read(handle, U, V, bu, bi, &mu, retries) -> epoch (or -1)
+//   ycnr_shm_epoch(handle)                        -> staleness peek
+//   ycnr_shm_dims(handle, out[3])                 -> n_users, n_items, rank
+//   ycnr_shm_detach(handle), ycnr_shm_unlink(name)
+//
+// Array shapes use the framework's zero-row padding convention
+// (models/base.py): U is [(n_users+1) * rank] f32, V [(n_items+1) * rank],
+// bu [n_users+1], bi [n_items+1].
+//
+// Build: g++ -O3 -shared -fPIC shm_store.cc -o libycnr_shm.so
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kMagic = 0x59434e5253484d31ull;  // "YCNRSHM1"
+constexpr uint32_t kVersion = 1;
+
+struct Header {
+  uint64_t magic;
+  uint32_t version;
+  uint32_t dtype;  // 0 = float32 (the only on-host factor dtype)
+  std::atomic<uint32_t> seq;  // seqlock: odd while a publish is in flight
+  uint32_t pad0;
+  int64_t epoch;
+  int64_t n_users, n_items, rank;
+  double mu;
+  int64_t total_bytes;  // full segment size, for attach-side mmap/munmap
+};
+
+static_assert(sizeof(Header) % 8 == 0, "header must keep arrays aligned");
+static_assert(std::atomic<uint32_t>::is_always_lock_free,
+              "seqlock requires lock-free 32-bit atomics");
+
+struct Sizes {
+  size_t u, v, bu, bi, total;
+};
+
+Sizes sizes_for(int64_t n_users, int64_t n_items, int64_t rank) {
+  Sizes s;
+  s.u = sizeof(float) * (size_t)(n_users + 1) * (size_t)rank;
+  s.v = sizeof(float) * (size_t)(n_items + 1) * (size_t)rank;
+  s.bu = sizeof(float) * (size_t)(n_users + 1);
+  s.bi = sizeof(float) * (size_t)(n_items + 1);
+  s.total = sizeof(Header) + s.u + s.v + s.bu + s.bi;
+  return s;
+}
+
+float* arrays_base(Header* h) {
+  return reinterpret_cast<float*>(reinterpret_cast<char*>(h)
+                                  + sizeof(Header));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Create (or recreate) the named segment sized for the given dims and map
+// it read-write. Returns the mapping, or NULL on failure.
+void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
+                      int64_t rank) {
+  if (n_users <= 0 || n_items <= 0 || rank <= 0) return nullptr;
+  const Sizes s = sizes_for(n_users, n_items, rank);
+  int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
+  if (fd < 0) return nullptr;
+  if (ftruncate(fd, (off_t)s.total) != 0) {
+    close(fd);
+    shm_unlink(name);
+    return nullptr;
+  }
+  void* p = mmap(nullptr, s.total, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  close(fd);  // the mapping keeps the segment alive
+  if (p == MAP_FAILED) return nullptr;
+  Header* h = static_cast<Header*>(p);
+  h->version = kVersion;
+  h->dtype = 0;
+  h->seq.store(0, std::memory_order_relaxed);
+  h->epoch = -1;  // nothing published yet
+  h->n_users = n_users;
+  h->n_items = n_items;
+  h->rank = rank;
+  h->mu = 0.0;
+  h->total_bytes = (int64_t)s.total;
+  // magic last, released: attachers spin-wait on it below
+  std::atomic_thread_fence(std::memory_order_release);
+  h->magic = kMagic;
+  return p;
+}
+
+// Attach to an existing segment. Returns NULL if it does not exist or is
+// not a valid store (wrong magic/version/size).
+void* ycnr_shm_attach(const char* name) {
+  int fd = shm_open(name, O_RDWR, 0600);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || (size_t)st.st_size < sizeof(Header)) {
+    close(fd);
+    return nullptr;
+  }
+  void* p = mmap(nullptr, (size_t)st.st_size, PROT_READ | PROT_WRITE,
+                 MAP_SHARED, fd, 0);
+  close(fd);
+  if (p == MAP_FAILED) return nullptr;
+  Header* h = static_cast<Header*>(p);
+  if (h->magic != kMagic || h->version != kVersion
+      || h->total_bytes != (int64_t)st.st_size
+      || sizes_for(h->n_users, h->n_items, h->rank).total
+             != (size_t)st.st_size) {
+    munmap(p, (size_t)st.st_size);
+    return nullptr;
+  }
+  return p;
+}
+
+int ycnr_shm_dims(void* handle, int64_t out[3]) {
+  Header* h = static_cast<Header*>(handle);
+  out[0] = h->n_users;
+  out[1] = h->n_items;
+  out[2] = h->rank;
+  return 0;
+}
+
+int64_t ycnr_shm_epoch(void* handle) {
+  Header* h = static_cast<Header*>(handle);
+  // acquire pairs with the publisher's final release store
+  uint32_t s = h->seq.load(std::memory_order_acquire);
+  if (s & 1) return -1;          // publish in flight
+  if (h->epoch < 0) return -2;   // nothing published yet
+  return h->epoch;
+}
+
+// Seqlock write: bump to odd, copy the payload, bump to even. Readers that
+// overlap the copy observe an odd/changed seq and retry.
+int ycnr_shm_publish(void* handle, int64_t epoch, double mu, const float* U,
+                     const float* V, const float* bu, const float* bi) {
+  Header* h = static_cast<Header*>(handle);
+  const Sizes s = sizes_for(h->n_users, h->n_items, h->rank);
+  uint32_t seq = h->seq.load(std::memory_order_relaxed);
+  h->seq.store(seq + 1, std::memory_order_relaxed);  // odd: writer active
+  std::atomic_thread_fence(std::memory_order_release);
+  float* base = arrays_base(h);
+  memcpy(base, U, s.u);
+  memcpy(reinterpret_cast<char*>(base) + s.u, V, s.v);
+  memcpy(reinterpret_cast<char*>(base) + s.u + s.v, bu, s.bu);
+  memcpy(reinterpret_cast<char*>(base) + s.u + s.v + s.bu, bi, s.bi);
+  h->mu = mu;
+  h->epoch = epoch;
+  std::atomic_thread_fence(std::memory_order_release);
+  h->seq.store(seq + 2, std::memory_order_release);  // even: stable
+  return 0;
+}
+
+// Seqlock read: copy out, then verify seq did not move. Returns the epoch
+// of the snapshot, or -1 if max_retries consecutive publishes tore it, or
+// -2 if nothing has been published yet.
+int64_t ycnr_shm_read(void* handle, float* U, float* V, float* bu, float* bi,
+                      double* mu, int max_retries) {
+  Header* h = static_cast<Header*>(handle);
+  const Sizes s = sizes_for(h->n_users, h->n_items, h->rank);
+  const float* base = arrays_base(h);
+  for (int attempt = 0; attempt <= max_retries; attempt++) {
+    uint32_t s1 = h->seq.load(std::memory_order_acquire);
+    if (s1 & 1) continue;  // writer mid-publish; retry
+    if (h->epoch < 0) return -2;
+    memcpy(U, base, s.u);
+    memcpy(V, reinterpret_cast<const char*>(base) + s.u, s.v);
+    memcpy(bu, reinterpret_cast<const char*>(base) + s.u + s.v, s.bu);
+    memcpy(bi, reinterpret_cast<const char*>(base) + s.u + s.v + s.bu, s.bi);
+    double m = h->mu;
+    int64_t e = h->epoch;
+    std::atomic_thread_fence(std::memory_order_acquire);
+    if (h->seq.load(std::memory_order_relaxed) == s1) {
+      *mu = m;
+      return e;
+    }
+  }
+  return -1;
+}
+
+int ycnr_shm_detach(void* handle) {
+  Header* h = static_cast<Header*>(handle);
+  return munmap(handle, (size_t)h->total_bytes);
+}
+
+int ycnr_shm_unlink(const char* name) { return shm_unlink(name); }
+
+}  // extern "C"

@@ -38,6 +38,16 @@ def _algo_params(cfg: RunConfig):
     return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
 
 
+def _shm_writer(cfg: RunConfig, state: MFState):
+    """Optional live-factor publisher (reference C6c shm serving pattern)."""
+    if not cfg.publish_shm:
+        return None
+    from ycnr_tpu.serve.shm import FactorShmWriter
+
+    return FactorShmWriter(cfg.publish_shm, state.n_users, state.n_items,
+                           state.rank)
+
+
 def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
           resume: Optional[str] = None,
           out_dir: Optional[str] = None) -> TrainResult:
@@ -97,6 +107,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         ials_epoch_bucketed,
     )
 
+    shm_writer = _shm_writer(cfg, state)
     history = []
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
@@ -133,6 +144,10 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 or epoch + 1 == params.epochs):
             save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
                             config=config_dict(cfg))
+        if shm_writer is not None:
+            shm_writer.publish(state, epoch + 1)
+    if shm_writer is not None:
+        shm_writer.close()
     if cfg.measure_serving:
         _log_serving_metric(cfg, ds, state, metrics)
     return TrainResult(state=state, dataset=ds, rmse_history=history,
@@ -209,6 +224,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
                             seed=cfg.seed, mu=mu, dtype=dtype)
+    shm_writer = _shm_writer(cfg, gstate)
     st = scatter_state(gstate, meta, mesh)
 
     history = []
@@ -243,6 +259,13 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                             config=config_dict(cfg))
         else:
             gstate = None
+        if shm_writer is not None:
+            # publishing needs the host-gathered state; reuse the
+            # checkpoint gather when it happened this epoch
+            shm_writer.publish(gstate if gstate is not None
+                               else gather_state(st, meta), epoch + 1)
+    if shm_writer is not None:
+        shm_writer.close()
     if cfg.measure_serving:
         _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics)
     if gstate is None:
@@ -300,6 +323,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
                             seed=cfg.seed, dtype=dtype)
+    shm_writer = _shm_writer(cfg, gstate)
     st = dual_scatter_state(gstate, meta, mesh)
 
     history = []
@@ -326,6 +350,10 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             save_checkpoint(os.path.join(out, "ckpt"),
                             dual_gather_state(st, meta), epoch + 1,
                             config=config_dict(cfg))
+        if shm_writer is not None:
+            shm_writer.publish(dual_gather_state(st, meta), epoch + 1)
+    if shm_writer is not None:
+        shm_writer.close()
     gstate = dual_gather_state(st, meta)
     if cfg.measure_serving:
         # dual mode shards V too; serve from the gathered single-chip state
