@@ -225,7 +225,12 @@ def cmd_validate(args):
                              jnp.asarray(pr), n))
     out = {"ckpt": args.ckpt, "epoch": manifest["epoch"],
            "n_test": int(n), "rmse_test": round(rmse, 6)}
-    if args.hit_rate:
+    if args.ranking:
+        from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
+        out["ranking"] = ranking_metrics_at_n(
+            state, tu, ti, su, si, n=args.n, max_users=args.max_users)
+    elif args.hit_rate:
         out["hit_rate"] = round(hit_rate_at_n(
             state, tu, ti, su, si, n=args.n, max_users=args.max_users), 4)
     print(json.dumps(out))
@@ -288,6 +293,9 @@ def main(argv=None):
     p.add_argument("--test-fraction", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hit-rate", action="store_true")
+    p.add_argument("--ranking", action="store_true",
+                   help="full top-N suite: hit-rate, precision, recall, "
+                        "NDCG, MAP @N")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--max-users", type=int, default=2048)
     p.add_argument("--platform")
