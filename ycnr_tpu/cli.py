@@ -40,6 +40,15 @@ def _add_train_overrides(p):
                    help="publish factors into shared memory after each "
                         "epoch so serving processes hot-reload them "
                         "(serve.ShmRecommender)")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host job via jax.distributed "
+                        "(coordination from the cluster env, or the flags "
+                        "below); run one `train --distributed` per host")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="explicit coordinator address (implies "
+                        "--distributed)")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
 
 
 def _build_cfg(args):
@@ -91,6 +100,12 @@ def cmd_train(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or args.coordinator:
+        from ycnr_tpu.parallel import init_distributed
+
+        pid = init_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+        print(json.dumps({"event": "distributed", "process_id": pid}))
     cfg = _build_cfg(args)
     from ycnr_tpu.train.loop import train
 

@@ -1,4 +1,4 @@
-from ycnr_tpu.parallel.mesh import make_mesh  # noqa: F401
+from ycnr_tpu.parallel.mesh import init_distributed, make_mesh  # noqa: F401
 from ycnr_tpu.parallel.shard import (  # noqa: F401
     ShardedData,
     ShardedState,

@@ -36,3 +36,29 @@ def shard_leading(mesh: Mesh, axis: str = AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Join a multi-host job (the reference's hypothetical TCP multi-machine
+    mode, SURVEY.md C4 [K-low]; here it is first-class: DCN between hosts,
+    ICI within each slice).
+
+    Call once per host process before any mesh/device use; afterwards
+    jax.devices() spans all hosts and make_mesh() lays the 1-D shard axis
+    across them, so every training path (shard.py / dual.py) runs unchanged
+    — XLA routes the psum/all_gather segments over ICI within a slice and
+    DCN across hosts. With no arguments, coordinates through the cluster
+    environment (TPU pod metadata / SLURM / env vars), which is the common
+    production path. Returns this host's process index.
+    """
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    return jax.process_index()
