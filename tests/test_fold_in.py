@@ -1,0 +1,88 @@
+"""Fold-in parity: ad-hoc per-user solves must equal the training solves.
+
+The fold-in path advertises "the SAME normal equation as the ALS U-step";
+these tests hold it to that literally, against the jitted training phase and
+against a direct NumPy solve.
+"""
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.models.als import _phase
+from ycnr_tpu.models.base import device_layout, init_state
+from ycnr_tpu.ops.layout import build_blocked_csr
+from ycnr_tpu.serve.fold_in import fold_in_users, recommend_fold_in
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n_users, n_items, rank = 50, 30, 6
+    (u, i, r) = synthetic_ratings(n_users, n_items, 900, true_rank=3, seed=4)
+    state = init_state(n_users, n_items, rank, seed=1)
+    return n_users, n_items, u, i, r, state
+
+
+def _user_lists(u, i, r, users):
+    return ([i[u == x] for x in users], [r[u == x] for x in users])
+
+
+def test_explicit_matches_training_phase(setup):
+    n_users, n_items, u, i, r, state = setup
+    lam = 0.07
+    ul = device_layout(build_blocked_csr(u, i, r, n_users, n_items, 8, 16),
+                       state.U.dtype)
+    U_trained = np.asarray(_phase(state.U, state.V, ul, lam))
+    users = [0, 3, 17, 42]
+    il, rl = _user_lists(u, i, r, users)
+    rows = fold_in_users(state, il, rl, lam=lam)
+    np.testing.assert_allclose(rows, U_trained[users], rtol=2e-4, atol=2e-6)
+
+
+def test_explicit_matches_numpy_solve(setup):
+    n_users, n_items, u, i, r, state = setup
+    lam = 0.05
+    V = np.asarray(state.V, np.float64)[:-1]
+    users = [5, 11]
+    il, rl = _user_lists(u, i, r, users)
+    rows = fold_in_users(state, il, rl, lam=lam)
+    for j, (ii, rr) in enumerate(zip(il, rl)):
+        Vr = V[ii]
+        A = Vr.T @ Vr + lam * len(ii) * np.eye(V.shape[1])
+        expect = np.linalg.solve(A, Vr.T @ rr)
+        np.testing.assert_allclose(rows[j], expect, rtol=2e-4, atol=2e-6)
+
+
+def test_implicit_matches_numpy_solve(setup):
+    n_users, n_items, u, i, r, state = setup
+    lam, alpha = 0.1, 8.0
+    V = np.asarray(state.V, np.float64)[:-1]
+    users = [2, 29]
+    il, rl = _user_lists(u, i, r, users)
+    rows = fold_in_users(state, il, rl, lam=lam, alpha=alpha)
+    G = V.T @ V
+    for j, (ii, rr) in enumerate(zip(il, rl)):
+        Vr = V[ii]
+        A = G + alpha * Vr.T @ np.diag(rr) @ Vr + lam * np.eye(V.shape[1])
+        expect = np.linalg.solve(A, Vr.T @ (1.0 + alpha * rr))
+        np.testing.assert_allclose(rows[j], expect, rtol=2e-4, atol=2e-6)
+
+
+def test_recommend_masks_rated(setup):
+    n_users, n_items, u, i, r, state = setup
+    users = [0, 7]
+    il, rl = _user_lists(u, i, r, users)
+    items, scores = recommend_fold_in(state, il, rl, n=5, lam=0.05)
+    assert items.shape == (2, 5)
+    for j in range(2):
+        assert not set(items[j].tolist()) & set(il[j].tolist())
+        assert n_items not in items[j]  # trash column never recommended
+        # descending scores
+        assert np.all(np.diff(scores[j]) <= 1e-6)
+
+
+def test_empty_list_is_safe(setup):
+    *_, state = setup
+    rows = fold_in_users(state, [np.array([], np.int64)],
+                         [np.array([], np.float32)], lam=0.05)
+    np.testing.assert_array_equal(rows, 0.0)  # (n==0 guard) I x = 0

@@ -187,6 +187,22 @@ def cmd_recommend(args):
         state, manifest = load_checkpoint(args.ckpt)
         rec = Recommender(state, u, i)
     maps = store.id_maps()  # dense -> original dataset ids (if imported)
+    if args.rated:
+        # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
+        from ycnr_tpu.serve.fold_in import recommend_fold_in
+
+        state = rec._rec.state if args.shm else rec.state
+        pairs = [p.split(":") for p in args.rated.split(",")]
+        ii = np.asarray([int(a) for a, _ in pairs])
+        rr = np.asarray([float(b) for _, b in pairs], np.float32)
+        if maps is not None:
+            ii = np.searchsorted(maps[1], ii)
+        items = recommend_fold_in(state, [ii], [rr], n=args.n)[0][0]
+        if maps is not None:
+            items = maps[1][np.asarray(items)]
+        print(json.dumps({"user": "cold",
+                          "items": [int(x) for x in items]}))
+        return
     for uid in args.user:
         dense = uid
         if maps is not None:
@@ -290,7 +306,11 @@ def main(argv=None):
                    help="attach factors from a shared-memory store "
                         "published by `train --publish-shm` / `publish`")
     p.add_argument("--store", required=True)
-    p.add_argument("--user", type=int, nargs="+", required=True)
+    p.add_argument("--user", type=int, nargs="*", default=[],
+                   help="trained user ids to serve (or use --rated)")
+    p.add_argument("--rated", metavar="ITEM:RATING,...",
+                   help="serve a cold user by fold-in from this ad-hoc "
+                        "rating list instead of a trained user id")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.set_defaults(fn=cmd_recommend)

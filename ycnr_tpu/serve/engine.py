@@ -46,3 +46,15 @@ class Recommender:
         """Swap in retrained factors; cached recs are stale -> flush."""
         self.state = state
         self.cache.invalidate()
+
+    def recommend_cold(self, item_ids, ratings, n: int = 10,
+                       lam: float = 0.05, alpha=None):
+        """Top-n for a user NOT in the trained factors, from their ad-hoc
+        rating list via fold-in (serve/fold_in.py). alpha selects the
+        implicit-confidence solve."""
+        from ycnr_tpu.serve.fold_in import recommend_fold_in
+
+        items, _ = recommend_fold_in(self.state, [np.asarray(item_ids)],
+                                     [np.asarray(ratings, np.float32)],
+                                     n=n, lam=lam, alpha=alpha)
+        return items[0]

@@ -1,0 +1,104 @@
+"""Fold-in: factors for new/updated users at serving time, no retraining.
+
+The reference can only recommend for users present at training (its factors
+live in shm written by the last training run; SURVEY.md call stack 3.5). A
+production recommender constantly sees new users and fresh ratings, so this
+adds the standard MF fold-in: holding the trained item factors V fixed,
+solve the SAME per-user normal equation the ALS U-step solves for one ad-hoc
+rating list —
+
+    explicit (ALS-WR):  (V_rᵀ V_r + λ n I) u = V_rᵀ r          [Appendix A]
+    implicit (iALS):    (VᵀV + α V_rᵀ diag(r) V_r + λI) u = V_rᵀ(1 + αr)
+
+and recommend from the folded row. Batched over users and jitted; rating
+lists are padded to pow2 widths (compile-count bound, zero-row trick masks
+the padding: index n_items hits V's zero row).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ycnr_tpu.eval.recommend import NEG_INF
+from ycnr_tpu.models.base import MFState
+
+
+@partial(jax.jit, static_argnames=("implicit",))
+def _fold_in(V, item_idx, rating, lam, alpha, implicit: bool):
+    """Solve the per-user normal equations for padded rating lists.
+
+    V [n_items+1, k] (zero last row); item_idx [m, L] padded with n_items;
+    rating [m, L] padded with 0. Returns factors [m, k].
+    """
+    Vr = V[item_idx]  # [m, L, k]; padding rows are zero
+    k = V.shape[1]
+    if implicit:
+        # base Gram over ALL items + confidence correction over rated ones
+        G = V[:-1].T @ V[:-1]
+        A = (G[None] + alpha * jnp.einsum("mlk,ml,mle->mke", Vr, rating, Vr)
+             + lam * jnp.eye(k, dtype=V.dtype))
+        # padding contributes nothing: its Vr rows are V's zero row
+        b = jnp.einsum("mlk,ml->mk", Vr, 1.0 + alpha * rating)
+    else:
+        n_r = jnp.sum((item_idx < V.shape[0] - 1).astype(V.dtype), axis=1)
+        A = (jnp.einsum("mlk,mle->mke", Vr, Vr)
+             + (lam * n_r + (n_r == 0))[:, None, None]
+             * jnp.eye(k, dtype=V.dtype))
+        b = jnp.einsum("mlk,ml->mk", Vr, rating)
+    cf = jax.scipy.linalg.cho_factor(A)
+    return jax.scipy.linalg.cho_solve(cf, b)
+
+
+def _pad_lists(item_lists, rating_lists, n_items, dtype):
+    m = len(item_lists)
+    width = max(8, max((len(x) for x in item_lists), default=1))
+    width = 1 << int(np.ceil(np.log2(width)))
+    idx = np.full((m, width), n_items, np.int32)
+    r = np.zeros((m, width), dtype)
+    for j, (ii, rr) in enumerate(zip(item_lists, rating_lists)):
+        idx[j, : len(ii)] = ii
+        r[j, : len(rr)] = rr
+    return idx, r
+
+
+def fold_in_users(state: MFState, item_lists: Sequence,
+                  rating_lists: Sequence, lam: float = 0.05,
+                  alpha: Optional[float] = None) -> np.ndarray:
+    """Factors [m, k] for m ad-hoc users given their (item_ids, ratings)
+    lists. alpha=None -> explicit ALS-WR solve; alpha set -> implicit iALS
+    confidence solve (ratings are the raw confidence inputs)."""
+    dtype = np.dtype(state.U.dtype) if state.U.dtype != jnp.bfloat16 \
+        else np.float32
+    idx, r = _pad_lists(item_lists, rating_lists, state.n_items, dtype)
+    return np.asarray(_fold_in(state.V, jnp.asarray(idx), jnp.asarray(r),
+                               dtype.type(lam), dtype.type(alpha or 0.0),
+                               alpha is not None))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _topn_rows(rows, V, bi, mu, rated_padded, n: int):
+    n_items = V.shape[0] - 1
+    scores = mu + bi[None, :] + rows @ V.T
+    b = lax.broadcasted_iota(jnp.int32, rated_padded.shape, 0)
+    scores = scores.at[b.reshape(-1), rated_padded.reshape(-1)].set(NEG_INF)
+    scores = scores.at[:, n_items].set(NEG_INF)
+    return lax.top_k(scores, n)
+
+
+def recommend_fold_in(state: MFState, item_lists: Sequence,
+                      rating_lists: Sequence, n: int = 10,
+                      lam: float = 0.05, alpha: Optional[float] = None):
+    """Top-N for ad-hoc users straight from their rating lists (fold-in +
+    masked top-k). Returns (items [m, n], scores [m, n]). The users' own
+    rated items are masked exactly like the trained serving path."""
+    rows = fold_in_users(state, item_lists, rating_lists, lam, alpha)
+    idx, _ = _pad_lists(item_lists, rating_lists, state.n_items, np.float32)
+    top_s, top_i = _topn_rows(jnp.asarray(rows, state.V.dtype), state.V,
+                              state.bi, state.mu, jnp.asarray(idx), n)
+    return np.asarray(top_i), np.asarray(top_s)
