@@ -1,0 +1,76 @@
+"""Online serving updates (add_ratings) and early stopping."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.config import ALSConfig, DataConfig, RunConfig
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.models.base import init_state
+from ycnr_tpu.serve.engine import Recommender
+from ycnr_tpu.train.loop import train
+
+
+def test_add_ratings_resolves_user_row():
+    n_users, n_items = 30, 40
+    u, i, r = synthetic_ratings(n_users, n_items, 400, true_rank=3, seed=2)
+    state = init_state(n_users, n_items, 5, seed=0)
+    rec = Recommender(state, u, i, train_r=r)
+    lam = 0.05
+
+    top_before = np.asarray(rec.recommend(3, 5))
+    new_items = np.asarray([x for x in top_before[:2]])
+    rec.add_ratings(3, new_items, [5.0, 5.0], lam=lam)
+
+    # newly-rated items are masked out of the user's recs now
+    top_after = np.asarray(rec.recommend(3, 5))
+    assert not set(new_items.tolist()) & set(top_after.tolist())
+
+    # the row equals a fresh fold-in over the user's full updated list
+    from ycnr_tpu.serve.fold_in import fold_in_users
+
+    mine = rec.train_u == 3
+    expect = fold_in_users(state, [rec.train_i[mine]], [rec.train_r[mine]],
+                           lam=lam)[0]
+    np.testing.assert_allclose(np.asarray(rec.state.U[3]), expect,
+                               rtol=1e-5, atol=1e-7)
+    # other rows untouched
+    np.testing.assert_array_equal(np.asarray(rec.state.U[4]),
+                                  np.asarray(state.U[4]))
+
+
+def test_add_ratings_guards():
+    u = np.array([0, 1])
+    i = np.array([1, 2])
+    state = init_state(3, 5, 2, seed=0)
+    rec_no_r = Recommender(state, u, i)
+    with pytest.raises(ValueError, match="train_r"):
+        rec_no_r.add_ratings(0, [3], [4.0])
+    rec = Recommender(state, u, i, train_r=np.array([4.0, 3.0]))
+    with pytest.raises(IndexError, match="recommend_cold"):
+        rec.add_ratings(99, [3], [4.0])
+
+
+def _cfg(tmp_path, patience, epochs=12):
+    return RunConfig(
+        name="es", algorithm="als",
+        data=DataConfig(source="synthetic", n_users=60, n_items=30,
+                        n_ratings=1200, chunk_len=8),
+        als=ALSConfig(rank=4, epochs=epochs),
+        out_dir=str(tmp_path), checkpoint_every=0, log_train_rmse=False,
+        early_stop_patience=patience, early_stop_min_delta=1e-5)
+
+
+def test_early_stop_triggers(tmp_path):
+    # tiny ALS converges in a couple of epochs; patience 2 must cut the run
+    res = train(_cfg(tmp_path, patience=2))
+    assert len(res.rmse_history) < 12
+    events = [json.loads(line) for line in open(
+        f"{tmp_path}/es/metrics.jsonl")]
+    assert any(e.get("event") == "early_stop" for e in events)
+
+
+def test_early_stop_off_runs_all(tmp_path):
+    res = train(_cfg(tmp_path, patience=0, epochs=4))
+    assert len(res.rmse_history) == 4

@@ -40,6 +40,12 @@ def _add_train_overrides(p):
                    help="publish factors into shared memory after each "
                         "epoch so serving processes hot-reload them "
                         "(serve.ShmRecommender)")
+    p.add_argument("--early-stop", type=int, metavar="PATIENCE",
+                   help="stop when held-out RMSE hasn't improved for "
+                        "PATIENCE epochs")
+    p.add_argument("--early-stop-delta", type=float, default=0.0,
+                   help="minimum RMSE improvement that counts (with "
+                        "--early-stop)")
     p.add_argument("--distributed", action="store_true",
                    help="join a multi-host job via jax.distributed "
                         "(coordination from the cluster env, or the flags "
@@ -91,6 +97,9 @@ def _build_cfg(args):
         cfg = cfg.replace(measure_serving=True)
     if getattr(args, "publish_shm", None):
         cfg = cfg.replace(publish_shm=args.publish_shm)
+    if getattr(args, "early_stop", None):
+        cfg = cfg.replace(early_stop_patience=args.early_stop,
+                          early_stop_min_delta=args.early_stop_delta)
     cfg = cfg.replace(out_dir=args.out)
     return cfg
 

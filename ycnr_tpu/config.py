@@ -105,6 +105,10 @@ class RunConfig:
     seed: int = 0
     out_dir: str = "runs"
     checkpoint_every: int = 1  # epochs between checkpoints (0 = off)
+    # stop when held-out RMSE has not improved by min_delta for `patience`
+    # consecutive epochs (0 = run all epochs, the reference behavior)
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     log_train_rmse: bool = True  # per-epoch train RMSE in metrics
     measure_serving: bool = False  # time top-N for all users after training
     # shm segment name to publish factors into after each checkpointed epoch

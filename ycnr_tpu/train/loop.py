@@ -38,6 +38,19 @@ def _algo_params(cfg: RunConfig):
     return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
 
 
+def _early_stop(cfg: RunConfig, history: list, metrics) -> bool:
+    """True when the last `patience` epochs brought no improvement of at
+    least min_delta over the best RMSE before them."""
+    p = cfg.early_stop_patience
+    if p <= 0 or len(history) <= p:
+        return False
+    if min(history[-p:]) > min(history[:-p]) - cfg.early_stop_min_delta:
+        metrics.log(event="early_stop", epoch=len(history),
+                    best_rmse=round(min(history), 6))
+        return True
+    return False
+
+
 def _shm_writer(cfg: RunConfig, state: MFState):
     """Optional live-factor publisher (reference C6c shm serving pattern)."""
     if not cfg.publish_shm:
@@ -139,13 +152,16 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
                 n=cfg.topn, max_users=512), 4)
         metrics.log(**record)
+        stop = _early_stop(cfg, history, metrics)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
-                or epoch + 1 == params.epochs):
+                or epoch + 1 == params.epochs or stop):
             save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
                             config=config_dict(cfg))
         if shm_writer is not None:
             shm_writer.publish(state, epoch + 1)
+        if stop:
+            break
     if shm_writer is not None:
         shm_writer.close()
     if cfg.measure_serving:
@@ -251,9 +267,10 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         history.append(rmse)
         metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
                     epoch_s=round(epoch_s, 4), algo=cfg.algorithm, shards=D)
+        stop = _early_stop(cfg, history, metrics)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
-                or epoch + 1 == params.epochs):
+                or epoch + 1 == params.epochs or stop):
             gstate = gather_state(st, meta)  # reused for TrainResult below
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg))
@@ -264,6 +281,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             # checkpoint gather when it happened this epoch
             shm_writer.publish(gstate if gstate is not None
                                else gather_state(st, meta), epoch + 1)
+        if stop:
+            break
     if shm_writer is not None:
         shm_writer.close()
     if cfg.measure_serving:
@@ -344,14 +363,17 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
                     epoch_s=round(epoch_s, 4), algo=cfg.algorithm,
                     shards=cfg.mesh.n_shards, mode="item_sharded")
+        stop = _early_stop(cfg, history, metrics)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
-                or epoch + 1 == params.epochs):
+                or epoch + 1 == params.epochs or stop):
             save_checkpoint(os.path.join(out, "ckpt"),
                             dual_gather_state(st, meta), epoch + 1,
                             config=config_dict(cfg))
         if shm_writer is not None:
             shm_writer.publish(dual_gather_state(st, meta), epoch + 1)
+        if stop:
+            break
     if shm_writer is not None:
         shm_writer.close()
     gstate = dual_gather_state(st, meta)
