@@ -99,6 +99,54 @@ def test_shm_recommender_hot_reload(shm_name):
         rec.close()
 
 
+def test_concurrent_publish_never_tears(shm_name):
+    """Seqlock contract: while a writer republishes constantly, every reader
+    snapshot is internally consistent — here each publish writes uniform
+    arrays (U==V==bu==bi==mu==epoch), so any mix of two epochs is detectable
+    in a single snapshot."""
+    import threading
+
+    n_users, n_items, rank = 64, 64, 16
+    states = []
+    for c in range(1, 6):
+        U = np.full((n_users + 1, rank), float(c), np.float32)
+        import jax.numpy as jnp
+
+        from ycnr_tpu.models.base import MFState
+        states.append(MFState(jnp.asarray(U), jnp.asarray(U),
+                              jnp.asarray(U[:, 0]), jnp.asarray(U[:, 0]),
+                              jnp.asarray(np.float32(c))))
+
+    stop = threading.Event()
+    with FactorShmWriter(shm_name, n_users, n_items, rank) as w:
+        w.publish(states[0], 1)
+
+        def writer():
+            k = 0
+            while not stop.is_set():
+                k += 1
+                c = k % 5
+                w.publish(states[c], c + 1)
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        try:
+            with FactorShmReader(shm_name) as r:
+                seen = set()
+                for _ in range(300):
+                    got, e = r.read(max_retries=10_000)
+                    c = float(e)
+                    seen.add(e)
+                    for arr in (got.U, got.V, got.bu, got.bi):
+                        a = np.asarray(arr, np.float32)
+                        assert (a == c).all(), "torn snapshot"
+                    assert float(got.mu) == c
+        finally:
+            stop.set()
+            t.join(timeout=10)
+        assert len(seen) > 1, "writer never got a publish in between"
+
+
 _CHILD = r"""
 import json, sys
 import numpy as np
