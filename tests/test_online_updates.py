@@ -40,6 +40,21 @@ def test_add_ratings_resolves_user_row():
                                   np.asarray(state.U[4]))
 
 
+def test_add_ratings_rerating_replaces():
+    n_users, n_items = 10, 15
+    u, i, r = synthetic_ratings(n_users, n_items, 80, true_rank=2, seed=1)
+    state = init_state(n_users, n_items, 4, seed=0)
+    rec = Recommender(state, u, i, train_r=r)
+    before = int((rec.train_u == 2).sum())
+    rated = rec.train_i[rec.train_u == 2][0]
+    # re-rate an existing item twice in one update: last value wins, count
+    # stays (no duplicate (u, i) rows in the solve)
+    rec.add_ratings(2, [rated, rated], [1.0, 5.0])
+    mine = rec.train_u == 2
+    assert int(mine.sum()) == before
+    assert rec.train_r[mine & (rec.train_i == rated)] == [5.0]
+
+
 def test_add_ratings_guards():
     u = np.array([0, 1])
     i = np.array([1, 2])

@@ -99,6 +99,41 @@ def test_shm_recommender_hot_reload(shm_name):
         rec.close()
 
 
+def test_publish_dim_mismatch_raises(shm_name):
+    with FactorShmWriter(shm_name, 13, 9, 4) as w:
+        with pytest.raises(ValueError, match="dims"):
+            w.publish(_mk_state(rank=8), 1)
+
+
+def test_writer_restart_same_dims_keeps_readers_live(shm_name):
+    s1, s2 = _mk_state(seed=1), _mk_state(seed=2)
+    with FactorShmWriter(shm_name, 13, 9, 4) as w1:
+        w1.publish(s1, 1)
+        with FactorShmReader(shm_name) as r:
+            assert r.read()[1] == 1
+            # trainer restarts: same dims -> adopts the live segment
+            with FactorShmWriter(shm_name, 13, 9, 4) as w2:
+                w2.publish(s2, 2)
+            got, e = r.read()
+            assert e == 2
+            np.testing.assert_array_equal(np.asarray(got.U, np.float32),
+                                          np.asarray(s2.U, np.float32))
+
+
+def test_writer_restart_new_dims_isolates_old_readers(shm_name):
+    with FactorShmWriter(shm_name, 13, 9, 4) as w1:
+        w1.publish(_mk_state(), 1)
+        with FactorShmReader(shm_name) as old:
+            # dims changed -> fresh segment; the old mapping stays intact
+            with FactorShmWriter(shm_name, 20, 9, 8) as w2:
+                w2.publish(_mk_state(20, 9, 8), 7)
+                got, e = old.read()  # old reader: old data, no crash
+                assert e == 1 and got.U.shape == (14, 4)
+                with FactorShmReader(shm_name) as new:
+                    assert (new.n_users, new.rank) == (20, 8)
+                    assert new.read()[1] == 7
+
+
 def test_concurrent_publish_never_tears(shm_name):
     """Seqlock contract: while a writer republishes constantly, every reader
     snapshot is internally consistent — here each publish writes uniform

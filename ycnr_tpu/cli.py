@@ -184,6 +184,43 @@ def cmd_recommend(args):
     from ycnr_tpu.data.store import RatingsStore
 
     store = RatingsStore(args.store)
+    maps = store.id_maps()  # dense -> original dataset ids (if imported)
+
+    def _load_state():
+        if args.shm:
+            from ycnr_tpu.serve.shm import FactorShmReader
+
+            with FactorShmReader(args.shm) as r:
+                return r.read()[0]
+        from ycnr_tpu.train.checkpoint import load_checkpoint
+
+        return load_checkpoint(args.ckpt)[0]
+
+    if args.rated:
+        # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
+        # (needs only the factor state, not the full rated-mask index)
+        from ycnr_tpu.serve.fold_in import recommend_fold_in
+
+        pairs = [p.split(":") for p in args.rated.split(",")]
+        ii = np.asarray([int(a) for a, _ in pairs])
+        rr = np.asarray([float(b) for _, b in pairs], np.float32)
+        if maps is not None:
+            pos = np.searchsorted(maps[1], ii)
+            bad = (pos >= len(maps[1])) | (maps[1][np.minimum(
+                pos, len(maps[1]) - 1)] != ii)
+            if bad.any():
+                print(json.dumps({"user": "cold", "error":
+                                  "unknown item ids in this dataset",
+                                  "items": [int(x) for x in ii[bad]]}))
+                return
+            ii = pos
+        items = recommend_fold_in(_load_state(), [ii], [rr], n=args.n)[0][0]
+        if maps is not None:
+            items = maps[1][np.asarray(items)]
+        print(json.dumps({"user": "cold",
+                          "items": [int(x) for x in items]}))
+        return
+
     u, i, r = store.read_all()
     if args.shm:
         from ycnr_tpu.serve.shm import ShmRecommender
@@ -191,27 +228,8 @@ def cmd_recommend(args):
         rec = ShmRecommender(args.shm, u, i)
     else:
         from ycnr_tpu.serve.engine import Recommender
-        from ycnr_tpu.train.checkpoint import load_checkpoint
 
-        state, manifest = load_checkpoint(args.ckpt)
-        rec = Recommender(state, u, i)
-    maps = store.id_maps()  # dense -> original dataset ids (if imported)
-    if args.rated:
-        # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
-        from ycnr_tpu.serve.fold_in import recommend_fold_in
-
-        state = rec._rec.state if args.shm else rec.state
-        pairs = [p.split(":") for p in args.rated.split(",")]
-        ii = np.asarray([int(a) for a, _ in pairs])
-        rr = np.asarray([float(b) for _, b in pairs], np.float32)
-        if maps is not None:
-            ii = np.searchsorted(maps[1], ii)
-        items = recommend_fold_in(state, [ii], [rr], n=args.n)[0][0]
-        if maps is not None:
-            items = maps[1][np.asarray(items)]
-        print(json.dumps({"user": "cold",
-                          "items": [int(x) for x in items]}))
-        return
+        rec = Recommender(_load_state(), u, i)
     for uid in args.user:
         dense = uid
         if maps is not None:

@@ -17,9 +17,13 @@ from ycnr_tpu.models.base import MFState
 
 
 def _sample_users(test_u, test_i, max_users: int, seed: int):
-    """Deterministic user subsample shared by all ranking metrics."""
-    test_u = np.asarray(test_u)
-    test_i = np.asarray(test_i)
+    """Deterministic user subsample shared by all ranking metrics.
+
+    Duplicate (u, i) test interactions are collapsed so the interaction-
+    level hit_rate and the user-set metrics agree on one definition."""
+    pairs = np.unique(np.stack([np.asarray(test_u), np.asarray(test_i)]),
+                      axis=1)
+    test_u, test_i = pairs[0], pairs[1]
     users = np.unique(test_u)
     if len(users) > max_users:
         rng = np.random.default_rng(seed)

@@ -29,6 +29,7 @@
 #include <cstring>
 
 #include <fcntl.h>
+#include <sched.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -79,11 +80,31 @@ extern "C" {
 
 // Create (or recreate) the named segment sized for the given dims and map
 // it read-write. Returns the mapping, or NULL on failure.
+void* ycnr_shm_attach(const char* name);  // forward (reuse in create)
+
 void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
                       int64_t rank) {
   if (n_users <= 0 || n_items <= 0 || rank <= 0) return nullptr;
   const Sizes s = sizes_for(n_users, n_items, rank);
-  int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
+  // If a valid segment with IDENTICAL dims already exists, adopt it (a
+  // restarted trainer keeps publishing where live readers are attached).
+  // Otherwise unlink first: readers of the old segment keep their (still
+  // valid) old mapping rather than seeing a resized header under their
+  // feet; new attachers get the fresh segment.
+  if (void* existing = ycnr_shm_attach(name)) {
+    Header* eh = static_cast<Header*>(existing);
+    if (eh->n_users == n_users && eh->n_items == n_items
+        && eh->rank == rank) {
+      // if the previous writer died mid-publish, re-even the seqlock so
+      // the odd/even protocol stays intact for our publishes
+      uint32_t seq = eh->seq.load(std::memory_order_relaxed);
+      if (seq & 1) eh->seq.store(seq + 1, std::memory_order_release);
+      return existing;
+    }
+    munmap(existing, (size_t)eh->total_bytes);
+  }
+  shm_unlink(name);
+  int fd = shm_open(name, O_CREAT | O_EXCL | O_RDWR, 0600);
   if (fd < 0) return nullptr;
   if (ftruncate(fd, (off_t)s.total) != 0) {
     close(fd);
@@ -173,16 +194,25 @@ int ycnr_shm_publish(void* handle, int64_t epoch, double mu, const float* U,
 }
 
 // Seqlock read: copy out, then verify seq did not move. Returns the epoch
-// of the snapshot, or -1 if max_retries consecutive publishes tore it, or
-// -2 if nothing has been published yet.
+// of the snapshot, or -1 if max_retries consecutive publishes tore it (or
+// a writer died mid-publish), or -2 if nothing has been published yet.
+// Waiting out a writer-in-flight window does NOT consume retries (a large
+// publish memcpy takes milliseconds; spins are nanoseconds) — it yields,
+// bounded separately so a dead writer cannot hang the reader forever.
 int64_t ycnr_shm_read(void* handle, float* U, float* V, float* bu, float* bi,
                       double* mu, int max_retries) {
   Header* h = static_cast<Header*>(handle);
   const Sizes s = sizes_for(h->n_users, h->n_items, h->rank);
   const float* base = arrays_base(h);
-  for (int attempt = 0; attempt <= max_retries; attempt++) {
+  long odd_spins = 0;
+  for (int attempt = 0; attempt <= max_retries;) {
     uint32_t s1 = h->seq.load(std::memory_order_acquire);
-    if (s1 & 1) continue;  // writer mid-publish; retry
+    if (s1 & 1) {  // writer mid-publish: wait it out, don't burn retries
+      if (++odd_spins > (4 << 20)) return -1;  // ~seconds: writer is dead
+      sched_yield();
+      continue;
+    }
+    attempt++;
     if (h->epoch < 0) return -2;
     memcpy(U, base, s.u);
     memcpy(V, reinterpret_cast<const char*>(base) + s.u, s.v);

@@ -72,6 +72,18 @@ class Recommender:
                 f"users")
         item_ids = np.asarray(item_ids).reshape(-1)
         ratings = np.asarray(ratings, np.float32).reshape(-1)
+        # re-rating replaces: keep the last value per item within the update
+        # and drop the user's previous rows for the updated items
+        uniq, inv = np.unique(item_ids, return_inverse=True)
+        last = np.zeros(len(uniq), np.int64)
+        last[inv] = np.arange(len(item_ids))  # later writes win
+        item_ids, ratings = item_ids[last], ratings[last]
+        drop = (self.train_u == user_id) & np.isin(self.train_i, item_ids)
+        if drop.any():
+            keep = ~drop
+            self.train_u = self.train_u[keep]
+            self.train_i = self.train_i[keep]
+            self.train_r = self.train_r[keep]
         self.train_u = np.concatenate(
             [self.train_u, np.full(len(item_ids), user_id,
                                    self.train_u.dtype)])

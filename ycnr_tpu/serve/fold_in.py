@@ -67,6 +67,12 @@ def _pad_lists(item_lists, rating_lists, n_items, dtype):
     return idx, r
 
 
+def _fold_in_padded(state: MFState, idx, r, dtype, lam, alpha):
+    return np.asarray(_fold_in(state.V, jnp.asarray(idx), jnp.asarray(r),
+                               dtype.type(lam), dtype.type(alpha or 0.0),
+                               alpha is not None))
+
+
 def fold_in_users(state: MFState, item_lists: Sequence,
                   rating_lists: Sequence, lam: float = 0.05,
                   alpha: Optional[float] = None) -> np.ndarray:
@@ -76,9 +82,7 @@ def fold_in_users(state: MFState, item_lists: Sequence,
     dtype = np.dtype(state.U.dtype) if state.U.dtype != jnp.bfloat16 \
         else np.float32
     idx, r = _pad_lists(item_lists, rating_lists, state.n_items, dtype)
-    return np.asarray(_fold_in(state.V, jnp.asarray(idx), jnp.asarray(r),
-                               dtype.type(lam), dtype.type(alpha or 0.0),
-                               alpha is not None))
+    return _fold_in_padded(state, idx, r, dtype, lam, alpha)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -97,8 +101,10 @@ def recommend_fold_in(state: MFState, item_lists: Sequence,
     """Top-N for ad-hoc users straight from their rating lists (fold-in +
     masked top-k). Returns (items [m, n], scores [m, n]). The users' own
     rated items are masked exactly like the trained serving path."""
-    rows = fold_in_users(state, item_lists, rating_lists, lam, alpha)
-    idx, _ = _pad_lists(item_lists, rating_lists, state.n_items, np.float32)
+    dtype = np.dtype(state.U.dtype) if state.U.dtype != jnp.bfloat16 \
+        else np.float32
+    idx, r = _pad_lists(item_lists, rating_lists, state.n_items, dtype)
+    rows = _fold_in_padded(state, idx, r, dtype, lam, alpha)
     top_s, top_i = _topn_rows(jnp.asarray(rows, state.V.dtype), state.V,
                               state.bi, state.mu, jnp.asarray(idx), n)
     return np.asarray(top_i), np.asarray(top_s)

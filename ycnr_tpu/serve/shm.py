@@ -49,11 +49,18 @@ class FactorShmWriter:
             raise RuntimeError("native shm library unavailable (no g++?)")
         self._lib = lib
         self.name = name
+        self.n_users, self.n_items, self.rank = n_users, n_items, rank
         self._h = lib.ycnr_shm_create(name.encode(), n_users, n_items, rank)
         if not self._h:
             raise OSError(f"shm_open/mmap failed for {name!r}")
 
     def publish(self, state: MFState, epoch: int):
+        if (state.n_users, state.n_items, state.rank) != (
+                self.n_users, self.n_items, self.rank):
+            raise ValueError(
+                f"state dims (users={state.n_users}, items={state.n_items}, "
+                f"rank={state.rank}) != segment dims ({self.n_users}, "
+                f"{self.n_items}, {self.rank})")
         U, V, bu, bi = _state_arrays(state)
         self._lib.ycnr_shm_publish(self._h, int(epoch), float(state.mu),
                                    _f32ptr(U), _f32ptr(V), _f32ptr(bu),

@@ -38,14 +38,15 @@ def _algo_params(cfg: RunConfig):
     return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
 
 
-def _early_stop(cfg: RunConfig, history: list, metrics) -> bool:
+def _early_stop(cfg: RunConfig, history: list, metrics, epoch: int) -> bool:
     """True when the last `patience` epochs brought no improvement of at
-    least min_delta over the best RMSE before them."""
+    least min_delta over the best RMSE before them. On resumed runs the
+    comparison window covers post-resume epochs only (history restarts)."""
     p = cfg.early_stop_patience
     if p <= 0 or len(history) <= p:
         return False
     if min(history[-p:]) > min(history[:-p]) - cfg.early_stop_min_delta:
-        metrics.log(event="early_stop", epoch=len(history),
+        metrics.log(event="early_stop", epoch=epoch,
                     best_rmse=round(min(history), 6))
         return True
     return False
@@ -152,7 +153,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
                 n=cfg.topn, max_users=512), 4)
         metrics.log(**record)
-        stop = _early_stop(cfg, history, metrics)
+        stop = _early_stop(cfg, history, metrics, epoch + 1)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs or stop):
@@ -267,7 +268,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         history.append(rmse)
         metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
                     epoch_s=round(epoch_s, 4), algo=cfg.algorithm, shards=D)
-        stop = _early_stop(cfg, history, metrics)
+        stop = _early_stop(cfg, history, metrics, epoch + 1)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs or stop):
@@ -346,6 +347,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     st = dual_scatter_state(gstate, meta, mesh)
 
     history = []
+    gstate = None  # re-gathered per epoch below (checkpoint/publish reuse)
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
         if cfg.algorithm == "als":
@@ -363,20 +365,23 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
                     epoch_s=round(epoch_s, 4), algo=cfg.algorithm,
                     shards=cfg.mesh.n_shards, mode="item_sharded")
-        stop = _early_stop(cfg, history, metrics)
+        stop = _early_stop(cfg, history, metrics, epoch + 1)
+        gstate = None  # gather at most once per epoch (all_gather of U AND V)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs or stop):
-            save_checkpoint(os.path.join(out, "ckpt"),
-                            dual_gather_state(st, meta), epoch + 1,
+            gstate = dual_gather_state(st, meta)
+            save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg))
         if shm_writer is not None:
-            shm_writer.publish(dual_gather_state(st, meta), epoch + 1)
+            shm_writer.publish(gstate if gstate is not None
+                               else dual_gather_state(st, meta), epoch + 1)
         if stop:
             break
     if shm_writer is not None:
         shm_writer.close()
-    gstate = dual_gather_state(st, meta)
+    if gstate is None:
+        gstate = dual_gather_state(st, meta)
     if cfg.measure_serving:
         # dual mode shards V too; serve from the gathered single-chip state
         # (the mesh serving path needs a replicated V — shard.py mode)
