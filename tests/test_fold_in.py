@@ -81,6 +81,23 @@ def test_recommend_masks_rated(setup):
         assert np.all(np.diff(scores[j]) <= 1e-6)
 
 
+def test_item_fold_in_matches_numpy_solve(setup):
+    n_users, n_items, u, i, r, state = setup
+    lam = 0.06
+    U = np.asarray(state.U, np.float64)[:-1]
+    items = [4, 21]
+    ul = [u[i == x] for x in items]
+    rl = [r[i == x] for x in items]
+    from ycnr_tpu.serve.fold_in import fold_in_items
+
+    rows = fold_in_items(state, ul, rl, lam=lam)
+    for j, (uu, rr) in enumerate(zip(ul, rl)):
+        Ur = U[uu]
+        A = Ur.T @ Ur + lam * len(uu) * np.eye(U.shape[1])
+        expect = np.linalg.solve(A, Ur.T @ rr)
+        np.testing.assert_allclose(rows[j], expect, rtol=2e-4, atol=2e-6)
+
+
 def test_empty_list_is_safe(setup):
     *_, state = setup
     rows = fold_in_users(state, [np.array([], np.int64)],

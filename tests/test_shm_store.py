@@ -168,7 +168,7 @@ def test_concurrent_publish_never_tears(shm_name):
         try:
             with FactorShmReader(shm_name) as r:
                 seen = set()
-                for _ in range(300):
+                for _ in range(100):
                     got, e = r.read(max_retries=10_000)
                     c = float(e)
                     seen.add(e)

@@ -85,6 +85,21 @@ def fold_in_users(state: MFState, item_lists: Sequence,
     return _fold_in_padded(state, idx, r, dtype, lam, alpha)
 
 
+def fold_in_items(state: MFState, user_lists: Sequence,
+                  rating_lists: Sequence, lam: float = 0.05,
+                  alpha: Optional[float] = None) -> np.ndarray:
+    """Factors [m, k] for m ad-hoc ITEMS from (user_ids, ratings) lists —
+    the symmetric V-step solve against the trained user factors (a new
+    catalog item becomes recommendable without retraining)."""
+    dtype = np.dtype(state.V.dtype) if state.V.dtype != jnp.bfloat16 \
+        else np.float32
+    idx, r = _pad_lists(user_lists, rating_lists, state.n_users, dtype)
+    # the jitted solve is symmetric in U/V: pass U as the fixed factor
+    return np.asarray(_fold_in(state.U, jnp.asarray(idx), jnp.asarray(r),
+                               dtype.type(lam), dtype.type(alpha or 0.0),
+                               alpha is not None))
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _topn_rows(rows, V, bi, mu, rated_padded, n: int):
     n_items = V.shape[0] - 1
