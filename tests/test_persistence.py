@@ -26,6 +26,43 @@ def test_checkpoint_roundtrip(tmp_path):
     assert man2["epoch"] == 6
 
 
+def test_checkpoint_orbax_backend(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    rng = np.random.default_rng(2)
+    st = state_from_numpy(rng.normal(size=(6, 3)), rng.normal(size=(5, 3)),
+                          mu=1.5)
+    save_checkpoint(str(tmp_path / "ck"), st, epoch=2, backend="orbax")
+    st2, man = load_checkpoint(str(tmp_path / "ck"))
+    assert man["backend"] == "orbax" and man["epoch"] == 2
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # overwrite with a later epoch (orbax refuses overwrites; we clear)
+    save_checkpoint(str(tmp_path / "ck"), st2, epoch=3, backend="orbax")
+    _, man2 = load_checkpoint(str(tmp_path / "ck"))
+    assert man2["epoch"] == 3
+    with pytest.raises(ValueError, match="backend"):
+        save_checkpoint(str(tmp_path / "ck"), st, epoch=4, backend="zarr")
+
+
+def test_train_resume_from_orbax(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ycnr_tpu.config import ALSConfig, DataConfig, RunConfig
+    from ycnr_tpu.train.loop import train
+
+    cfg = RunConfig(
+        name="orb", algorithm="als",
+        data=DataConfig(source="synthetic", n_users=40, n_items=20,
+                        n_ratings=500, chunk_len=8),
+        als=ALSConfig(rank=4, epochs=2), out_dir=str(tmp_path),
+        log_train_rmse=False, checkpoint_backend="orbax")
+    r1 = train(cfg)
+    ck = f"{r1.out_dir}/ckpt"
+    _, man = load_checkpoint(ck)
+    assert man["backend"] == "orbax" and man["epoch"] == 2
+    r2 = train(cfg.replace(als=ALSConfig(rank=4, epochs=4)), resume=ck)
+    assert len(r2.rmse_history) == 2  # epochs 3 and 4 only
+
+
 def test_store_stream_portions(tmp_path):
     store = RatingsStore(str(tmp_path / "s"))
     rng = np.random.default_rng(1)

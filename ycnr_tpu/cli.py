@@ -40,6 +40,9 @@ def _add_train_overrides(p):
                    help="publish factors into shared memory after each "
                         "epoch so serving processes hot-reload them "
                         "(serve.ShmRecommender)")
+    p.add_argument("--ckpt-backend", choices=["npz", "orbax"],
+                   help="checkpoint array storage (default npz; orbax = "
+                        "JAX-ecosystem TensorStore format)")
     p.add_argument("--early-stop", type=int, metavar="PATIENCE",
                    help="stop when held-out RMSE hasn't improved for "
                         "PATIENCE epochs")
@@ -100,6 +103,8 @@ def _build_cfg(args):
     if getattr(args, "early_stop", None):
         cfg = cfg.replace(early_stop_patience=args.early_stop,
                           early_stop_min_delta=args.early_stop_delta)
+    if getattr(args, "ckpt_backend", None):
+        cfg = cfg.replace(checkpoint_backend=args.ckpt_backend)
     cfg = cfg.replace(out_dir=args.out)
     return cfg
 

@@ -105,6 +105,7 @@ class RunConfig:
     seed: int = 0
     out_dir: str = "runs"
     checkpoint_every: int = 1  # epochs between checkpoints (0 = off)
+    checkpoint_backend: str = "npz"  # npz | orbax (train/checkpoint.py)
     # stop when held-out RMSE has not improved by min_delta for `patience`
     # consecutive epochs (0 = run all epochs, the reference behavior)
     early_stop_patience: int = 0

@@ -2,9 +2,20 @@
 
 The reference persists trained factors to disk/PG tables so recommendation
 can run without retraining; a dead worker means rerunning the epoch. Here
-every epoch can durably snapshot {U, V, b_u, b_i, mu, epoch, config} as an
-npz + JSON manifest, making jobs trivially resumable mid-training (fixed-mesh
-SPMD needs no elastic membership). Writes are atomic (tmp + rename).
+every epoch can durably snapshot {U, V, b_u, b_i, mu, epoch, config},
+making jobs trivially resumable mid-training (fixed-mesh SPMD needs no
+elastic membership). Writes are atomic (tmp + rename).
+
+Two array backends behind one manifest format:
+
+* ``npz`` (default) — single-file NumPy archive; zero extra deps, ideal for
+  host-side serving fleets loading factors.
+* ``orbax`` — ``orbax.checkpoint.StandardCheckpointer`` over the state
+  pytree; the JAX-ecosystem standard (TensorStore/OCDBT storage). Use when
+  checkpoints should interop with other JAX tooling.
+
+``load_checkpoint`` dispatches on the manifest, so readers never care which
+backend wrote a checkpoint.
 """
 
 from __future__ import annotations
@@ -12,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import shutil
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -21,12 +33,10 @@ from ycnr_tpu.models.base import MFState
 
 _MANIFEST = "manifest.json"
 _ARRAYS = "state.npz"
+_ORBAX_DIR = "state.orbax"
 
 
-def save_checkpoint(path: str, state: MFState, epoch: int,
-                    config: Optional[dict] = None, extra: Optional[dict] = None):
-    """Snapshot state into directory `path` (atomic via tmp+rename)."""
-    os.makedirs(path, exist_ok=True)
+def _save_arrays_npz(path: str, state: MFState):
     tmp = os.path.join(path, _ARRAYS + ".tmp.npz")
     np.savez(
         tmp,
@@ -35,6 +45,31 @@ def save_checkpoint(path: str, state: MFState, epoch: int,
         mu=np.asarray(state.mu),
     )
     os.replace(tmp, os.path.join(path, _ARRAYS))
+
+
+def _save_arrays_orbax(path: str, state: MFState):
+    import orbax.checkpoint as ocp
+
+    target = os.path.join(path, _ORBAX_DIR)
+    if os.path.exists(target):  # StandardCheckpointer refuses to overwrite
+        shutil.rmtree(target)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(target), dict(state._asdict()))
+    ckptr.wait_until_finished()
+
+
+def save_checkpoint(path: str, state: MFState, epoch: int,
+                    config: Optional[dict] = None,
+                    extra: Optional[dict] = None, backend: str = "npz"):
+    """Snapshot state into directory `path` (atomic: the manifest naming the
+    arrays is renamed into place last)."""
+    os.makedirs(path, exist_ok=True)
+    if backend == "orbax":
+        _save_arrays_orbax(path, state)
+    elif backend == "npz":
+        _save_arrays_npz(path, state)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     manifest = {
         "epoch": int(epoch),
         "rank": int(state.U.shape[1]),
@@ -43,7 +78,8 @@ def save_checkpoint(path: str, state: MFState, epoch: int,
         "dtype": str(state.U.dtype),
         "config": config or {},
         "extra": extra or {},
-        "format": 1,
+        "backend": backend,
+        "format": 2,
     }
     mtmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(mtmp, "w") as f:
@@ -51,10 +87,21 @@ def save_checkpoint(path: str, state: MFState, epoch: int,
     os.replace(mtmp, os.path.join(path, _MANIFEST))
 
 
+def _load_arrays_orbax(path: str) -> MFState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(os.path.join(path, _ORBAX_DIR)))
+    return MFState(**{k: jnp.asarray(v) for k, v in tree.items()})
+
+
 def load_checkpoint(path: str) -> Tuple[MFState, dict]:
-    """Restore (state, manifest) from a checkpoint directory."""
+    """Restore (state, manifest) from a checkpoint directory (either
+    backend; dispatches on the manifest)."""
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
+    if manifest.get("backend", "npz") == "orbax":
+        return _load_arrays_orbax(path), manifest
     z = np.load(os.path.join(path, _ARRAYS))
     state = MFState(jnp.asarray(z["U"]), jnp.asarray(z["V"]),
                     jnp.asarray(z["bu"]), jnp.asarray(z["bi"]),

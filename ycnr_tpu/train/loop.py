@@ -158,7 +158,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs or stop):
             save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
-                            config=config_dict(cfg))
+                            config=config_dict(cfg),
+                            backend=cfg.checkpoint_backend)
         if shm_writer is not None:
             shm_writer.publish(state, epoch + 1)
         if stop:
@@ -274,7 +275,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                 or epoch + 1 == params.epochs or stop):
             gstate = gather_state(st, meta)  # reused for TrainResult below
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
-                            config=config_dict(cfg))
+                            config=config_dict(cfg),
+                            backend=cfg.checkpoint_backend)
         else:
             gstate = None
         if shm_writer is not None:
@@ -372,7 +374,8 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                 or epoch + 1 == params.epochs or stop):
             gstate = dual_gather_state(st, meta)
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
-                            config=config_dict(cfg))
+                            config=config_dict(cfg),
+                            backend=cfg.checkpoint_backend)
         if shm_writer is not None:
             shm_writer.publish(gstate if gstate is not None
                                else dual_gather_state(st, meta), epoch + 1)
