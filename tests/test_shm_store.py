@@ -184,6 +184,8 @@ def test_concurrent_publish_never_tears(shm_name):
 
 _CHILD = r"""
 import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env
 import numpy as np
 from ycnr_tpu.serve.shm import FactorShmReader
 

@@ -61,6 +61,29 @@ def init_state(n_users: int, n_items: int, rank: int, seed: int = 0,
     )
 
 
+def zero_cold_entities(state: MFState, train_u, train_i) -> MFState:
+    """Zero the factor/bias rows of entities with no training ratings.
+
+    The solvers' cold-entity contract (SURVEY.md hard-parts guard) is that
+    deg==0 rows solve to exactly 0 — the sharded phases enforce it because
+    they solve EVERY local row with the (deg==0) -> identity guard, but the
+    single-chip layouts pack only active entities, so cold rows would keep
+    their random init: train modes would diverge on cold entities and a
+    never-rated item would carry a random nonzero serving score. Called once
+    at training start by every mode (fresh or resumed state)."""
+    au = np.zeros(state.U.shape[0], bool)
+    au[np.asarray(train_u)] = True
+    ai = np.zeros(state.V.shape[0], bool)
+    ai[np.asarray(train_i)] = True
+    au, ai = jnp.asarray(au), jnp.asarray(ai)
+    return state._replace(
+        U=jnp.where(au[:, None], state.U, 0),
+        V=jnp.where(ai[:, None], state.V, 0),
+        bu=jnp.where(au, state.bu, 0),
+        bi=jnp.where(ai, state.bi, 0),
+    )
+
+
 def state_from_numpy(U, V, bu=None, bi=None, mu=0.0,
                      dtype=jnp.float32) -> MFState:
     """Wrap unpadded numpy factors (e.g. the oracle's) as a padded MFState."""

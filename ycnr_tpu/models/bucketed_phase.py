@@ -42,7 +42,7 @@ def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
     F_g = F.astype(jnp.bfloat16) if gather_bf16 else F
     for g in groups:
 
-        def body(Ec, blk, R=g.rows):
+        def body(Ec, blk):
             oi, rr, eid, cnt = blk
             Fg = F_g[oi]  # [NE_b, R, k]
             if gather_bf16:

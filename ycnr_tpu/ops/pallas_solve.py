@@ -74,6 +74,33 @@ def _solve_kernel(a_ref, b_ref, x_ref, s_ref, l_ref, invd_ref, n: int):
     x_ref[:] = acc
 
 
+def _substitute_batchfirst(a_ref, lt_ref, b0, invd, n: int, row):
+    """Forward + back substitution shared by the batch-first kernels
+    (looped/panel): L y = b walking L's stored columns in a_ref, then
+    L^T x = y walking lt_ref's columns (rows of L). Returns x [B, n]."""
+
+    def fwd_step(j, acc):
+        lcol = a_ref[:, j, :]
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        yj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row > j, lcol, 0.0) * yj
+        return jnp.where(row == j, yj, acc)
+
+    acc = jax.lax.fori_loop(0, n, fwd_step, b0)
+
+    def bwd_step(t, acc):
+        j = n - 1 - t
+        lrow = lt_ref[:, j, :]  # [B, n] row j of L
+        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
+        xj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
+                     keepdims=True) * ij
+        acc = acc - jnp.where(row < j, lrow, 0.0) * xj
+        return jnp.where(row == j, xj, acc)
+
+    return jax.lax.fori_loop(0, n, bwd_step, acc)
+
+
 def _solve_kernel_looped(a_ref, b_ref, x_ref, lt_ref, n: int):
     """fori_loop variant: one compiled body instead of 3n unrolled steps.
 
@@ -104,29 +131,7 @@ def _solve_kernel_looped(a_ref, b_ref, x_ref, lt_ref, n: int):
         0, n, chol_step, jnp.zeros_like(b_ref[:]))  # [B, n] 1/diag(L)
 
     lt_ref[:] = jnp.swapaxes(a_ref[:], 1, 2)  # L^T, column-major
-
-    # forward substitution: L y = b, walking columns of L (in a_ref)
-    def fwd_step(j, acc):
-        lcol = a_ref[:, j, :]
-        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
-        yj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
-                     keepdims=True) * ij
-        acc = acc - jnp.where(row > j, lcol, 0.0) * yj
-        return jnp.where(row == j, yj, acc)
-
-    acc = jax.lax.fori_loop(0, n, fwd_step, b_ref[:])
-
-    # back substitution: L^T x = y, walking columns of L^T (rows of L)
-    def bwd_step(t, acc):
-        j = n - 1 - t
-        lrow = lt_ref[:, j, :]  # [B, n] row j of L
-        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
-        xj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
-                     keepdims=True) * ij
-        acc = acc - jnp.where(row < j, lrow, 0.0) * xj
-        return jnp.where(row == j, xj, acc)
-
-    x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
+    x_ref[:] = _substitute_batchfirst(a_ref, lt_ref, b_ref[:], invd, n, row)
 
 
 def _solve_kernel_panel(a_ref, b_ref, x_ref, lt_ref, n: int, panel: int = 16):
@@ -178,27 +183,7 @@ def _solve_kernel_panel(a_ref, b_ref, x_ref, lt_ref, n: int, panel: int = 16):
                              jnp.zeros_like(b_ref[:]))
 
     lt_ref[:] = jnp.swapaxes(a_ref[:], 1, 2)
-
-    def fwd_step(j, acc):
-        lcol = a_ref[:, j, :]
-        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
-        yj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
-                     keepdims=True) * ij
-        acc = acc - jnp.where(row > j, lcol, 0.0) * yj
-        return jnp.where(row == j, yj, acc)
-
-    acc = jax.lax.fori_loop(0, n, fwd_step, b_ref[:])
-
-    def bwd_step(t, acc):
-        j = n - 1 - t
-        lrow = lt_ref[:, j, :]
-        ij = jnp.sum(jnp.where(row == j, invd, 0.0), axis=1, keepdims=True)
-        xj = jnp.sum(jnp.where(row == j, acc, 0.0), axis=1,
-                     keepdims=True) * ij
-        acc = acc - jnp.where(row < j, lrow, 0.0) * xj
-        return jnp.where(row == j, xj, acc)
-
-    x_ref[:] = jax.lax.fori_loop(0, n, bwd_step, acc)
+    x_ref[:] = _substitute_batchfirst(a_ref, lt_ref, b_ref[:], invd, n, row)
 
 
 def _solve_kernel_lanes(a_ref, b_ref, x_ref, invd_ref, n: int,

@@ -88,16 +88,32 @@ class ShardedMeta:
 
 
 def _lpt_partition(degrees: np.ndarray, D: int):
-    """Longest-processing-time user partition balanced by rating count."""
+    """Longest-processing-time entity partition balanced by rating count.
+
+    Zero-degree entities carry no load, so plain LPT would pile them all on
+    one argmin shard — inflating the padded per-shard entity count (upd) and
+    every [D, upd+1, k] buffer by up to the inactive-entity count; they are
+    dealt to the smallest member lists instead, balancing counts. Heap-based
+    (O(n log D)); the argmin-scan original was O(n*D) host work per build.
+    """
+    import heapq
+
     order = np.argsort(-degrees, kind="stable")
-    loads = np.zeros(D, np.int64)
+    n_active = int((degrees > 0).sum())
     shard_of = np.zeros(len(degrees), np.int32)
     members: list[list[int]] = [[] for _ in range(D)]
-    for u in order:
-        d = int(np.argmin(loads))
+    heap = [(0, d) for d in range(D)]  # (load, shard); ties -> lowest shard
+    for u in order[:n_active]:
+        load, d = heapq.heappop(heap)
         shard_of[u] = d
         members[d].append(int(u))
-        loads[d] += degrees[u]
+        heapq.heappush(heap, (load + int(degrees[u]), d))
+    if n_active < len(order):
+        by_count = sorted(range(D), key=lambda d: len(members[d]))
+        for j, u in enumerate(order[n_active:]):
+            d = by_count[j % D]
+            shard_of[u] = d
+            members[d].append(int(u))
     return members, shard_of
 
 
@@ -155,7 +171,7 @@ def build_sharded_data(
     per = [np.nonzero(shard_idx == d)[0] for d in range(D)]
 
     # choose one C_B valid for every shard's user- and item-major layouts
-    max_user_chunks = int(np.max(-(-deg_u // chunk_len)))
+    max_user_chunks = int(np.max(-(-deg_u // chunk_len), initial=1))
     deg_i_per = [np.bincount(train_i[p], minlength=n_items) for p in per]
     max_item_chunks = max(int(np.max(-(-di // chunk_len), initial=1))
                           for di in deg_i_per)

@@ -19,7 +19,12 @@ import numpy as np
 
 from ycnr_tpu.config import RunConfig
 from ycnr_tpu.data.dataset import Dataset, load_dataset
-from ycnr_tpu.models.base import MFState, init_state, rmse_padded
+from ycnr_tpu.models.base import (
+    MFState,
+    init_state,
+    rmse_padded_jit,
+    zero_cold_entities,
+)
 from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
 from ycnr_tpu.train.checkpoint import config_dict, load_checkpoint, save_checkpoint
 from ycnr_tpu.train.metrics import MetricsLogger
@@ -86,6 +91,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     else:
         state = init_state(ds.n_users, ds.n_items, params.rank,
                            seed=cfg.seed, mu=mu, dtype=dtype)
+    state = zero_cold_entities(state, ds.train_u, ds.train_i)
 
     pu, pi, pr, n_test = ds.padded_test()
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
@@ -137,13 +143,13 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             state = trainer.epoch(state, sgd_data, epoch)
         device_sync(state.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
-        rmse = float(rmse_padded(state, dpu, dpi, dpr, n_test))
+        rmse = float(rmse_padded_jit(state, dpu, dpi, dpr, n_test))
         history.append(rmse)
         record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
                       epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
         if cfg.log_train_rmse:
             record["rmse_train"] = round(
-                float(rmse_padded(state, dqu, dqi, dqr, n_train)), 6)
+                float(rmse_padded_jit(state, dqu, dqi, dqr, n_train)), 6)
         if cfg.algorithm == "ials":
             # RMSE vs raw ratings is not meaningful for preference scores;
             # report the implicit-feedback ranking metric as well
@@ -242,6 +248,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
                             seed=cfg.seed, mu=mu, dtype=dtype)
+    gstate = zero_cold_entities(gstate, ds.train_u, ds.train_i)
     shm_writer = _shm_writer(cfg, gstate)
     st = scatter_state(gstate, meta, mesh)
 
@@ -345,6 +352,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
                             seed=cfg.seed, dtype=dtype)
+    gstate = zero_cold_entities(gstate, ds.train_u, ds.train_i)
     shm_writer = _shm_writer(cfg, gstate)
     st = dual_scatter_state(gstate, meta, mesh)
 
