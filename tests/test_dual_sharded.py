@@ -83,3 +83,36 @@ def test_dual_ials_parity():
     # every shard's trash rows stayed zero
     assert np.all(np.asarray(st.U)[:, -1, :] == 0)
     assert np.all(np.asarray(st.V)[:, -1, :] == 0)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_dual_mesh_serving_parity(n_shards):
+    """dual_recommend_all (V sharded, item-cat space) must return the same
+    top-N as the single-chip masked serving path on the gathered state."""
+    from ycnr_tpu.eval.recommend import recommend_all
+    from ycnr_tpu.parallel.dual import dual_recommend_all
+
+    (tu, ti, tr), (su, si, sr), U0, V0, nu, ni = _setup()
+    mesh = make_mesh(n_shards)
+    data, meta = build_dual_sharded_data(tu, ti, tr, nu, ni, n_shards,
+                                         chunk_len=8, block_chunks=32,
+                                         dtype=DT, mesh=mesh,
+                                         host_user_layout=True)
+    st = dual_scatter_state(state_from_numpy(U0, V0, dtype=DT), meta, mesh)
+    st = dual_als_epoch(mesh, st, data, 0.05)
+
+    du, di, dsc = dual_recommend_all(mesh, st, data, meta, n=5)
+    g = dual_gather_state(st, meta)
+    ul = build_blocked_csr(tu, ti, tr, nu, ni, 8, 32)
+    su_, si_, ss_ = recommend_all(g, ul, n=5)
+
+    order_d, order_s = np.argsort(du), np.argsort(su_)
+    np.testing.assert_array_equal(du[order_d], su_[order_s])
+    np.testing.assert_allclose(dsc[order_d], ss_[order_s],
+                               rtol=1e-9, atol=1e-9)
+    # compare items only on real (non-backfill) slots: when a user has
+    # fewer than n unrated items both paths pad with arbitrary NEG_INF
+    # entries; elsewhere matching scores + matching items pin the top-N
+    real = ss_[order_s] > -1e37
+    np.testing.assert_array_equal(di[order_d][real], si_[order_s][real])
+    assert real.mean() > 0.9  # the dataset mostly has enough unrated items

@@ -63,6 +63,8 @@ class DualMeta:
     user_cat: np.ndarray  # [n_users] cat index of each user
     item_cat: np.ndarray  # [n_items] cat index of each item
     test_n: int
+    user_layout_host: "BlockedCSR | None" = None  # numpy copy for serving
+    #   mask builders (dual_rated_bits); kept only when requested
 
 
 def _partition(idx_count: np.ndarray, D: int):
@@ -81,7 +83,7 @@ def build_dual_sharded_data(
     train_u, train_i, train_r, n_users: int, n_items: int, n_shards: int,
     chunk_len: int = 32, block_chunks=None, rank_hint: int = 64,
     test_u=None, test_i=None, test_r=None, dtype=jnp.float32,
-    mesh: Mesh | None = None,
+    mesh: Mesh | None = None, host_user_layout: bool = False,
 ):
     D = n_shards
     train_u = np.asarray(train_u)
@@ -166,7 +168,9 @@ def build_dual_sharded_data(
                     test_r=jnp.asarray(tr, dtype))
     meta = DualMeta(n_users=n_users, n_items=n_items, n_shards=D, upd=upd,
                     ipd=ipd, user_map=user_map, item_map=item_map,
-                    user_cat=user_cat, item_cat=item_cat, test_n=len(test_r))
+                    user_cat=user_cat, item_cat=item_cat, test_n=len(test_r),
+                    user_layout_host=user_layout if host_user_layout
+                    else None)
     if mesh is not None:
         lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
         specs = DualData(user_layout=lay_spec, item_layout=lay_spec,
@@ -295,3 +299,92 @@ def dual_rmse(mesh: Mesh, st: DualState, data: DualData,
               test_n: int) -> float:
     sq = _dual_rmse_fn(mesh)(st, data)
     return float(np.sqrt(np.asarray(sq)[0] / max(test_n, 1)))
+
+
+def dual_rated_bits(meta: DualMeta) -> np.ndarray:
+    """Packed serving mask in item-CAT space [D, NB, U_B, W].
+
+    Beyond each user's rated items, every cat slot that is not a real item
+    (per-shard padding slots and trash rows — their V rows are zero, so
+    they'd score mu and outrank negatively-scored real items) is masked.
+    Needs build_dual_sharded_data(host_user_layout=True).
+    """
+    from ycnr_tpu.eval.recommend import build_rated_bits
+
+    if meta.user_layout_host is None:
+        raise ValueError("build data with host_user_layout=True for serving")
+    n_cat = meta.n_shards * (meta.ipd + 1)
+    bits = build_rated_bits(meta.user_layout_host, n_cat - 1)
+    valid = np.zeros(bits.shape[-1] * 32, bool)
+    for d in range(meta.n_shards):
+        base = d * (meta.ipd + 1)
+        valid[base : base + meta.ipd] = meta.item_map[d] < meta.n_items
+    shifts = (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, :]
+    inv_words = np.bitwise_or.reduce(
+        np.where(~valid.reshape(-1, 32), shifts, np.uint32(0)), axis=1)
+    return bits | inv_words  # broadcast over [D, NB, U_B, W]
+
+
+@lru_cache(maxsize=16)
+def _dual_topn_fn(mesh: Mesh, n: int):
+    """Top-n on the mesh with V sharded: all-gather V into cat space once
+    per call, score each shard's local users against it, mask with the
+    cat-space rated bits, exact segment top-k (eval.recommend fast path)."""
+    lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
+
+    def local(U, V, mu, lay_arrays, bits):
+        from ycnr_tpu.eval.recommend import _pad_items, topn_block
+
+        V_cat = lax.all_gather(V[0], AXIS, axis=0, tiled=True)
+        bi = jnp.zeros(V_cat.shape[0], V_cat.dtype)
+        Vp, bip = _pad_items(V_cat, bi, bits.shape[-1])
+        bu = jnp.zeros(U.shape[1], U.dtype)
+
+        def body(_, xs):
+            blk = BlockData(*xs[:5])
+            return None, topn_block(U[0], Vp, bu, bip, mu, blk, n,
+                                    rated_bits=xs[5])
+
+        xs = tuple(x[0] for x in lay_arrays) + (bits[0],)
+        _, (ids, sc) = lax.scan(body, None, xs)
+        return ids[None], sc[None]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), lay_spec, P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS))))
+
+
+def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,
+                       meta: DualMeta, n: int = 10, rated_bits=None):
+    """Top-N for every rated user ON the mesh in dual (item-sharded) mode.
+
+    Returns (user_ids, item_ids [m, n], scores [m, n]) as numpy in GLOBAL
+    ids. rated_bits: device-put dual_rated_bits(meta) for repeated serving;
+    built (and left unsharded) automatically when None.
+    """
+    if rated_bits is None:
+        rated_bits = jax.device_put(dual_rated_bits(meta),
+                                    NamedSharding(mesh, P(AXIS)))
+    ids, sc = _dual_topn_fn(mesh, n)(st.U, st.V, st.mu, data.user_layout,
+                                     rated_bits)
+    ids = np.asarray(ids)  # [D, NB, U_B, n] item-cat indices
+    sc = np.asarray(sc)
+    # cat -> global item lookup (padded score columns -> n_items)
+    n_cat = meta.n_shards * (meta.ipd + 1)
+    lut = np.full(np.asarray(rated_bits).shape[-1] * 32, meta.n_items,
+                  np.int64)
+    for d in range(meta.n_shards):
+        base = d * (meta.ipd + 1)
+        lut[base : base + meta.ipd] = meta.item_map[d]
+    assert n_cat <= len(lut)
+    eids_local = np.asarray(meta.user_layout_host.entity_ids)  # [D, NB, U_B]
+    out_u, out_i, out_s = [], [], []
+    for d in range(meta.n_shards):
+        slots = eids_local[d].reshape(-1)
+        real = slots < meta.upd
+        out_u.append(meta.user_map[d][slots[real]])
+        out_i.append(lut[ids[d].reshape(-1, n)[real]])
+        out_s.append(sc[d].reshape(-1, n)[real])
+    return (np.concatenate(out_u), np.concatenate(out_i),
+            np.concatenate(out_s))

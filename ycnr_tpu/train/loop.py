@@ -343,7 +343,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         cfg.mesh.n_shards, chunk_len=cfg.data.chunk_len,
         block_chunks=cfg.data.block_chunks, rank_hint=params.rank,
         test_u=ds.test_u, test_i=ds.test_i, test_r=ds.test_r, dtype=dtype,
-        mesh=mesh)
+        mesh=mesh, host_user_layout=cfg.measure_serving)
     start_epoch = 0
     if resume:
         gstate, manifest = load_checkpoint(resume)
@@ -394,9 +394,23 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     if gstate is None:
         gstate = dual_gather_state(st, meta)
     if cfg.measure_serving:
-        # dual mode shards V too; serve from the gathered single-chip state
-        # (the mesh serving path needs a replicated V — shard.py mode)
-        _log_serving_metric(cfg, ds, gstate, metrics, shards=1,
-                            mode="gathered_single_chip")
+        # top-N on the mesh with V still sharded: one V all-gather per call,
+        # users scored shard-locally in item-cat space (dual_recommend_all)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ycnr_tpu.parallel.dual import _dual_topn_fn, dual_rated_bits
+        from ycnr_tpu.parallel.mesh import AXIS
+
+        bits = jax.device_put(dual_rated_bits(meta),
+                              NamedSharding(mesh, P(AXIS)))
+        n_served = int((np.asarray(meta.user_layout_host.entity_ids)
+                        < meta.upd).sum())
+        fn = _dual_topn_fn(mesh, cfg.topn)
+        dt = _time_serving(lambda: fn(st.U, st.V, st.mu,
+                                      data.user_layout, bits)[1])
+        metrics.log(event="serving", users=n_served, topn=cfg.topn,
+                    shards=meta.n_shards, mode="mesh_item_sharded",
+                    serve_s=round(dt, 4),
+                    recs_per_s=round(n_served / dt, 1))
     return TrainResult(state=gstate, dataset=ds,
                        rmse_history=history, out_dir=out)
