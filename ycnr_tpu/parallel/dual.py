@@ -10,9 +10,9 @@ item solves are sharded instead of replicated.
 Index convention ("cat space"): with D shards and per-shard padded sizes
 upd/ipd, global user u living at (shard d, local j) is addressed as
 d*(upd+1)+j in the all-gathered U_cat = all_gather(U_local) of shape
-[D*(upd+1), k]. Every shard's row `upd` is an all-zero trash row, so padding
-can point at cat index `upd` (shard 0's trash row) and the zero-row trick
-holds unchanged.
+[D*(upd+1), k]. Every shard's row `upd` is an all-zero trash row, so layout
+padding points at cat index D*(upd+1)-1 (the last shard's trash row) and
+the zero-row trick holds unchanged.
 
 SGD keeps the V-replicated scheme of parallel.shard (its per-batch V deltas
 are global); this module covers the alternating solvers.
@@ -34,7 +34,13 @@ from ycnr_tpu.models.base import MFState
 from ycnr_tpu.ops.gram import BlockData, solve_block
 from ycnr_tpu.ops.layout import BlockedCSR, build_blocked_csr
 from ycnr_tpu.parallel.mesh import AXIS
-from ycnr_tpu.parallel.shard import _lpt_partition, _pad_blocks
+from ycnr_tpu.parallel.shard import (
+    _device_stacked,
+    _lpt_partition,
+    _pad_blocks,
+    _stack_layouts,
+    _stack_ragged,
+)
 
 
 class DualState(NamedTuple):
@@ -131,12 +137,7 @@ def build_dual_sharded_data(
     nb_i = max(l.n_blocks for l in i_lays)
     u_lays = [_pad_blocks(l, nb_u, upd, D * (ipd + 1) - 1) for l in u_lays]
     i_lays = [_pad_blocks(l, nb_i, ipd, D * (upd + 1) - 1) for l in i_lays]
-
-    def stack(lays):
-        return BlockedCSR(*(np.stack([getattr(l, f) for l in lays])
-                            for f in BlockedCSR._fields))
-
-    user_layout, item_layout = stack(u_lays), stack(i_lays)
+    user_layout, item_layout = _stack_layouts(u_lays), _stack_layouts(i_lays)
 
     if test_u is None:
         test_u = np.zeros(0, np.int32)
@@ -146,24 +147,13 @@ def build_dual_sharded_data(
     test_i = np.asarray(test_i)
     test_r = np.asarray(test_r, np.float32)
     tper = [np.nonzero(ushard[test_u] == d)[0] for d in range(D)]
-    n_test = max(1, max(len(p) for p in tper))
-    n_test = int(-(-n_test // 8) * 8)
-    tu = np.full((D, n_test), upd, np.int32)
-    ti = np.full((D, n_test), ipd, np.int32)  # shard-0 trash row in cat space
-    tr = np.zeros((D, n_test), np.float32)
-    for d, p in enumerate(tper):
-        tu[d, : len(p)] = u_local[test_u[p]]
-        ti[d, : len(p)] = item_cat[test_i[p]]
-        tr[d, : len(p)] = test_r[p]
+    # test item padding -> ipd = shard-0's trash row in cat space
+    tu, ti, tr = _stack_ragged(
+        [(u_local[test_u[p]], item_cat[test_i[p]], test_r[p]) for p in tper],
+        pads=(upd, ipd, 0.0))
 
-    def dev(lay):
-        return BlockedCSR(jnp.asarray(lay.other_idx),
-                          jnp.asarray(lay.rating, dtype),
-                          jnp.asarray(lay.chunk_seg),
-                          jnp.asarray(lay.entity_ids),
-                          jnp.asarray(lay.entity_cnt, dtype))
-
-    data = DualData(user_layout=dev(user_layout), item_layout=dev(item_layout),
+    data = DualData(user_layout=_device_stacked(user_layout, dtype),
+                    item_layout=_device_stacked(item_layout, dtype),
                     test_u=jnp.asarray(tu), test_i=jnp.asarray(ti),
                     test_r=jnp.asarray(tr, dtype))
     meta = DualMeta(n_users=n_users, n_items=n_items, n_shards=D, upd=upd,

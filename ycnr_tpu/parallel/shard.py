@@ -135,6 +135,39 @@ def _pad_blocks(layout: BlockedCSR, nb: int, n_entities: int,
     )
 
 
+def _stack_layouts(lays: list) -> BlockedCSR:
+    """Stack per-shard layouts into one [D, ...]-leading BlockedCSR."""
+    return BlockedCSR(*(np.stack([getattr(l, f) for l in lays])
+                        for f in BlockedCSR._fields))
+
+
+def _device_stacked(lay: BlockedCSR, dtype) -> BlockedCSR:
+    """Host stacked layout -> device arrays (ratings/counts in dtype)."""
+    return BlockedCSR(jnp.asarray(lay.other_idx),
+                      jnp.asarray(lay.rating, dtype),
+                      jnp.asarray(lay.chunk_seg),
+                      jnp.asarray(lay.entity_ids),
+                      jnp.asarray(lay.entity_cnt, dtype))
+
+
+def _stack_ragged(per_shard: list, pads: tuple, round_to: int = 8):
+    """Pad a per-shard tuple of equal-length 1-D arrays into [D, n] blocks
+    (n = max shard length rounded up to `round_to`; float pads -> float32
+    output, int pads -> int32). Shared by the test-COO and SGD-stream
+    builders of both sharded modes."""
+    D = len(per_shard)
+    n = max(1, max(len(t[0]) for t in per_shard))
+    n = int(-(-n // round_to) * round_to)
+    outs = []
+    for c, pad in enumerate(pads):
+        dt = np.float32 if isinstance(pad, float) else np.int32
+        a = np.full((D, n), pad, dt)
+        for d, t in enumerate(per_shard):
+            a[d, : len(t[c])] = t[c]
+        outs.append(a)
+    return outs
+
+
 def build_sharded_data(
     train_u, train_i, train_r, n_users: int, n_items: int, n_shards: int,
     chunk_len: int = 32, block_chunks=None, rank_hint: int = 64,
@@ -206,10 +239,8 @@ def build_sharded_data(
     nb_i = max(l.n_blocks for l in i_lays)
     u_lays = [_pad_blocks(l, nb_u, upd, n_items) for l in u_lays]
     i_lays = [_pad_blocks(l, nb_i, n_items, upd) for l in i_lays]
-    user_layout = BlockedCSR(*(np.stack([getattr(l, f) for l in u_lays])
-                               for f in BlockedCSR._fields))
-    item_layout = BlockedCSR(*(np.stack([getattr(l, f) for l in i_lays])
-                               for f in BlockedCSR._fields))
+    user_layout = _stack_layouts(u_lays)
+    item_layout = _stack_layouts(i_lays)
 
     item_deg = np.zeros(n_items + 1, np.float32)
     item_deg[:n_items] = np.bincount(train_i, minlength=n_items)
@@ -217,15 +248,9 @@ def build_sharded_data(
     # --- SGD stream: each shard's ratings, padded to a common length that is
     # a whole number of local batches ---
     b_local = max(1, sgd_batch // D)
-    n_sgd = max(len(p) for p in per)
-    n_sgd = int(-(-n_sgd // b_local) * b_local)
-    sgd_u = np.full((D, n_sgd), upd, np.int32)
-    sgd_i = np.full((D, n_sgd), n_items, np.int32)
-    sgd_r = np.zeros((D, n_sgd), np.float32)
-    for d, p in enumerate(per):
-        sgd_u[d, : len(p)] = local_of[train_u[p]]
-        sgd_i[d, : len(p)] = train_i[p]
-        sgd_r[d, : len(p)] = train_r[p]
+    sgd_u, sgd_i, sgd_r = _stack_ragged(
+        [(local_of[train_u[p]], train_i[p], train_r[p]) for p in per],
+        pads=(upd, n_items, 0.0), round_to=b_local)
 
     # --- held-out COO sharded by the same user partition ---
     if test_u is None:
@@ -236,29 +261,13 @@ def build_sharded_data(
     test_i = np.asarray(test_i)
     test_r = np.asarray(test_r, np.float32)
     tper = [np.nonzero(shard_of[test_u] == d)[0] for d in range(D)]
-    n_test = max(1, max(len(p) for p in tper))
-    n_test = int(-(-n_test // 8) * 8)
-    tu = np.full((D, n_test), upd, np.int32)
-    ti = np.full((D, n_test), n_items, np.int32)
-    tr = np.zeros((D, n_test), np.float32)
-    for d, p in enumerate(tper):
-        tu[d, : len(p)] = local_of[test_u[p]]
-        ti[d, : len(p)] = test_i[p]
-        tr[d, : len(p)] = test_r[p]
+    tu, ti, tr = _stack_ragged(
+        [(local_of[test_u[p]], test_i[p], test_r[p]) for p in tper],
+        pads=(upd, n_items, 0.0))
 
     data = ShardedData(
-        user_layout=BlockedCSR(
-            jnp.asarray(user_layout.other_idx),
-            jnp.asarray(user_layout.rating, dtype),
-            jnp.asarray(user_layout.chunk_seg),
-            jnp.asarray(user_layout.entity_ids),
-            jnp.asarray(user_layout.entity_cnt, dtype)),
-        item_layout=BlockedCSR(
-            jnp.asarray(item_layout.other_idx),
-            jnp.asarray(item_layout.rating, dtype),
-            jnp.asarray(item_layout.chunk_seg),
-            jnp.asarray(item_layout.entity_ids),
-            jnp.asarray(item_layout.entity_cnt, dtype)),
+        user_layout=_device_stacked(user_layout, dtype),
+        item_layout=_device_stacked(item_layout, dtype),
         item_deg=jnp.asarray(item_deg, dtype),
         sgd_u=jnp.asarray(sgd_u), sgd_i=jnp.asarray(sgd_i),
         sgd_r=jnp.asarray(sgd_r, dtype),
