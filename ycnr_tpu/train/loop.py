@@ -172,6 +172,14 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             break
     if shm_writer is not None:
         shm_writer.close()
+    if cfg.algorithm == "ials" and history:
+        # final full ranking suite for the implicit model (per-epoch records
+        # carry only the cheap hit-rate)
+        from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
+        metrics.log(event="ranking", **ranking_metrics_at_n(
+            state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
+            n=cfg.topn, max_users=2048))
     if cfg.measure_serving:
         _log_serving_metric(cfg, ds, state, metrics)
     return TrainResult(state=state, dataset=ds, rmse_history=history,
