@@ -1,0 +1,127 @@
+"""End-to-end CLI coverage (the reference's entry scripts, SURVEY.md C15):
+prepare -> train -> validate -> recommend (trained / cold / shm) -> publish
+-> presets, all in-process on the CPU test backend."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.cli import main
+from ycnr_tpu.serve.shm import shm_available
+
+
+def _out_lines(capsys):
+    return [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One store + trained checkpoint shared by the serving tests."""
+    root = tmp_path_factory.mktemp("cli")
+    store = str(root / "store")
+    main(["prepare", "--source", "synthetic", "--store", store,
+          "--users", "120", "--items", "60", "--ratings", "3000"])
+    main(["train", "--preset", "ml100k-als", "--store", store,
+          "--epochs", "3", "--rank", "6", "--out", str(root / "runs")])
+    return store, str(root / "runs" / "ml100k-als" / "ckpt")
+
+
+def test_prepare_reports_shape(tmp_path, capsys):
+    main(["prepare", "--source", "synthetic", "--store",
+          str(tmp_path / "s"), "--users", "50", "--items", "20",
+          "--ratings", "400"])
+    rec = _out_lines(capsys)[-1]
+    assert rec["n_users"] == 50 and rec["rows"] > 0
+
+
+def test_train_and_metrics(trained, capsys):
+    store, ckpt = trained
+    rmse = [json.loads(line) for line in
+            open(f"{ckpt.rsplit('/', 1)[0]}/metrics.jsonl")
+            if "rmse_test" in line]
+    assert len(rmse) == 3
+    assert rmse[-1]["rmse_test"] < rmse[0]["rmse_test"]  # training works
+
+
+def test_validate_ranking(trained, capsys):
+    store, ckpt = trained
+    main(["validate", "--ckpt", ckpt, "--store", store, "--ranking"])
+    rec = _out_lines(capsys)[-1]
+    assert rec["epoch"] == 3 and "rmse_test" in rec
+    assert set(rec["ranking"]) >= {"hit_rate", "precision", "recall",
+                                   "ndcg", "map"}
+
+
+def test_recommend_trained_and_cold(trained, capsys):
+    store, ckpt = trained
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--user", "0", "3", "-n", "5"])
+    recs = _out_lines(capsys)
+    assert [r["user"] for r in recs] == [0, 3]
+    assert all(len(r["items"]) == 5 for r in recs)
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--rated", "2:5.0,7:4.0", "-n", "5"])
+    cold = _out_lines(capsys)[-1]
+    assert cold["user"] == "cold" and len(cold["items"]) == 5
+    assert not {2, 7} & set(cold["items"])  # own ratings masked
+
+
+def test_recommend_requires_source(trained):
+    store, _ = trained
+    with pytest.raises(SystemExit):
+        main(["recommend", "--store", store, "--user", "0"])
+
+
+@pytest.mark.skipif(not shm_available(), reason="no native shm library")
+def test_publish_and_shm_serving(trained, capsys):
+    import uuid
+
+    store, ckpt = trained
+    name = f"/ycnr_cli_{uuid.uuid4().hex[:10]}"
+    try:
+        main(["publish", "--ckpt", ckpt, "--shm", name])
+        assert _out_lines(capsys)[-1]["epoch"] == 3
+        main(["recommend", "--shm", name, "--store", store,
+              "--user", "1", "-n", "4"])
+        via_shm = _out_lines(capsys)[-1]
+        main(["recommend", "--ckpt", ckpt, "--store", store,
+              "--user", "1", "-n", "4"])
+        via_ckpt = _out_lines(capsys)[-1]
+        assert via_shm == via_ckpt
+    finally:
+        from ycnr_tpu.native import get_shm_lib
+
+        get_shm_lib().ycnr_shm_unlink(name.encode())
+
+
+def test_presets_list(capsys):
+    main(["presets"])
+    out = capsys.readouterr().out
+    for name in ("ml100k-als", "ml1m-sgd", "ml20m-als", "ml20m-ials",
+                 "netflix-sharded"):
+        assert name in out
+
+
+def test_movielens_import_roundtrip(tmp_path, capsys):
+    """Original (sparse) dataset ids survive prepare -> recommend."""
+    csv = tmp_path / "r.csv"
+    rows = ["userId,movieId,rating,timestamp"]
+    rng = np.random.default_rng(0)
+    for u in range(10, 40):
+        for i in rng.choice([100, 205, 333, 410, 555, 608, 777], 4,
+                            replace=False):
+            rows.append(f"{u},{i},{rng.integers(1, 6)}.0,1")
+    csv.write_text("\n".join(rows) + "\n")
+    store = str(tmp_path / "s")
+    main(["prepare", "--source", str(csv), "--store", store])
+    assert _out_lines(capsys)[-1]["id_maps"]
+    main(["train", "--preset", "ml100k-als", "--store", store,
+          "--epochs", "2", "--rank", "4", "--out", str(tmp_path / "runs")])
+    capsys.readouterr()
+    main(["recommend", "--ckpt", str(tmp_path / "runs/ml100k-als/ckpt"),
+          "--store", store, "--user", "12", "-n", "3"])
+    rec = _out_lines(capsys)[-1]
+    assert rec["user"] == 12
+    assert set(rec["items"]) <= {100, 205, 333, 410, 555, 608, 777}
