@@ -96,6 +96,26 @@ def test_publish_and_shm_serving(trained, capsys):
         get_shm_lib().ycnr_shm_unlink(name.encode())
 
 
+def test_serve_loop(trained, capsys, monkeypatch):
+    """serve: line-per-request loop — trained user, cold fold-in, bad
+    input error, then EOF ends the loop."""
+    import io
+
+    store, ckpt = trained
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("1\ncold:2:5.0,7:4.0\nnonsense\n"))
+    main(["serve", "--ckpt", ckpt, "--store", store, "-n", "4"])
+    recs = _out_lines(capsys)
+    assert recs[0]["event"] == "ready"
+    assert recs[1]["user"] == 1 and len(recs[1]["items"]) == 4
+    assert recs[2]["user"] == "cold" and not {2, 7} & set(recs[2]["items"])
+    assert "error" in recs[3]
+    # serve matches one-shot recommend for the same user
+    main(["recommend", "--ckpt", ckpt, "--store", store, "--user", "1",
+          "-n", "4"])
+    assert _out_lines(capsys)[-1]["items"] == recs[1]["items"]
+
+
 def test_presets_list(capsys):
     main(["presets"])
     out = capsys.readouterr().out

@@ -250,6 +250,80 @@ def cmd_recommend(args):
         print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
 
 
+def cmd_serve(args):
+    """Long-running serving loop: one request per stdin line, one JSON
+    response per stdout line. Requests: a user id ("42"), or an ad-hoc
+    cold-user rating list ("cold:318:5.0,296:4.5"). With --shm the factors
+    hot-reload whenever the trainer republishes (reference pattern: workers
+    serving from live shm while the master retrains)."""
+    import sys
+
+    if not args.ckpt and not args.shm:
+        raise SystemExit("serve: one of --ckpt / --shm is required")
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from ycnr_tpu.data.store import RatingsStore
+
+    store = RatingsStore(args.store)
+    u, i, r = store.read_all()
+    maps = store.id_maps()
+    if args.shm:
+        from ycnr_tpu.serve.shm import ShmRecommender
+
+        rec = ShmRecommender(args.shm, u, i)
+    else:
+        from ycnr_tpu.serve.engine import Recommender
+        from ycnr_tpu.train.checkpoint import load_checkpoint
+
+        rec = Recommender(load_checkpoint(args.ckpt)[0], u, i, train_r=r)
+    print(json.dumps({"event": "ready", "users": int(store.meta["n_users"]),
+                      "items": int(store.meta["n_items"])}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            if line.startswith("cold:"):
+                from ycnr_tpu.serve.fold_in import recommend_fold_in
+
+                pairs = [p.split(":") for p in line[5:].split(",")]
+                ii = np.asarray([int(a) for a, _ in pairs])
+                rr = np.asarray([float(b) for _, b in pairs], np.float32)
+                if maps is not None:
+                    pos = np.searchsorted(maps[1], ii)
+                    ok = (pos < len(maps[1])) & (maps[1][np.minimum(
+                        pos, len(maps[1]) - 1)] == ii)
+                    if not ok.all():
+                        raise KeyError(f"unknown items {ii[~ok].tolist()}")
+                    ii = pos
+                state = rec._rec.state if args.shm else rec.state
+                items = recommend_fold_in(state, [ii], [rr],
+                                          n=args.n)[0][0]
+                key = "cold"
+            else:
+                uid = int(line)
+                dense = uid
+                if maps is not None:
+                    pos = np.searchsorted(maps[0], uid)
+                    if pos >= len(maps[0]) or maps[0][pos] != uid:
+                        raise KeyError(f"unknown user {uid}")
+                    dense = int(pos)
+                items = rec.recommend(dense, args.n)
+                key = uid
+            if maps is not None:
+                items = maps[1][np.asarray(items)]
+            print(json.dumps({"user": key,
+                              "items": [int(x) for x in items]}),
+                  flush=True)
+        except (ValueError, KeyError, IndexError) as e:
+            print(json.dumps({"error": str(e), "request": line}),
+                  flush=True)
+
+
 def cmd_publish(args):
     """Load a checkpoint and publish it into a named shm segment (boots a
     serving fleet from durable storage; reference C6c + C8 pattern)."""
@@ -346,6 +420,16 @@ def main(argv=None):
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("serve",
+                       help="serving loop: user ids on stdin, JSON recs on "
+                            "stdout (hot-reloads factors with --shm)")
+    p.add_argument("--ckpt")
+    p.add_argument("--shm", metavar="NAME")
+    p.add_argument("--store", required=True)
+    p.add_argument("-n", type=int, default=10)
+    p.add_argument("--platform")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("publish",
                        help="publish checkpoint factors into shared memory "
