@@ -124,6 +124,33 @@ def test_presets_list(capsys):
         assert name in out
 
 
+def test_config_file_layering(tmp_path, capsys):
+    """--config JSON layers over the preset; explicit flags still win."""
+    import dataclasses
+
+    from ycnr_tpu.config import config_from_dict, get_preset
+
+    cfgfile = tmp_path / "c.json"
+    cfgfile.write_text(json.dumps({
+        "algorithm": "als",
+        "als": {"rank": 7, "lam": 0.09},
+        "data": {"source": "synthetic", "n_users": 60, "n_items": 30,
+                 "n_ratings": 700, "chunk_len": 8},
+    }))
+    main(["train", "--preset", "ml100k-als", "--config", str(cfgfile),
+          "--epochs", "2", "--out", str(tmp_path / "runs")])
+    rec = _out_lines(capsys)[-1]
+    assert rec["epochs"] == 2  # flag won over preset epochs
+    ck = json.load(open(tmp_path / "runs/ml100k-als/ckpt/manifest.json"))
+    assert ck["rank"] == 7 and ck["n_users"] == 60  # file keys applied
+
+    with pytest.raises(KeyError, match="unknown config key"):
+        config_from_dict({"nope": 1})
+    base = config_from_dict({"preset": "ml1m-sgd", "sgd": {"lr": 0.123}})
+    assert base.algorithm == "sgd" and base.sgd.lr == 0.123
+    assert dataclasses.asdict(get_preset("ml1m-sgd"))["sgd"]["lr"] != 0.123
+
+
 def test_movielens_import_roundtrip(tmp_path, capsys):
     """Original (sparse) dataset ids survive prepare -> recommend."""
     csv = tmp_path / "r.csv"

@@ -17,6 +17,9 @@ from ycnr_tpu.config import get_preset, list_presets
 
 def _add_train_overrides(p):
     p.add_argument("--preset", default="ml100k-als")
+    p.add_argument("--config", metavar="FILE.json",
+                   help="JSON config file layered over the preset "
+                        "(config.config_from_dict); other flags still win")
     p.add_argument("--source", help="synthetic | path to MovieLens file")
     p.add_argument("--store", help="RatingsStore dir to read instead of source")
     p.add_argument("--epochs", type=int)
@@ -62,6 +65,10 @@ def _add_train_overrides(p):
 
 def _build_cfg(args):
     cfg = get_preset(args.preset)
+    if getattr(args, "config", None):
+        from ycnr_tpu.config import load_config
+
+        cfg = load_config(args.config, cfg)
     if args.algorithm:
         cfg = cfg.replace(algorithm=args.algorithm)
     dkw = {}

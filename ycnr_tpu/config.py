@@ -180,6 +180,38 @@ _PRESETS = {
 }
 
 
+def config_from_dict(d: dict, base: Optional[RunConfig] = None) -> RunConfig:
+    """Build a RunConfig from a (possibly partial) nested dict — the
+    file-based config entry (reference C14: a config module consumed at
+    startup). ``{"preset": name}`` selects the base; nested keys ("data",
+    "als", "sgd", "ials", "mesh") replace fields of the sub-configs; top
+    -level keys replace RunConfig fields. Unknown keys raise."""
+    cfg = base if base is not None else (
+        get_preset(d["preset"]) if "preset" in d else RunConfig())
+    sub = {"data": DataConfig, "als": ALSConfig, "sgd": SGDConfig,
+           "ials": IALSConfig, "mesh": MeshConfig}
+    top = {f.name for f in dataclasses.fields(RunConfig)}
+    kw = {}
+    for k, v in d.items():
+        if k == "preset":
+            continue
+        if k in sub:
+            kw[k] = dataclasses.replace(getattr(cfg, k), **v)
+        elif k in top:
+            kw[k] = v
+        else:
+            raise KeyError(f"unknown config key {k!r}")
+    return cfg.replace(**kw)
+
+
+def load_config(path: str, base: Optional[RunConfig] = None) -> RunConfig:
+    """Load a JSON config file via config_from_dict."""
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f), base)
+
+
 def get_preset(name: str) -> RunConfig:
     if name not in _PRESETS:
         raise KeyError(f"unknown preset {name!r}; have {sorted(_PRESETS)}")
