@@ -74,7 +74,7 @@ def _cfg(tmp_path, patience, epochs=12):
                         n_ratings=1200, chunk_len=8),
         als=ALSConfig(rank=4, epochs=epochs),
         out_dir=str(tmp_path), checkpoint_every=0, log_train_rmse=False,
-        early_stop_patience=patience, early_stop_min_delta=1e-5)
+        early_stop_patience=patience, early_stop_min_delta=1e-3)
 
 
 def test_early_stop_triggers(tmp_path):

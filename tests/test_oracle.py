@@ -69,7 +69,9 @@ def test_sgd_learns():
 
 
 def test_ials_ranks_observed_higher():
-    ((tu, ti, tr), _), n_users, n_items = _data(seed=3)
+    # sparser grid than the default: at 4000/4800 cells observed the
+    # observed-vs-unobserved separation margin is structurally tiny
+    ((tu, ti, tr), _), n_users, n_items = _data(seed=3, nnz=1500)
     rng = np.random.default_rng(0)
     k = 8
     U = rng.normal(0, 0.1, (n_users, k))

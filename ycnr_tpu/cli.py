@@ -15,6 +15,28 @@ import json
 from ycnr_tpu.config import get_preset, list_presets
 
 
+def _open_store(path: str):
+    """Open a RatingsStore that must already hold rows.
+
+    Every subcommand that reads a store means "use previously prepared
+    data"; a missing/empty store would otherwise train or serve over zero
+    ratings and report rmse 0.0 without any hint of what went wrong.
+    """
+    from ycnr_tpu.data.store import RatingsStore
+
+    st = RatingsStore(path)
+    return (st, *_read_rows(st))
+
+
+def _read_rows(store):
+    u, i, r = store.read_all()
+    if len(r) == 0:
+        raise SystemExit(
+            f"store {store.path!r} is empty — run "
+            f"`python -m ycnr_tpu prepare --store {store.path} ...` first")
+    return u, i, r
+
+
 def _add_train_overrides(p):
     p.add_argument("--preset", default="ml100k-als")
     p.add_argument("--config", metavar="FILE.json",
@@ -134,10 +156,8 @@ def cmd_train(args):
     if args.store:
         from ycnr_tpu.data.dataset import Dataset as DS
         from ycnr_tpu.data.split import train_test_split
-        from ycnr_tpu.data.store import RatingsStore
 
-        st = RatingsStore(args.store)
-        u, i, r = st.read_all()
+        st, u, i, r = _open_store(args.store)
         n_users, n_items = st.meta["n_users"], st.meta["n_items"]
         (tu, ti, tr), (su, si, sr) = train_test_split(
             u, i, r, cfg.data.test_fraction, cfg.data.seed)
@@ -233,7 +253,7 @@ def cmd_recommend(args):
                           "items": [int(x) for x in items]}))
         return
 
-    u, i, r = store.read_all()
+    u, i, r = _read_rows(store)
     if args.shm:
         from ycnr_tpu.serve.shm import ShmRecommender
 
@@ -273,10 +293,7 @@ def cmd_serve(args):
         jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
-    from ycnr_tpu.data.store import RatingsStore
-
-    store = RatingsStore(args.store)
-    u, i, r = store.read_all()
+    store, u, i, r = _open_store(args.store)
     maps = store.id_maps()
     if args.shm:
         from ycnr_tpu.serve.shm import ShmRecommender
@@ -352,15 +369,13 @@ def cmd_validate(args):
     import numpy as np
 
     from ycnr_tpu.data.split import train_test_split
-    from ycnr_tpu.data.store import RatingsStore
     from ycnr_tpu.eval.ranking import hit_rate_at_n
     from ycnr_tpu.models.base import rmse_padded
     from ycnr_tpu.ops.layout import pad_coo
     from ycnr_tpu.train.checkpoint import load_checkpoint
 
     state, manifest = load_checkpoint(args.ckpt)
-    store = RatingsStore(args.store)
-    u, i, r = store.read_all()
+    store, u, i, r = _open_store(args.store)
     (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r,
                                                   args.test_fraction,
                                                   args.seed)
