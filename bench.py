@@ -101,6 +101,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r, 0.05, seed)
         log(f"data gen: {len(r):,} ratings in {time.time() - t0:.1f}s")
 
+    lam = 0.05
     if layout == "bucketed":
         from ycnr_tpu.models.bucketed_phase import (
             als_epoch_bucketed,
@@ -109,15 +110,6 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         )
         from ycnr_tpu.ops.bucketed import bucketed_stats, build_bucketed
 
-        if algo == "ials":
-            def epoch_fn(state, dul, dil, lam):
-                return ials_epoch_bucketed(state, dul, dil, lam, 40.0,
-                                           gather_bf16=bf16)
-        else:
-            def epoch_fn(state, dul, dil, lam):
-                return als_epoch_bucketed(state, dul, dil, lam,
-                                          gather_bf16=bf16)
-
         if cached is None:
             t0 = time.time()
             ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len, rank)
@@ -125,11 +117,20 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             log(f"layouts: {time.time() - t0:.1f}s")
         log(f"user={bucketed_stats(ul, len(tr))} "
             f"item={bucketed_stats(il, len(tr))}")
-        dul = device_bucketed(ul)
-        dil = device_bucketed(il)
+        if algo != "sgd":
+            dul = device_bucketed(ul)
+            dil = device_bucketed(il)
+        if algo == "ials":
+            def step(state, ep):
+                return ials_epoch_bucketed(state, dul, dil, lam, 40.0,
+                                           gather_bf16=bf16)
+        elif algo == "als":
+            def step(state, ep):
+                return als_epoch_bucketed(state, dul, dil, lam,
+                                          gather_bf16=bf16)
         ul_serving = None
     else:
-        from ycnr_tpu.models.als import als_epoch as epoch_fn
+        from ycnr_tpu.models.als import als_epoch
         from ycnr_tpu.models.base import device_layout
 
         if cached is None:
@@ -141,9 +142,27 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             log(f"layouts: {time.time() - t0:.1f}s")
         log(f"user={layout_stats(ul, len(tr))} "
             f"item={layout_stats(il, len(tr))}")
-        dul = device_layout(ul)
-        dil = device_layout(il)
+        if algo != "sgd":
+            dul = device_layout(ul)
+            dil = device_layout(il)
+
+        def step(state, ep):
+            return als_epoch(state, dul, dil, lam)
         ul_serving = ul
+    if algo == "sgd":
+        # biased mini-batch SGD over the shuffled rating stream (call stack
+        # 3.3 analog); layouts are not used, only the padded COO batches
+        from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
+
+        sgd_batch = 4096 if len(tr) < 10**6 else 65536
+        trainer = BiasedSGD(lam=0.02, lr=0.008, lr_decay=0.95,
+                            batch_size=sgd_batch, seed=seed,
+                            grad_mode="mean")
+        sgd_data = prepare_sgd_data(tu, ti, tr, sgd_batch, n_users, n_items)
+        log(f"sgd: {sgd_data.u.shape[0] // sgd_batch} batches of {sgd_batch}")
+
+        def step(state, ep):
+            return trainer.epoch(state, sgd_data, ep)
     if cached is None:
         t0 = time.time()
         blob = {"tu": tu, "ti": ti, "tr": tr, "su": su, "si": si, "sr": sr}
@@ -154,10 +173,10 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             np.savez(f, **blob)
         os.replace(tmp, cpath)
         log(f"cache saved {cpath}: {time.time() - t0:.1f}s")
-    state = init_state(n_users, n_items, rank, seed=seed)
+    state = init_state(n_users, n_items, rank, seed=seed,
+                       mu=float(tr.mean()) if algo == "sgd" else 0.0)
     pu, pi, pr, n = pad_coo(su, si, sr, n_users, n_items, 8192)
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
-    lam = 0.05
 
     def sync(x):
         # axon's block_until_ready does not reliably block; a scalar
@@ -165,7 +184,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         return float(jax.device_get(jnp.sum(x)))
 
     t0 = time.time()
-    state = epoch_fn(state, dul, dil, lam)
+    state = step(state, 0)
     sync(state.U)
     log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s "
         f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
@@ -173,7 +192,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     times = []
     for ep in range(epochs):
         t0 = time.time()
-        state = epoch_fn(state, dul, dil, lam)
+        state = step(state, ep + 1)
         sync(state.U)
         times.append(time.time() - t0)
         log(f"epoch {ep + 2}: {times[-1]:.3f}s "
@@ -215,7 +234,7 @@ def main():
     ap.add_argument("--scale", choices=["ml20m", "netflix"], default="ml20m",
                     help="netflix = 480k users x 17.8k items, 100M ratings "
                          "(BASELINE config 5 shape, single chip)")
-    ap.add_argument("--algo", choices=["als", "ials"], default="als")
+    ap.add_argument("--algo", choices=["als", "ials", "sgd"], default="als")
     ap.add_argument("--bf16", dest="bf16", action="store_true", default=True,
                     help="bfloat16 gathers with f32 accumulation (default; "
                          "RMSE trajectory matches f32 to 1e-4 at ML-20M)")
@@ -261,7 +280,9 @@ def main():
                             layout=args.layout, algo=args.algo,
                             bf16=args.bf16)
         metric = f"ml20m_{args.algo}_epoch_s_rank64_1chip"
-        base = 10.0
+        # the <10 s/epoch target (BASELINE.json:5) is defined for ALS;
+        # other algos report raw epoch time only
+        base = 10.0 if args.algo == "als" else None
     out = {"metric": metric, "value": round(epoch_s, 4), "unit": "s/epoch",
            "vs_baseline": round(base / epoch_s, 3) if base else None}
     print(json.dumps(out), flush=True)

@@ -28,6 +28,13 @@ def trained(tmp_path_factory):
     return store, str(root / "runs" / "ml100k-als" / "ckpt")
 
 
+def test_empty_store_is_loud(tmp_path):
+    # a missing/unprepared store must not silently train on zero ratings
+    with pytest.raises(SystemExit, match="is empty"):
+        main(["train", "--preset", "ml100k-als", "--store",
+              str(tmp_path / "nowhere"), "--out", str(tmp_path / "o")])
+
+
 def test_prepare_reports_shape(tmp_path, capsys):
     main(["prepare", "--source", "synthetic", "--store",
           str(tmp_path / "s"), "--users", "50", "--items", "20",
