@@ -66,7 +66,7 @@ def _unflatten_layout(prefix: str, z):
 def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
               topn_users: int = 0, layout: str = "bucketed",
-              algo: str = "als", bf16: bool = False):
+              algo: str = "als", bf16: bool = False, groups: int = 8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,7 +78,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
 
     log(f"devices: {jax.devices()}")
     tag = (f"{n_users}x{n_items}x{n_ratings}_c{chunk_len}_r{rank}"
-           f"_s{seed}_{layout}")
+           f"_s{seed}_{layout}_g{groups}")
     cpath = _cache_path(tag)
     cached = None
     if os.path.exists(cpath):
@@ -112,8 +112,15 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
 
         if cached is None:
             t0 = time.time()
-            ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len, rank)
-            il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len, rank)
+            # groups=8 (vs the library's 16 default) trades ~17% steady
+            # epoch time (0.283 vs 0.242 s) for a 2-4x smaller program:
+            # epoch-1 cost here is dominated by uploading the compiled
+            # executable through the remote axon tunnel (measured 139 s at
+            # 8 groups vs 279-647 s at 16), not by the XLA compile itself
+            ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len,
+                                rank, max_groups=groups)
+            il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len,
+                                rank, max_groups=groups)
             log(f"layouts: {time.time() - t0:.1f}s")
         log(f"user={bucketed_stats(ul, len(tr))} "
             f"item={bucketed_stats(il, len(tr))}")
@@ -240,6 +247,9 @@ def main():
                          "RMSE trajectory matches f32 to 1e-4 at ML-20M)")
     ap.add_argument("--f32", dest="bf16", action="store_false",
                     help="force float32 gathers")
+    ap.add_argument("--groups", type=int, default=8,
+                    help="bucketed-layout group cap (smaller = smaller "
+                         "program = faster first epoch; library default 16)")
     args = ap.parse_args()
 
     import jax
@@ -259,7 +269,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         epoch_s = run_bench(500, 300, 20_000, 16, 2, 8, topn_users=1,
                             layout=args.layout, algo=args.algo,
-                            bf16=args.bf16)
+                            bf16=args.bf16, groups=args.groups)
         metric = f"smoke_{args.algo}_epoch_s"
         base = None
     elif args.scale == "netflix":
@@ -268,7 +278,7 @@ def main():
                             args.epochs, args.chunk_len,
                             topn_users=1 if args.topn else 0,
                             layout=args.layout, algo=args.algo,
-                            bf16=args.bf16)
+                            bf16=args.bf16, groups=args.groups)
         metric = f"netflix_{args.algo}_epoch_s_rank64_1chip"
         base = None
     else:
@@ -278,7 +288,7 @@ def main():
                             args.epochs, args.chunk_len,
                             topn_users=1 if args.topn else 0,
                             layout=args.layout, algo=args.algo,
-                            bf16=args.bf16)
+                            bf16=args.bf16, groups=args.groups)
         metric = f"ml20m_{args.algo}_epoch_s_rank64_1chip"
         # the <10 s/epoch target (BASELINE.json:5) is defined for ALS;
         # other algos report raw epoch time only
