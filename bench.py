@@ -37,6 +37,27 @@ def _cache_path(tag: str) -> str:
     return os.path.join(d, f"v{CACHE_VERSION}_{tag}.npz")
 
 
+def _save_npz(path: str, blob: dict):
+    import numpy as np
+
+    tmp = f"{path}.{os.getpid()}.tmp"  # per-pid: concurrent runs must not
+    with open(tmp, "wb") as f:         # interleave writes to one scratch file
+        np.savez(f, **blob)
+    os.replace(tmp, path)
+
+
+def _load_npz(path: str):
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+    try:
+        return np.load(path)
+    except Exception as e:  # stale/corrupt cache -> rebuild
+        log(f"cache load failed for {path} ({e}); rebuilding")
+        return None
+
+
 def _flatten_layout(prefix: str, lay, out: dict):
     """BucketedCSR (tuple of BucketGroup) or BlockedCSR -> npz-able dict."""
     if isinstance(lay, tuple) and type(lay).__name__ != "BlockedCSR":
@@ -76,33 +97,44 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     from ycnr_tpu.models.base import init_state, rmse_padded
     from ycnr_tpu.ops.layout import build_blocked_csr, layout_stats, pad_coo
 
+    if layout == "blocked" and algo == "ials":
+        raise SystemExit("--layout blocked supports only --algo als/sgd "
+                         "(the blocked iALS path is not wired into bench.py)")
+
     log(f"devices: {jax.devices()}")
-    tag = (f"{n_users}x{n_items}x{n_ratings}_c{chunk_len}_r{rank}"
-           f"_s{seed}_{layout}_g{groups}")
-    cpath = _cache_path(tag)
-    cached = None
-    if os.path.exists(cpath):
+    # two-level cache: the COO blob is shared by every algo/layout over the
+    # same shapes+seed; the layout blob is keyed only by what affects it
+    data_tag = f"coo_{n_users}x{n_items}x{n_ratings}_s{seed}"
+    dpath = _cache_path(data_tag)
+    z = _load_npz(dpath)
+    if z is not None:
         t0 = time.time()
-        try:
-            z = np.load(cpath)
-            tu, ti, tr = z["tu"], z["ti"], z["tr"]
-            su, si, sr = z["su"], z["si"], z["sr"]
-            ul = _unflatten_layout("ul", z)
-            il = _unflatten_layout("il", z)
-            cached = True
-            log(f"cache hit {cpath}: {len(tr) + len(sr):,} ratings "
-                f"in {time.time() - t0:.1f}s")
-        except Exception as e:  # stale/corrupt cache -> rebuild
-            log(f"cache load failed ({e}); rebuilding")
-    if cached is None:
+        tu, ti, tr = z["tu"], z["ti"], z["tr"]
+        su, si, sr = z["su"], z["si"], z["sr"]
+        log(f"data cache hit {dpath}: {len(tr) + len(sr):,} ratings "
+            f"in {time.time() - t0:.1f}s")
+    else:
         t0 = time.time()
         u, i, r = synthetic_ratings(n_users, n_items, n_ratings,
                                     true_rank=16, noise=0.3, seed=seed)
         (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r, 0.05, seed)
         log(f"data gen: {len(r):,} ratings in {time.time() - t0:.1f}s")
+        _save_npz(dpath, {"tu": tu, "ti": ti, "tr": tr,
+                          "su": su, "si": si, "sr": sr})
 
     lam = 0.05
-    if layout == "bucketed":
+    ul_serving = None
+    lz = lpath = None
+    if algo != "sgd":
+        if layout == "bucketed":
+            ltag = (f"lay_{n_users}x{n_items}x{n_ratings}_s{seed}"
+                    f"_c{chunk_len}_r{rank}_bucketed_g{groups}")
+        else:
+            ltag = (f"lay_{n_users}x{n_items}x{n_ratings}_s{seed}"
+                    f"_c{chunk_len}_r{rank}_blocked")
+        lpath = _cache_path(ltag)
+        lz = _load_npz(lpath)
+    if layout == "bucketed" and algo != "sgd":
         from ycnr_tpu.models.bucketed_phase import (
             als_epoch_bucketed,
             device_bucketed,
@@ -110,7 +142,10 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         )
         from ycnr_tpu.ops.bucketed import bucketed_stats, build_bucketed
 
-        if cached is None:
+        if lz is not None:
+            ul = _unflatten_layout("ul", lz)
+            il = _unflatten_layout("il", lz)
+        else:
             t0 = time.time()
             # groups=8 (vs the library's 16 default) trades ~17% steady
             # epoch time (0.283 vs 0.242 s) for a 2-4x smaller program:
@@ -122,43 +157,51 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len,
                                 rank, max_groups=groups)
             log(f"layouts: {time.time() - t0:.1f}s")
+            blob = {}
+            _flatten_layout("ul", ul, blob)
+            _flatten_layout("il", il, blob)
+            _save_npz(lpath, blob)
         log(f"user={bucketed_stats(ul, len(tr))} "
             f"item={bucketed_stats(il, len(tr))}")
-        if algo != "sgd":
-            dul = device_bucketed(ul)
-            dil = device_bucketed(il)
+        dul = device_bucketed(ul)
+        dil = device_bucketed(il)
         if algo == "ials":
             def step(state, ep):
                 return ials_epoch_bucketed(state, dul, dil, lam, 40.0,
                                            gather_bf16=bf16)
-        elif algo == "als":
+        else:
             def step(state, ep):
                 return als_epoch_bucketed(state, dul, dil, lam,
                                           gather_bf16=bf16)
-        ul_serving = None
-    else:
+    elif algo != "sgd":
         from ycnr_tpu.models.als import als_epoch
         from ycnr_tpu.models.base import device_layout
 
-        if cached is None:
+        if lz is not None:
+            ul = _unflatten_layout("ul", lz)
+            il = _unflatten_layout("il", lz)
+        else:
             t0 = time.time()
             ul = build_blocked_csr(tu, ti, tr, n_users, n_items, chunk_len,
                                    rank_hint=rank)
             il = build_blocked_csr(ti, tu, tr, n_items, n_users, chunk_len,
                                    rank_hint=rank)
             log(f"layouts: {time.time() - t0:.1f}s")
+            blob = {}
+            _flatten_layout("ul", ul, blob)
+            _flatten_layout("il", il, blob)
+            _save_npz(lpath, blob)
         log(f"user={layout_stats(ul, len(tr))} "
             f"item={layout_stats(il, len(tr))}")
-        if algo != "sgd":
-            dul = device_layout(ul)
-            dil = device_layout(il)
+        dul = device_layout(ul)
+        dil = device_layout(il)
 
         def step(state, ep):
             return als_epoch(state, dul, dil, lam)
         ul_serving = ul
-    if algo == "sgd":
+    else:
         # biased mini-batch SGD over the shuffled rating stream (call stack
-        # 3.3 analog); layouts are not used, only the padded COO batches
+        # 3.3 analog); only the padded COO batches are needed — no layouts
         from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
 
         sgd_batch = 4096 if len(tr) < 10**6 else 65536
@@ -170,16 +213,6 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
 
         def step(state, ep):
             return trainer.epoch(state, sgd_data, ep)
-    if cached is None:
-        t0 = time.time()
-        blob = {"tu": tu, "ti": ti, "tr": tr, "su": su, "si": si, "sr": sr}
-        _flatten_layout("ul", ul, blob)
-        _flatten_layout("il", il, blob)
-        tmp = cpath + ".tmp"
-        with open(tmp, "wb") as f:
-            np.savez(f, **blob)
-        os.replace(tmp, cpath)
-        log(f"cache saved {cpath}: {time.time() - t0:.1f}s")
     state = init_state(n_users, n_items, rank, seed=seed,
                        mu=float(tr.mean()) if algo == "sgd" else 0.0)
     pu, pi, pr, n = pad_coo(su, si, sr, n_users, n_items, 8192)
@@ -211,8 +244,17 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         from ycnr_tpu.models.base import device_layout
 
         if ul_serving is None:
-            ul_serving = build_blocked_csr(tu, ti, tr, n_users, n_items,
-                                           chunk_len, rank_hint=rank)
+            spath = _cache_path(f"srvlay_{n_users}x{n_items}x{n_ratings}"
+                                f"_s{seed}_c{chunk_len}_r{rank}")
+            sz = _load_npz(spath)
+            if sz is not None:
+                ul_serving = _unflatten_layout("srv", sz)
+            else:
+                ul_serving = build_blocked_csr(tu, ti, tr, n_users, n_items,
+                                               chunk_len, rank_hint=rank)
+                blob = {}
+                _flatten_layout("srv", ul_serving, blob)
+                _save_npz(spath, blob)
         dlay = device_layout(ul_serving)
         bits = jnp.asarray(build_rated_bits(ul_serving, n_items))
         n_served = int((np.asarray(ul_serving.entity_ids) < n_users).sum())

@@ -6,11 +6,13 @@ run, so the round-trip must be exact.
 """
 
 import io
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")  # bench.py lives at the repo root, not in the package
+# bench.py lives at the repo root, not in the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 from ycnr_tpu.data.synthetic import synthetic_ratings

@@ -29,10 +29,17 @@ def trained(tmp_path_factory):
 
 
 def test_empty_store_is_loud(tmp_path):
-    # a missing/unprepared store must not silently train on zero ratings
-    with pytest.raises(SystemExit, match="is empty"):
+    # a missing/unprepared store must not silently train on zero ratings,
+    # and a typo'd path must not be entrenched by a makedirs side effect
+    with pytest.raises(SystemExit, match="does not exist"):
         main(["train", "--preset", "ml100k-als", "--store",
               str(tmp_path / "nowhere"), "--out", str(tmp_path / "o")])
+    assert not (tmp_path / "nowhere").exists()
+    empty = tmp_path / "prepared_but_empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="is empty"):
+        main(["train", "--preset", "ml100k-als", "--store", str(empty),
+              "--out", str(tmp_path / "o")])
 
 
 def test_prepare_reports_shape(tmp_path, capsys):

@@ -22,8 +22,16 @@ def _open_store(path: str):
     data"; a missing/empty store would otherwise train or serve over zero
     ratings and report rmse 0.0 without any hint of what went wrong.
     """
+    import os
+
     from ycnr_tpu.data.store import RatingsStore
 
+    if not os.path.isdir(path):
+        # error before RatingsStore() so a typo'd path is not entrenched by
+        # its makedirs side effect
+        raise SystemExit(
+            f"store {path!r} does not exist — run "
+            f"`python -m ycnr_tpu prepare --store {path} ...` first")
     st = RatingsStore(path)
     return (st, *_read_rows(st))
 

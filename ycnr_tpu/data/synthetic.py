@@ -63,8 +63,10 @@ def synthetic_ratings(
             pos = np.searchsorted(seen, new)
             hit = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)]
                                        == new)
-            new = new[~hit]
-            seen = np.insert(seen, np.searchsorted(seen, new), new)
+            # dropping already-seen keys does not move the survivors'
+            # insertion points, so pos can be reused instead of re-searching
+            pos, new = pos[~hit], new[~hit]
+            seen = np.insert(seen, pos, new)
         else:
             seen = new
         # adapt the oversample factor to the measured collision yield (intra-
