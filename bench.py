@@ -26,13 +26,28 @@ def log(*a):
 # Host-side artifact cache. The bench box is a single slow vCPU whose fresh
 # memory pages fault in at ~10-30 MB/s (ballooned VM), so generating 20M
 # synthetic ratings + packing two bucketed layouts costs 300-400 s of wall
-# before the TPU does any work. The inputs are fully determined by the shape
-# parameters + seed, so cache them on local disk across bench invocations.
+# before the TPU does any work. Cached artifacts are determined by the shape
+# parameters + seed + the SOURCE of the generating code (hashed into the
+# key, so editing the generator or a layout builder invalidates its entries
+# without a manual version bump).
 CACHE_VERSION = 1
 
 
+def _code_hash(*modules) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for m in modules:
+        with open(m.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _cache_path(tag: str) -> str:
-    d = os.environ.get("YCNR_BENCH_CACHE", "/tmp/ycnr_bench_cache")
+    # uid-suffixed default: a world-shared fixed /tmp name would be both
+    # unusable (PermissionError on another user's dir) and poisonable
+    d = os.environ.get("YCNR_BENCH_CACHE",
+                       f"/tmp/ycnr_bench_cache.{os.getuid()}")
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, f"v{CACHE_VERSION}_{tag}.npz")
 
@@ -47,12 +62,18 @@ def _save_npz(path: str, blob: dict):
 
 
 def _load_npz(path: str):
+    """Eagerly load every member into a dict, or None on any failure.
+
+    npz member reads are lazy, so corruption can surface at member access
+    long after np.load succeeds; reading everything here keeps the
+    'corrupt cache -> rebuild' contract honest."""
     import numpy as np
 
     if not os.path.exists(path):
         return None
     try:
-        return np.load(path)
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
     except Exception as e:  # stale/corrupt cache -> rebuild
         log(f"cache load failed for {path} ({e}); rebuilding")
         return None
@@ -60,7 +81,9 @@ def _load_npz(path: str):
 
 def _flatten_layout(prefix: str, lay, out: dict):
     """BucketedCSR (tuple of BucketGroup) or BlockedCSR -> npz-able dict."""
-    if isinstance(lay, tuple) and type(lay).__name__ != "BlockedCSR":
+    from ycnr_tpu.ops.layout import BlockedCSR
+
+    if not isinstance(lay, BlockedCSR):
         out[f"{prefix}_ngroups"] = len(lay)
         for g, grp in enumerate(lay):
             for name, arr in grp._asdict().items():
@@ -101,10 +124,16 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         raise SystemExit("--layout blocked supports only --algo als/sgd "
                          "(the blocked iALS path is not wired into bench.py)")
 
+    import ycnr_tpu.data.split as _split_mod
+    import ycnr_tpu.data.synthetic as _synth_mod
+    import ycnr_tpu.ops.bucketed as _bucketed_mod
+    import ycnr_tpu.ops.layout as _layout_mod
+
     log(f"devices: {jax.devices()}")
     # two-level cache: the COO blob is shared by every algo/layout over the
     # same shapes+seed; the layout blob is keyed only by what affects it
-    data_tag = f"coo_{n_users}x{n_items}x{n_ratings}_s{seed}"
+    data_tag = (f"coo_{n_users}x{n_items}x{n_ratings}_s{seed}"
+                f"_{_code_hash(_synth_mod, _split_mod)}")
     dpath = _cache_path(data_tag)
     z = _load_npz(dpath)
     if z is not None:
@@ -125,14 +154,18 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     lam = 0.05
     ul_serving = None
     lz = lpath = None
+    # the blocked-layout blob doubles as the serving-layout cache (--topn
+    # builds the identical BlockedCSR), so name it independent of algo
+    blocked_lpath = _cache_path(
+        f"lay_{data_tag[4:]}_c{chunk_len}_r{rank}_blocked"
+        f"_{_code_hash(_layout_mod)}")
     if algo != "sgd":
         if layout == "bucketed":
-            ltag = (f"lay_{n_users}x{n_items}x{n_ratings}_s{seed}"
-                    f"_c{chunk_len}_r{rank}_bucketed_g{groups}")
+            lpath = _cache_path(
+                f"lay_{data_tag[4:]}_c{chunk_len}_r{rank}_bucketed"
+                f"_g{groups}_{_code_hash(_bucketed_mod)}")
         else:
-            ltag = (f"lay_{n_users}x{n_items}x{n_ratings}_s{seed}"
-                    f"_c{chunk_len}_r{rank}_blocked")
-        lpath = _cache_path(ltag)
+            lpath = blocked_lpath
         lz = _load_npz(lpath)
     if layout == "bucketed" and algo != "sgd":
         from ycnr_tpu.models.bucketed_phase import (
@@ -177,15 +210,19 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         from ycnr_tpu.models.als import als_epoch
         from ycnr_tpu.models.base import device_layout
 
+        ul = il = None
         if lz is not None:
             ul = _unflatten_layout("ul", lz)
-            il = _unflatten_layout("il", lz)
-        else:
+            if "il_ngroups" in lz:  # srv-only blobs hold just the user side
+                il = _unflatten_layout("il", lz)
+        if ul is None or il is None:
             t0 = time.time()
-            ul = build_blocked_csr(tu, ti, tr, n_users, n_items, chunk_len,
-                                   rank_hint=rank)
-            il = build_blocked_csr(ti, tu, tr, n_items, n_users, chunk_len,
-                                   rank_hint=rank)
+            if ul is None:
+                ul = build_blocked_csr(tu, ti, tr, n_users, n_items,
+                                       chunk_len, rank_hint=rank)
+            if il is None:
+                il = build_blocked_csr(ti, tu, tr, n_items, n_users,
+                                       chunk_len, rank_hint=rank)
             log(f"layouts: {time.time() - t0:.1f}s")
             blob = {}
             _flatten_layout("ul", ul, blob)
@@ -244,17 +281,15 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         from ycnr_tpu.models.base import device_layout
 
         if ul_serving is None:
-            spath = _cache_path(f"srvlay_{n_users}x{n_items}x{n_ratings}"
-                                f"_s{seed}_c{chunk_len}_r{rank}")
-            sz = _load_npz(spath)
-            if sz is not None:
-                ul_serving = _unflatten_layout("srv", sz)
+            sz = _load_npz(blocked_lpath)
+            if sz is not None and "ul_ngroups" in sz:
+                ul_serving = _unflatten_layout("ul", sz)
             else:
                 ul_serving = build_blocked_csr(tu, ti, tr, n_users, n_items,
                                                chunk_len, rank_hint=rank)
-                blob = {}
-                _flatten_layout("srv", ul_serving, blob)
-                _save_npz(spath, blob)
+                blob = dict(sz) if sz else {}
+                _flatten_layout("ul", ul_serving, blob)
+                _save_npz(blocked_lpath, blob)
         dlay = device_layout(ul_serving)
         bits = jnp.asarray(build_rated_bits(ul_serving, n_items))
         n_served = int((np.asarray(ul_serving.entity_ids) < n_users).sum())
@@ -304,7 +339,7 @@ def main():
         # mismatches (possible SIGILL) under the remote compile helper.
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/ycnr_jax_cache"))
+                                         f"/tmp/ycnr_jax_cache.{os.getuid()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.smoke:

@@ -221,8 +221,16 @@ def cmd_recommend(args):
         jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
+    import os
+
     from ycnr_tpu.data.store import RatingsStore
 
+    if not os.path.isdir(args.store):
+        # same guard as _open_store: don't let RatingsStore's makedirs
+        # entrench a typo'd path before erroring
+        raise SystemExit(
+            f"store {args.store!r} does not exist — run "
+            f"`python -m ycnr_tpu prepare --store {args.store} ...` first")
     store = RatingsStore(args.store)
     maps = store.id_maps()  # dense -> original dataset ids (if imported)
 
