@@ -66,6 +66,10 @@ def _add_train_overrides(p):
     p.add_argument("--users", type=int, help="synthetic n_users")
     p.add_argument("--items", type=int, help="synthetic n_items")
     p.add_argument("--ratings", type=int, help="synthetic n_ratings")
+    p.add_argument("--max-groups", type=int,
+                   help="bucketed-layout group cap (default 16; 8 roughly "
+                        "halves first-epoch program-upload wall at ~17% "
+                        "steady-epoch cost — docs/KERNELS.md)")
     p.add_argument("--measure-serving", action="store_true",
                    help="time top-N for all users after training and log "
                         "the recs/s metric (BASELINE.json:2)")
@@ -111,8 +115,8 @@ def _build_cfg(args):
             dkw["source"] = {"data": "ml-100k", "dat": "ml-1m",
                              "csv": "ml-20m"}.get(ext, "ml-20m")
     for k, a in (("n_users", "users"), ("n_items", "items"),
-                 ("n_ratings", "ratings")):
-        v = getattr(args, a)
+                 ("n_ratings", "ratings"), ("max_groups", "max_groups")):
+        v = getattr(args, a, None)
         if v:
             dkw[k] = v
     if dkw:

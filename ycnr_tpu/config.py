@@ -28,6 +28,11 @@ class DataConfig:
     seed: int = 0
     test_fraction: float = 0.1  # held-out split (reference train/test split)
     chunk_len: int = 32  # L: ratings per chunk in the blocked-CSR layout
+    # bucket-group cap for the single-chip bucketed layout: each group is
+    # one program segment, so fewer groups = smaller executable = faster
+    # first epoch (program upload), at some padding-fill cost. 16 is best
+    # steady-state; 8 roughly halves first-epoch wall (docs/KERNELS.md)
+    max_groups: int = 16
     block_chunks: Optional[int] = None  # C_B: chunks per block (None = auto)
 
 

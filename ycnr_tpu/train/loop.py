@@ -110,10 +110,12 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
         dul = device_bucketed(build_bucketed(
             ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
-            cfg.data.chunk_len, params.rank), dtype)
+            cfg.data.chunk_len, params.rank,
+            max_groups=cfg.data.max_groups), dtype)
         dil = device_bucketed(build_bucketed(
             ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
-            cfg.data.chunk_len, params.rank), dtype)
+            cfg.data.chunk_len, params.rank,
+            max_groups=cfg.data.max_groups), dtype)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed,
