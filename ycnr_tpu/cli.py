@@ -498,7 +498,27 @@ def main(argv=None):
     p.set_defaults(fn=cmd_presets)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", None) != "cpu":
+        _enable_compile_cache()
     args.fn(args)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every TPU CLI entry (opt out with
+    YCNR_NO_COMPILE_CACHE=1). Saves the XLA-compile share of the first
+    epoch on repeat runs; the remote-tunnel program upload remains
+    (docs/KERNELS.md). Skipped for --platform cpu: remote-AOT XLA:CPU cache
+    entries carry host machine-feature mismatch (SIGILL) warnings."""
+    import os
+
+    if os.environ.get("YCNR_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     f"/tmp/ycnr_jax_cache.{os.getuid()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,9 @@ minus the worker fork/IPC machinery.
 
 from __future__ import annotations
 
+import json
 import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -132,6 +134,14 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     shm_writer = _shm_writer(cfg, state)
     history = []
     for epoch in range(start_epoch, params.epochs):
+        if epoch == start_epoch:
+            # the first step compiles + uploads the epoch program, which can
+            # take minutes at scale on a remote-tunnel TPU; say so instead
+            # of sitting silent (docs/KERNELS.md "first-epoch wall")
+            print(json.dumps({"event": "first_epoch",
+                              "note": "compiling + uploading epoch program; "
+                                      "later epochs run at steady speed"}),
+                  file=sys.stderr, flush=True)
         t0 = time.time()
         if cfg.algorithm == "als":
             state = als_epoch_bucketed(
