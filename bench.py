@@ -356,7 +356,7 @@ def main():
                             topn_users=1 if args.topn else 0,
                             layout=args.layout, algo=args.algo,
                             bf16=args.bf16, groups=args.groups)
-        metric = f"netflix_{args.algo}_epoch_s_rank64_1chip"
+        metric = f"netflix_{args.algo}_epoch_s_rank{args.rank}_1chip"
         base = None
     else:
         # MovieLens-20M scale (BASELINE.json:9): 138,493 users x 26,744
@@ -366,7 +366,7 @@ def main():
                             topn_users=1 if args.topn else 0,
                             layout=args.layout, algo=args.algo,
                             bf16=args.bf16, groups=args.groups)
-        metric = f"ml20m_{args.algo}_epoch_s_rank64_1chip"
+        metric = f"ml20m_{args.algo}_epoch_s_rank{args.rank}_1chip"
         # the <10 s/epoch target (BASELINE.json:5) is defined for ALS;
         # other algos report raw epoch time only
         base = 10.0 if args.algo == "als" else None
