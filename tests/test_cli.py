@@ -110,6 +110,32 @@ def test_publish_and_shm_serving(trained, capsys):
         get_shm_lib().ycnr_shm_unlink(name.encode())
 
 
+def test_serve_tcp(trained):
+    """serve --listen: the same line protocol over a TCP socket."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    store, ckpt = trained
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "ycnr_tpu", "serve", "--ckpt", ckpt,
+         "--store", store, "-n", "4", "--platform", "cpu",
+         "--listen", "127.0.0.1:0"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        ready = json.loads(proc.stdout.readline())
+        port = int(ready["listen"].rsplit(":", 1)[1])
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            s.sendall(b"1\nnonsense\n")
+            s.shutdown(socket.SHUT_WR)
+            lines = [json.loads(x) for x in s.makefile().read().splitlines()]
+        assert lines[0]["user"] == 1 and len(lines[0]["items"]) == 4
+        assert "error" in lines[1]
+    finally:
+        proc.kill()
+        proc.wait()
+
+
 def test_serve_loop(trained, capsys, monkeypatch):
     """serve: line-per-request loop — trained user, cold fold-in, bad
     input error, then EOF ends the loop."""

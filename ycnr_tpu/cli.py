@@ -324,12 +324,7 @@ def cmd_serve(args):
         from ycnr_tpu.train.checkpoint import load_checkpoint
 
         rec = Recommender(load_checkpoint(args.ckpt)[0], u, i, train_r=r)
-    print(json.dumps({"event": "ready", "users": int(store.meta["n_users"]),
-                      "items": int(store.meta["n_items"])}), flush=True)
-    for line in sys.stdin:
-        line = line.strip()
-        if not line:
-            continue
+    def handle_line(line: str) -> str:
         try:
             if line.startswith("cold:"):
                 from ycnr_tpu.serve.fold_in import recommend_fold_in
@@ -360,12 +355,42 @@ def cmd_serve(args):
                 key = uid
             if maps is not None:
                 items = maps[1][np.asarray(items)]
-            print(json.dumps({"user": key,
-                              "items": [int(x) for x in items]}),
-                  flush=True)
+            return json.dumps({"user": key,
+                               "items": [int(x) for x in items]})
         except (ValueError, KeyError, IndexError) as e:
-            print(json.dumps({"error": str(e), "request": line}),
-                  flush=True)
+            return json.dumps({"error": str(e), "request": line})
+
+    ready = {"event": "ready", "users": int(store.meta["n_users"]),
+             "items": int(store.meta["n_items"])}
+    if args.listen:
+        # same line protocol over TCP (the reference's service-style
+        # serving; SURVEY.md C4 notes a possible TCP mode). Connections are
+        # handled one at a time: the recommendation cache and shm
+        # hot-reload are not synchronized for concurrent mutation.
+        import socketserver
+
+        host, _, port = args.listen.rpartition(":")
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", "replace").strip()
+                    if not line:
+                        continue
+                    self.wfile.write((handle_line(line) + "\n").encode())
+                    self.wfile.flush()
+
+        with socketserver.TCPServer((host or "127.0.0.1", int(port)),
+                                    Handler) as srv:
+            ready["listen"] = "%s:%d" % srv.server_address[:2]
+            print(json.dumps(ready), flush=True)
+            srv.serve_forever()
+    else:
+        print(json.dumps(ready), flush=True)
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                print(handle_line(line), flush=True)
 
 
 def cmd_publish(args):
@@ -471,6 +496,10 @@ def main(argv=None):
     p.add_argument("--store", required=True)
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
+    p.add_argument("--listen", metavar="HOST:PORT",
+                   help="serve the same line protocol over TCP instead of "
+                        "stdin (port 0 picks a free port, printed in the "
+                        "ready line)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("publish",
