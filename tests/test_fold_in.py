@@ -103,3 +103,34 @@ def test_empty_list_is_safe(setup):
     rows = fold_in_users(state, [np.array([], np.int64)],
                          [np.array([], np.float32)], lam=0.05)
     np.testing.assert_array_equal(rows, 0.0)  # (n==0 guard) I x = 0
+
+
+def test_biased_state_solves_residual(setup):
+    """With a biased (SGD-style) state, fold-in must fit the residual
+    r - (mu + b_i): serving re-adds mu + b_i, so solving on raw r would
+    double-count the baseline and rank items a cold user DISLIKED highly."""
+    n_users, n_items, u, i, r, state = setup
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    bi = np.zeros(n_items + 1, np.float32)
+    bi[:n_items] = rng.normal(0, 0.2, n_items).astype(np.float32)
+    biased = state._replace(mu=jnp.asarray(np.float32(3.0)),
+                            bi=jnp.asarray(bi))
+    # the cold user hates item 3 (rating 1.0) and loves item 11 (5.0);
+    # predicted scores for the rated items must approximate the ratings,
+    # not ratings + baseline
+    items, ratings = [3, 11], [1.0, 5.0]
+    rows = fold_in_users(biased, [np.asarray(items)],
+                         [np.asarray(ratings, np.float32)], lam=1e-4)
+    V = np.asarray(biased.V)
+    pred = 3.0 + bi[items] + rows[0] @ V[items].T
+    assert abs(pred[0] - 1.0) < 0.3, pred
+    assert abs(pred[1] - 5.0) < 0.3, pred
+
+
+def test_fold_in_topn_clamps_to_catalog(setup):
+    n_users, n_items, u, i, r, state = setup
+    items, scores = recommend_fold_in(state, [i[u == 0]], [r[u == 0]],
+                                      n=n_items + 25)
+    assert items.shape[1] <= n_items

@@ -89,3 +89,31 @@ def test_early_stop_triggers(tmp_path):
 def test_early_stop_off_runs_all(tmp_path):
     res = train(_cfg(tmp_path, patience=0, epochs=4))
     assert len(res.rmse_history) == 4
+
+
+def test_out_of_range_ids_are_loud():
+    """Out-of-range users/items used to silently hit the zero trash row
+    (identical bias-only recs, cached; inert-yet-persisted ratings)."""
+    u = np.array([0, 1, 2])
+    i = np.array([1, 2, 0])
+    r = np.array([4.0, 3.0, 5.0], np.float32)
+    state = init_state(3, 5, 2, seed=0)
+    rec = Recommender(state, u, i, train_r=r)
+    with pytest.raises(IndexError, match="user ids"):
+        rec.recommend(99)
+    with pytest.raises(IndexError, match="user ids"):
+        rec.recommend_batch([0, 3])
+    with pytest.raises(IndexError, match="item ids"):
+        rec.add_ratings(0, [5], [4.0])
+    with pytest.raises(IndexError, match="item ids"):
+        rec.recommend_cold([0, 7], [4.0, 3.0])
+
+
+def test_recommend_n_clamps_to_catalog():
+    u = np.array([0, 1])
+    i = np.array([1, 2])
+    r = np.array([4.0, 3.0], np.float32)
+    state = init_state(3, 5, 2, seed=0)
+    rec = Recommender(state, u, i, train_r=r)
+    out = rec.recommend(0, n=50)
+    assert len(out) <= 5 and 1 not in out.tolist()

@@ -142,3 +142,20 @@ def test_cache_invalidate_by_user():
     c.invalidate(7)
     assert c.get((7, 10)) is None and c.get((7, 5)) is None
     assert c.get((8, 10)) == "c"
+
+
+def test_checkpoint_bfloat16_roundtrip(tmp_path):
+    """bf16 states used to serialize as void '|V2' npz arrays that could
+    never be loaded back; they are stored widened and cast back per the
+    manifest dtype."""
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models.base import init_state
+
+    st = init_state(12, 7, 4, seed=3, dtype=jnp.bfloat16)
+    save_checkpoint(str(tmp_path / "bk"), st, epoch=2)
+    st2, man = load_checkpoint(str(tmp_path / "bk"))
+    assert man["dtype"] == "bfloat16"
+    assert st2.U.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(st.U, np.float32),
+                                  np.asarray(st2.U, np.float32))

@@ -194,6 +194,7 @@ def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10,
     built automatically when the layout is host-resident (numpy). Pass it
     explicitly for repeated serving so the pack happens once.
     """
+    n = min(int(n), state.n_items)  # top_k crashes past the catalog size
     if rated_bits is None and isinstance(user_layout.other_idx, np.ndarray):
         rated_bits = build_rated_bits(user_layout, state.n_items)
     ids, sc = _topn_blocks(state, user_layout, n, rated_bits)
@@ -236,6 +237,7 @@ def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
     The mask width is padded to a power of two so the jitted scorer compiles
     once per width bucket rather than once per distinct rated-count.
     """
+    n = min(int(n), state.n_items)  # top_k crashes past the catalog size
     su, si = sorted_index if sorted_index is not None else (
         sort_ratings_by_user(train_u, train_i))
     user_ids = np.asarray(user_ids, np.int32)

@@ -26,22 +26,41 @@ class Recommender:
         self._sorted = sort_ratings_by_user(self.train_u, self.train_i)
         self.cache = cache if cache is not None else RecCache()
 
+    def _check_users(self, user_ids: np.ndarray):
+        # out-of-range ids would silently gather the zero trash row and
+        # return (then cache!) identical bias-only recommendations
+        if len(user_ids) and (int(user_ids.min()) < 0
+                              or int(user_ids.max()) >= self.state.n_users):
+            bad = user_ids[(user_ids < 0)
+                           | (user_ids >= self.state.n_users)]
+            raise IndexError(
+                f"user ids {bad.tolist()[:5]} not in trained factors "
+                f"(0..{self.state.n_users - 1}); use recommend_cold for "
+                f"new users")
+
     def recommend(self, user_id: int, n: int = 10):
         """Top-n item ids for one user (rated items masked)."""
+        self._check_users(np.asarray([user_id]))
         key = (int(user_id), int(n))
         hit = self.cache.get(key)
         if hit is not None:
             return hit
-        items, _ = recommend_users(self.state, self.train_u, self.train_i,
-                                   np.asarray([user_id]), n,
-                                   sorted_index=self._sorted)
-        result = items[0]
+        items, scores = recommend_users(self.state, self.train_u,
+                                        self.train_i, np.asarray([user_id]),
+                                        n, sorted_index=self._sorted)
+        # when n exceeds the user's unrated count, top_k fills the tail
+        # with NEG_INF-masked (already-rated) entries — drop them
+        from ycnr_tpu.eval.recommend import NEG_INF
+
+        result = items[0][scores[0] > NEG_INF / 2]
         self.cache.put(key, result)
         return result
 
     def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
+        user_ids = np.asarray(user_ids)
+        self._check_users(user_ids)
         items, _ = recommend_users(self.state, self.train_u, self.train_i,
-                                   np.asarray(user_ids), n,
+                                   user_ids, n,
                                    sorted_index=self._sorted)
         return items
 
@@ -58,9 +77,10 @@ class Recommender:
 
         The reference's analog is inserting rows into Postgres and
         retraining; here the serving state absorbs the update immediately.
-        Requires train_r at construction. Biases/mu are left untouched, so
-        use with ALS/iALS-trained states (SGD states would need a bias
-        update rule). O(nnz) host scan per call. New users: recommend_cold.
+        Requires train_r at construction. The re-solve fits the residual
+        r - (mu + b_i), so biased (SGD) states stay consistent; the user's
+        own bias term is left untouched (approximation: only the factor row
+        refits). O(nnz) host work per call. New users: recommend_cold.
         """
         if self.train_r is None:
             raise ValueError("add_ratings needs train_r at construction")
@@ -72,6 +92,7 @@ class Recommender:
                 f"users")
         item_ids = np.asarray(item_ids).reshape(-1)
         ratings = np.asarray(ratings, np.float32).reshape(-1)
+        self._check_items(item_ids)
         # re-rating replaces: keep the last value per item within the update
         # and drop the user's previous rows for the updated items
         uniq, inv = np.unique(item_ids, return_inverse=True)
@@ -89,15 +110,36 @@ class Recommender:
                                    self.train_u.dtype)])
         self.train_i = np.concatenate([self.train_i, item_ids])
         self.train_r = np.concatenate([self.train_r, ratings])
-        self._sorted = sort_ratings_by_user(self.train_u, self.train_i)
         from ycnr_tpu.serve.fold_in import fold_in_users
 
         mine = self.train_u == user_id
+        # maintain the sorted serving index incrementally: replace the
+        # user's span in place (one O(nnz) copy, no global re-sort — keeps
+        # the documented O(nnz) bound instead of O(nnz log nnz))
+        su, si = self._sorted
+        lo = np.searchsorted(su, user_id, "left")
+        hi = np.searchsorted(su, user_id, "right")
+        mine_items = np.sort(self.train_i[mine]).astype(si.dtype)
+        self._sorted = (
+            np.concatenate([su[:lo],
+                            np.full(len(mine_items), user_id, su.dtype),
+                            su[hi:]]),
+            np.concatenate([si[:lo], mine_items, si[hi:]]))
         row = fold_in_users(self.state, [self.train_i[mine]],
                             [self.train_r[mine]], lam=lam, alpha=alpha)[0]
         self.state = self.state._replace(
             U=self.state.U.at[user_id].set(row.astype(self.state.U.dtype)))
         self.cache.invalidate(user_id)
+
+    def _check_items(self, item_ids: np.ndarray):
+        # ids past the catalog silently hit V's zero trash row: the rating
+        # would be inert in the solve yet persisted into the train arrays
+        if len(item_ids) and (int(item_ids.min()) < 0
+                              or int(item_ids.max()) >= self.state.n_items):
+            bad = item_ids[(item_ids < 0)
+                           | (item_ids >= self.state.n_items)]
+            raise IndexError(f"item ids {bad.tolist()[:5]} not in the "
+                             f"catalog (0..{self.state.n_items - 1})")
 
     def recommend_cold(self, item_ids, ratings, n: int = 10,
                        lam: float = 0.05, alpha=None):
@@ -106,6 +148,8 @@ class Recommender:
         implicit-confidence solve."""
         from ycnr_tpu.serve.fold_in import recommend_fold_in
 
+        item_ids = np.asarray(item_ids)
+        self._check_items(item_ids)
         items, _ = recommend_fold_in(self.state, [np.asarray(item_ids)],
                                      [np.asarray(ratings, np.float32)],
                                      n=n, lam=lam, alpha=alpha)

@@ -30,14 +30,16 @@ from ycnr_tpu.models.base import MFState
 
 
 @partial(jax.jit, static_argnames=("implicit",))
-def _fold_in(V, item_idx, rating, lam, alpha, implicit: bool):
+def _fold_in(V, item_idx, rating, bias, mu, lam, alpha, implicit: bool):
     """Solve the per-user normal equations for padded rating lists.
 
     V [n_items+1, k] (zero last row); item_idx [m, L] padded with n_items;
-    rating [m, L] padded with 0. Returns factors [m, k].
+    rating [m, L] padded with 0; bias [n_items+1] the OTHER side's trained
+    bias terms (zero for ALS/iALS states). Returns factors [m, k].
     """
     Vr = V[item_idx]  # [m, L, k]; padding rows are zero
     k = V.shape[1]
+    mask = (item_idx < V.shape[0] - 1).astype(V.dtype)
     if implicit:
         # base Gram over ALL items + confidence correction over rated ones
         G = V[:-1].T @ V[:-1]
@@ -46,11 +48,17 @@ def _fold_in(V, item_idx, rating, lam, alpha, implicit: bool):
         # padding contributes nothing: its Vr rows are V's zero row
         b = jnp.einsum("mlk,ml->mk", Vr, 1.0 + alpha * rating)
     else:
-        n_r = jnp.sum((item_idx < V.shape[0] - 1).astype(V.dtype), axis=1)
+        # fit the factor to the RESIDUAL r - (mu + b_i): for biased (SGD)
+        # states the baseline is carried by mu/biases, and serving re-adds
+        # them (predict = mu + b_i + u.v) — solving on raw r would double-
+        # count it. ALS/iALS states have mu = biases = 0, so this is the
+        # plain Appendix-A solve there. (masked so padding stays 0)
+        resid = (rating - (mu + bias[item_idx])) * mask
+        n_r = jnp.sum(mask, axis=1)
         A = (jnp.einsum("mlk,mle->mke", Vr, Vr)
              + (lam * n_r + (n_r == 0))[:, None, None]
              * jnp.eye(k, dtype=V.dtype))
-        b = jnp.einsum("mlk,ml->mk", Vr, rating)
+        b = jnp.einsum("mlk,ml->mk", Vr, resid)
     cf = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve(cf, b)
 
@@ -69,6 +77,7 @@ def _pad_lists(item_lists, rating_lists, n_items, dtype):
 
 def _fold_in_padded(state: MFState, idx, r, dtype, lam, alpha):
     return np.asarray(_fold_in(state.V, jnp.asarray(idx), jnp.asarray(r),
+                               state.bi, state.mu,
                                dtype.type(lam), dtype.type(alpha or 0.0),
                                alpha is not None))
 
@@ -96,6 +105,7 @@ def fold_in_items(state: MFState, user_lists: Sequence,
     idx, r = _pad_lists(user_lists, rating_lists, state.n_users, dtype)
     # the jitted solve is symmetric in U/V: pass U as the fixed factor
     return np.asarray(_fold_in(state.U, jnp.asarray(idx), jnp.asarray(r),
+                               state.bu, state.mu,
                                dtype.type(lam), dtype.type(alpha or 0.0),
                                alpha is not None))
 
@@ -118,6 +128,7 @@ def recommend_fold_in(state: MFState, item_lists: Sequence,
     rated items are masked exactly like the trained serving path."""
     dtype = np.dtype(state.U.dtype) if state.U.dtype != jnp.bfloat16 \
         else np.float32
+    n = min(int(n), state.n_items)  # top_k crashes past the catalog size
     idx, r = _pad_lists(item_lists, rating_lists, state.n_items, dtype)
     rows = _fold_in_padded(state, idx, r, dtype, lam, alpha)
     top_s, top_i = _topn_rows(jnp.asarray(rows, state.V.dtype), state.V,

@@ -36,13 +36,25 @@ _ARRAYS = "state.npz"
 _ORBAX_DIR = "state.orbax"
 
 
+def _np_savable(x: np.ndarray) -> np.ndarray:
+    # np.savez writes ml_dtypes arrays (bfloat16 etc.) as raw void dtype
+    # ('|V2') with no error, which can never be loaded back into JAX.
+    # Store them widened to float32; load_checkpoint casts back per the
+    # manifest dtype (bf16 -> f32 is lossless).
+    x = np.asarray(x)
+    if x.dtype.kind == "V" or not isinstance(x.dtype.type(),
+                                             (np.number, np.bool_)):
+        return x.astype(np.float32)
+    return x
+
+
 def _save_arrays_npz(path: str, state: MFState):
     tmp = os.path.join(path, _ARRAYS + ".tmp.npz")
     np.savez(
         tmp,
-        U=np.asarray(state.U), V=np.asarray(state.V),
-        bu=np.asarray(state.bu), bi=np.asarray(state.bi),
-        mu=np.asarray(state.mu),
+        U=_np_savable(state.U), V=_np_savable(state.V),
+        bu=_np_savable(state.bu), bi=_np_savable(state.bi),
+        mu=_np_savable(state.mu),
     )
     os.replace(tmp, os.path.join(path, _ARRAYS))
 
@@ -51,11 +63,23 @@ def _save_arrays_orbax(path: str, state: MFState):
     import orbax.checkpoint as ocp
 
     target = os.path.join(path, _ORBAX_DIR)
-    if os.path.exists(target):  # StandardCheckpointer refuses to overwrite
-        shutil.rmtree(target)
+    # write to a fresh scratch dir, then swap into place: deleting the old
+    # checkpoint before the new save completes would break the atomicity
+    # contract (a crash mid-save must leave the previous epoch loadable)
+    tmp = target + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(target), dict(state._asdict()))
+    ckptr.save(os.path.abspath(tmp), dict(state._asdict()))
     ckptr.wait_until_finished()
+    old = target + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target):
+        os.replace(target, old)
+    os.replace(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def save_checkpoint(path: str, state: MFState, epoch: int,
@@ -103,9 +127,12 @@ def load_checkpoint(path: str) -> Tuple[MFState, dict]:
     if manifest.get("backend", "npz") == "orbax":
         return _load_arrays_orbax(path), manifest
     z = np.load(os.path.join(path, _ARRAYS))
-    state = MFState(jnp.asarray(z["U"]), jnp.asarray(z["V"]),
-                    jnp.asarray(z["bu"]), jnp.asarray(z["bi"]),
-                    jnp.asarray(z["mu"]))
+    # non-numpy state dtypes (bfloat16) are stored widened to float32;
+    # cast back to the manifest's recorded dtype
+    dt = jnp.dtype(manifest.get("dtype", "float32"))
+    state = MFState(jnp.asarray(z["U"], dt), jnp.asarray(z["V"], dt),
+                    jnp.asarray(z["bu"], dt), jnp.asarray(z["bi"], dt),
+                    jnp.asarray(z["mu"], dt))
     return state, manifest
 
 
