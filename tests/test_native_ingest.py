@@ -86,3 +86,38 @@ def test_id_maps_roundtrip(tmp_path, lib):
     m = RatingsStore(str(tmp_path / "s")).id_maps()
     np.testing.assert_array_equal(m[0], umap)
     np.testing.assert_array_equal(m[1], imap)
+
+
+def test_parse_truncated_last_line(tmp_path, lib):
+    """A bare trailing id with no separator used to read past the buffer."""
+    p = tmp_path / "trunc.data"
+    p.write_text("1\t10\t4.0\t999\n2\t11\t3.5\t999\n42")
+    u, i, r = parse_ratings_native(str(p), "\t")
+    np.testing.assert_array_equal(u, [1, 2])
+    np.testing.assert_array_equal(i, [10, 11])
+
+
+def test_parse_skips_malformed_midfile(tmp_path, lib):
+    """One bad row used to silently truncate everything after it."""
+    p = tmp_path / "bad.data"
+    p.write_text("1\t10\t4.0\n???garbage???\n2\t11\t3.5\n")
+    u, i, r = parse_ratings_native(str(p), "\t")
+    np.testing.assert_array_equal(u, [1, 2])
+    np.testing.assert_array_equal(i, [10, 11])
+
+
+def test_parse_case_insensitive_header(tmp_path, lib):
+    """'userID,...' headers used to be parsed as a data row / break row 0."""
+    p = tmp_path / "hdr.csv"
+    p.write_text("userID,movieID,rating,timestamp\n5,3,2.0,111\n")
+    u, i, r = parse_ratings_native(str(p), ",")
+    np.testing.assert_array_equal(u, [5])
+    np.testing.assert_array_equal(i, [3])
+
+
+def test_parse_all_garbage_falls_back(tmp_path, lib):
+    """A file with content but zero parseable rows returns None so the
+    caller uses the tolerant Python parser, not an empty dataset."""
+    p = tmp_path / "junk.data"
+    p.write_text("hello\nworld\n")
+    assert parse_ratings_native(str(p), "\t") is None

@@ -260,3 +260,29 @@ def test_publish_checkpoint_cli_path(shm_name, tmp_path):
         assert e == 9
         np.testing.assert_array_equal(np.asarray(got.V, np.float32),
                                       np.asarray(state.V, np.float32))
+
+
+def test_second_live_writer_in_other_process_refused(shm_name):
+    """Single-writer guard: while another PROCESS's writer is alive, create
+    must refuse (two writers on one seqlock could validate torn reads);
+    after that process exits cleanly, the name is adoptable again."""
+    child = subprocess.Popen(
+        [sys.executable, "-c", f"""
+import sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from ycnr_tpu.serve.shm import FactorShmWriter
+w = FactorShmWriter({shm_name!r}, 13, 9, 4)
+print("ready", flush=True)
+time.sleep(30)
+"""],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "ready"
+        with pytest.raises(OSError):
+            FactorShmWriter(shm_name, 13, 9, 4)
+    finally:
+        child.kill()
+        child.wait()
+    # the killed child never cleared its pid; a dead owner is adoptable
+    with FactorShmWriter(shm_name, 13, 9, 4) as w:
+        w.publish(_mk_state(), 1)

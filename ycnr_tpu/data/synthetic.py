@@ -92,7 +92,12 @@ def synthetic_ratings(
         e = min(s + 4_000_000, len(u))
         raw = np.einsum("nk,nk->n", P[u[s:e]], Q[i[s:e]])
         raw += noise * rng.standard_normal(e - s, dtype=np.float32)
-        # map scores onto a 1..5 star scale like MovieLens
+        # squash onto a star-like scale centered at 3. tanh in (-1, 1)
+        # bounds this to (1.5, 4.5) — a COMPRESSED version of MovieLens's
+        # 0.5..5.0 range (extreme ratings never occur). Kept as-is: the
+        # perf benches are value-independent, parity tests compare
+        # implementations on the same draw, and widening the scale would
+        # invalidate every pinned golden metric for cosmetic realism.
         r[s:e] = 3.0 + 1.5 * np.tanh(raw)
     if rating_levels:
         r = np.clip(np.round(r * 2) / 2, 0.5, 5.0)

@@ -40,10 +40,15 @@ def _load(stem: str) -> Optional[ctypes.CDLL]:
         if stem in _libs:
             return _libs[stem]
         _libs[stem] = None
-        if not os.path.exists(lib_path) or (
-                os.path.getmtime(lib_path) < os.path.getmtime(src)):
-            if not _build(src, lib_path):
-                return None
+        # a shipped .so without its .cc source is fine — just load it;
+        # only rebuild when the source exists and is newer
+        if os.path.exists(src):
+            if not os.path.exists(lib_path) or (
+                    os.path.getmtime(lib_path) < os.path.getmtime(src)):
+                if not _build(src, lib_path):
+                    return None
+        elif not os.path.exists(lib_path):
+            return None
         try:
             _libs[stem] = ctypes.CDLL(lib_path)
         except OSError:
@@ -134,8 +139,10 @@ def parse_ratings_native(path: str, sep: str):
                                  _ptr(u, ctypes.c_int32),
                                  _ptr(i, ctypes.c_int32),
                                  _ptr(r, ctypes.c_float))
-    if got < 0:
+    if got == -1:
         raise FileNotFoundError(path)
+    if got == -2:
+        return None  # nothing parseable: defer to the tolerant Python parser
     return (u[:got].astype(np.int64), i[:got].astype(np.int64), r[:got])
 
 
@@ -147,6 +154,12 @@ def pack_rows_native(src_start, src_cnt, o_sorted, r_sorted, out_oi,
         return False
     n, R = out_oi.shape[0], out_oi.shape[1]
     assert len(src_start) == len(src_cnt) and len(src_start) <= n
+    if len(src_cnt):
+        # bound-check BEFORE the native memcpy: a miscomputed rung would
+        # otherwise corrupt the heap instead of raising here
+        assert int(np.max(src_cnt)) <= R, (int(np.max(src_cnt)), R)
+        assert int(np.max(np.asarray(src_start) + np.asarray(src_cnt))) \
+            <= len(o_sorted)
     lib.ycnr_pack_rows(
         _ptr(np.ascontiguousarray(src_start, np.int64), ctypes.c_int64),
         _ptr(np.ascontiguousarray(src_cnt, np.int64), ctypes.c_int64),
@@ -165,6 +178,14 @@ def pack_chunks_native(starts, block_of, slot_of, chunk_base, o_sorted,
     lib = get_lib()
     if lib is None:
         return False
+    starts = np.asarray(starts)
+    if len(block_of):
+        spans = starts[1:] - starts[:-1]
+        nb_cb = out_seg.size  # NB * C_B chunk slots total
+        assert int(spans.max(initial=0)) <= C_B * L
+        assert int(starts[-1]) <= len(o_sorted)
+        assert int(np.max(block_of)) * C_B * L < out_oi.size
+        assert nb_cb * L == out_oi.size
     lib.ycnr_pack_chunks(
         _ptr(starts, ctypes.c_int64), _ptr(block_of, ctypes.c_int32),
         _ptr(slot_of, ctypes.c_int32), _ptr(chunk_base, ctypes.c_int32),

@@ -35,7 +35,10 @@ long long ycnr_count_rows(const char* path) {
   char last = '\n';
   while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
     if (first_chunk) {
-      header = (got > 6 && strncmp(buf.data(), "userId", 6) == 0);
+      // same non-digit-first-byte sniff as ycnr_parse_ratings
+      size_t i = 0;
+      while (i < got && (buf[i] == ' ' || buf[i] == '\t')) i++;
+      header = (i < got && !(buf[i] >= '0' && buf[i] <= '9'));
       first_chunk = false;
     }
     for (size_t i = 0; i < got; i++)
@@ -69,32 +72,54 @@ long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
 
   char* p = data.data();
   char* end = p + n;
-  if (strncmp(p, "userId", 6) == 0) {  // csv header
-    while (p < end && *p != '\n') p++;
-    if (p < end) p++;
+  // header sniff: any line starting with a non-digit is a header/comment
+  // (covers "userId", "userID", "user_id", ... — the Python fallback is
+  // case-insensitive and this must not be stricter)
+  {
+    char* q = p;
+    while (q < end && (*q == ' ' || *q == '\t')) q++;
+    if (q < end && !(*q >= '0' && *q <= '9')) {
+      while (p < end && *p != '\n') p++;
+      if (p < end) p++;
+    }
   }
-  const char s0 = sep[0];
+  const int sw = (sep_mode == 1 ? 2 : 1);  // separator width
   long long row = 0;
+  long long bad = 0;
   while (p < end && row < cap) {
     if (*p == '\n') { p++; continue; }
+    char* line_end = p;
+    while (line_end < end && *line_end != '\n') line_end++;
     char* q;
     long u = strtol(p, &q, 10);
-    if (q == p) break;
-    p = q + (sep_mode == 1 ? 2 : 1);
-    long it = strtol(p, &q, 10);
-    if (q == p) break;
-    p = q + (sep_mode == 1 ? 2 : 1);
-    float r = strtof(p, &q);
-    if (q == p) break;
-    p = q;
-    users[row] = (int32_t)u;
-    items[row] = (int32_t)it;
-    ratings[row] = r;
-    row++;
-    while (p < end && *p != '\n') p++;  // skip timestamp column
-    if (p < end) p++;
-    (void)s0;
+    bool ok = (q != p) && (q + sw <= line_end);
+    long it = 0;
+    float r = 0.0f;
+    if (ok) {
+      p = q + sw;
+      it = strtol(p, &q, 10);
+      ok = (q != p) && (q + sw <= line_end);
+    }
+    if (ok) {
+      p = q + sw;
+      r = strtof(p, &q);
+      ok = (q != p);
+    }
+    if (ok) {
+      users[row] = (int32_t)u;
+      items[row] = (int32_t)it;
+      ratings[row] = r;
+      row++;
+    } else {
+      bad++;  // malformed row: skip the LINE, keep parsing (the Python
+              // fallback skips bad lines too; breaking here would silently
+              // truncate the dataset at the first bad row)
+    }
+    p = (line_end < end) ? line_end + 1 : line_end;
   }
+  // a file that yielded nothing but had content is not "an empty dataset";
+  // signal failure so the caller falls back to the tolerant Python parser
+  if (row == 0 && bad > 0) return -2;
   return row;
 }
 

@@ -30,6 +30,7 @@
 
 #include <fcntl.h>
 #include <sched.h>
+#include <signal.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -44,7 +45,7 @@ struct Header {
   uint32_t version;
   uint32_t dtype;  // 0 = float32 (the only on-host factor dtype)
   std::atomic<uint32_t> seq;  // seqlock: odd while a publish is in flight
-  uint32_t pad0;
+  uint32_t writer_pid;  // single-writer guard (0 in pre-guard segments)
   int64_t epoch;
   int64_t n_users, n_items, rank;
   double mu;
@@ -91,14 +92,44 @@ void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
   // Otherwise unlink first: readers of the old segment keep their (still
   // valid) old mapping rather than seeing a resized header under their
   // feet; new attachers get the fresh segment.
-  if (void* existing = ycnr_shm_attach(name)) {
+  void* existing = ycnr_shm_attach(name);
+  if (!existing) {
+    // the name may exist but be mid-creation by a racing creator (magic is
+    // written last): give it a grace period before declaring it garbage
+    // and unlinking it out from under that creator (split-brain otherwise)
+    int fd0 = shm_open(name, O_RDWR, 0600);
+    if (fd0 >= 0) {
+      close(fd0);
+      for (int i = 0; i < 20 && !existing; i++) {
+        usleep(10 * 1000);
+        existing = ycnr_shm_attach(name);
+      }
+    }
+  }
+  if (existing) {
     Header* eh = static_cast<Header*>(existing);
+    // single-writer guard: refuse to adopt while the recorded writer is
+    // still alive (two writers on one seqlock lets readers validate torn
+    // snapshots via seq ABA). pid 0 = pre-guard segment, adoptable.
+    uint32_t owner = eh->writer_pid;
+    if (owner != 0 && owner != (uint32_t)getpid()
+        && kill((pid_t)owner, 0) == 0) {
+      munmap(existing, (size_t)eh->total_bytes);
+      return nullptr;
+    }
     if (eh->n_users == n_users && eh->n_items == n_items
         && eh->rank == rank) {
-      // if the previous writer died mid-publish, re-even the seqlock so
-      // the odd/even protocol stays intact for our publishes
       uint32_t seq = eh->seq.load(std::memory_order_relaxed);
-      if (seq & 1) eh->seq.store(seq + 1, std::memory_order_release);
+      if (seq & 1) {
+        // the previous writer died MID-PUBLISH: the payload is torn.
+        // Invalidate it (epoch -1 = "nothing published", so readers get
+        // the explicit not-ready signal instead of a half-written
+        // snapshot), then re-even the seqlock for our own publishes.
+        eh->epoch = -1;
+        std::atomic_thread_fence(std::memory_order_release);
+        eh->seq.store(seq + 1, std::memory_order_release);
+      }
+      eh->writer_pid = (uint32_t)getpid();
       return existing;
     }
     munmap(existing, (size_t)eh->total_bytes);
@@ -118,13 +149,15 @@ void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
   h->version = kVersion;
   h->dtype = 0;
   h->seq.store(0, std::memory_order_relaxed);
+  h->writer_pid = (uint32_t)getpid();
   h->epoch = -1;  // nothing published yet
   h->n_users = n_users;
   h->n_items = n_items;
   h->rank = rank;
   h->mu = 0.0;
   h->total_bytes = (int64_t)s.total;
-  // magic last, released: attachers spin-wait on it below
+  // magic last, released: a racing ycnr_shm_create waits on it (grace
+  // loop above) before judging the segment invalid
   std::atomic_thread_fence(std::memory_order_release);
   h->magic = kMagic;
   return p;
@@ -231,6 +264,9 @@ int64_t ycnr_shm_read(void* handle, float* U, float* V, float* bu, float* bi,
 
 int ycnr_shm_detach(void* handle) {
   Header* h = static_cast<Header*>(handle);
+  // clean writer shutdown releases the single-writer guard so a successor
+  // can adopt immediately (readers never set writer_pid)
+  if (h->writer_pid == (uint32_t)getpid()) h->writer_pid = 0;
   return munmap(handle, (size_t)h->total_bytes);
 }
 

@@ -5,10 +5,10 @@ scatter-add `segment_sum` over per-chunk Gram tensors ([C_B, k, k]) is
 pathologically slow on TPU, while everything else in the solve is matmuls.
 This layout removes the segment reduction entirely:
 
-* entities are grouped by ceil-pow2(chunk count); inside a group every
-  entity owns exactly R = nch * L rating slots, so the per-entity Gram is a
-  single batched MXU einsum `urk,urm->ukm` over the R axis — no chunk_seg,
-  no scatter-add;
+* entities are grouped by a row-count rung ladder ({8, 12, 16, 24, ...});
+  inside a group every entity owns exactly R rating slots (its rung), so
+  the per-entity Gram is a single batched MXU einsum `urk,urm->ukm` over
+  the R axis — no chunk_seg, no scatter-add;
 * groups are split into fixed-size blocks ([NB, NE_b, R]) and scanned, the
   same streaming structure as BlockedCSR (bounded HBM for the gathered
   rows);
@@ -30,8 +30,8 @@ import numpy as np
 
 
 class BucketGroup(NamedTuple):
-    """One pow2 bucket, blocked for scanning. All entities in the group own
-    exactly R rating slots (R = pow2_chunks * L)."""
+    """One rung bucket, blocked for scanning. All entities in the group
+    own exactly R rating slots (R = the group's ladder rung)."""
 
     other_idx: np.ndarray  # [NB, NE_b, R] int32 (pad -> n_other)
     rating: np.ndarray  # [NB, NE_b, R] float32 (pad -> 0)
@@ -51,7 +51,15 @@ def build_bucketed(
     chunk_len: int = 32, rank_hint: int = 64,
     target_bytes: int = 192 * 2**20, max_groups: int = 16,
 ) -> BucketedCSR:
-    """Group entities by ceil-pow2 chunk count and pack rectangular buckets."""
+    """Pack entities into rectangular row-ladder buckets.
+
+    ``chunk_len`` is accepted for signature symmetry with
+    ``build_blocked_csr`` but IGNORED here: the original pow2-chunk
+    grouping (R = nch * L) cost ~20% fill on power-law tails and was
+    replaced by the row-granular rung ladder below, which has no chunk
+    dimension. Tune ``max_groups`` (program size / fill) and
+    ``target_bytes`` (block streaming granularity) instead.
+    """
     entity_idx = np.asarray(entity_idx, dtype=np.int64)
     o_all = np.asarray(other_idx, dtype=np.int64)
     r_all = np.asarray(rating, dtype=np.float32)
@@ -61,7 +69,6 @@ def build_bucketed(
                             or o_all.max() >= n_other
                             or entity_idx.min() < 0 or o_all.min() < 0):
         raise ValueError("index out of range")
-    L = int(chunk_len)
 
     # sort by (entity, other): within-entity item order is ascending, which
     # improves DRAM locality of the device gather at zero build cost

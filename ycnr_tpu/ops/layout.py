@@ -111,7 +111,10 @@ def build_blocked_csr(
     nnz = entity_idx.shape[0]
     if not (other_idx.shape[0] == rating.shape[0] == nnz):
         raise ValueError("COO arrays must share length")
-    if nnz and (entity_idx.max() >= n_entities or other_idx.max() >= n_other):
+    if nnz and (entity_idx.max() >= n_entities or other_idx.max() >= n_other
+                or entity_idx.min() < 0 or other_idx.min() < 0):
+        # negatives must be loud: jnp's clamping gather would silently remap
+        # a -1 sentinel to row 0 and pollute that entity's Gram/RHS
         raise ValueError("index out of range")
     L = int(chunk_len)
 
@@ -221,9 +224,12 @@ def pad_coo(user_idx, item_idx, rating, n_users: int, n_items: int,
             multiple: int = 1024):
     """Pad a COO triple to a multiple, pointing padding at the trash rows.
 
-    With the zero-row/zero-bias padding convention, padded entries predict 0
-    and carry rating 0, so they contribute 0 squared error; callers divide by
-    the true count. Used by the RMSE path (SURVEY.md call stack 3.4).
+    The zero-row/zero-bias convention zeroes the FACTOR/BIAS contribution of
+    padded entries, but predictions still include mu — padded entries
+    predict mu, not 0, whenever mu != 0 (SGD states). Consumers MUST mask
+    by index (< n_users) rather than trust padding to contribute zero error;
+    rmse_padded (models/base.py) does exactly that. Used by the RMSE path
+    (SURVEY.md call stack 3.4).
     """
     user_idx = np.asarray(user_idx, dtype=np.int32)
     item_idx = np.asarray(item_idx, dtype=np.int32)
