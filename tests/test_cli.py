@@ -191,6 +191,30 @@ def test_config_file_layering(tmp_path, capsys):
     assert dataclasses.asdict(get_preset("ml1m-sgd"))["sgd"]["lr"] != 0.123
 
 
+def test_config_file_preset_and_out_dir_honored(tmp_path, capsys):
+    """Without an explicit --preset/--out, the config file's own 'preset'
+    and 'out_dir' keys must win (they used to be silently ignored /
+    clobbered by argparse defaults)."""
+    cfgfile = tmp_path / "c.json"
+    cfgfile.write_text(json.dumps({
+        "preset": "ml1m-sgd",
+        "out_dir": str(tmp_path / "from_file"),
+        "sgd": {"epochs": 2, "rank": 4},
+        "data": {"source": "synthetic", "n_users": 40, "n_items": 20,
+                 "n_ratings": 300, "chunk_len": 8},
+    }))
+    main(["train", "--config", str(cfgfile)])
+    rec = _out_lines(capsys)[-1]
+    assert rec["algorithm"] == "sgd"  # file's preset selected the base
+    assert rec["out_dir"].startswith(str(tmp_path / "from_file"))
+
+
+def test_unsupported_source_extension_is_loud(tmp_path):
+    with pytest.raises(SystemExit, match="unsupported extension"):
+        main(["train", "--source", str(tmp_path / "x.tsv"),
+              "--out", str(tmp_path / "o")])
+
+
 def test_movielens_import_roundtrip(tmp_path, capsys):
     """Original (sparse) dataset ids survive prepare -> recommend."""
     csv = tmp_path / "r.csv"

@@ -36,6 +36,26 @@ def _open_store(path: str):
     return (st, *_read_rows(st))
 
 
+def _fold_params(manifest, args):
+    """(lam, alpha) for serving-time fold-in solves: explicit --lam/--alpha
+    flags win, else the checkpoint manifest's training hyperparams (an iALS
+    checkpoint must get the confidence solve, not explicit ALS with default
+    lam), else ALS defaults (shm segments carry no manifest)."""
+    lam, alpha = 0.05, None
+    cfg = (manifest or {}).get("config") or {}
+    algo = cfg.get("algorithm")
+    if algo == "ials":
+        lam = cfg.get("ials", {}).get("lam", 0.1)
+        alpha = cfg.get("ials", {}).get("alpha", 40.0)
+    elif algo in ("als", "sgd"):
+        lam = cfg.get(algo, {}).get("lam", lam)
+    if getattr(args, "lam", None) is not None:
+        lam = args.lam
+    if getattr(args, "alpha", None) is not None:
+        alpha = args.alpha if args.alpha > 0 else None
+    return lam, alpha
+
+
 def _read_rows(store):
     u, i, r = store.read_all()
     if len(r) == 0:
@@ -46,7 +66,9 @@ def _read_rows(store):
 
 
 def _add_train_overrides(p):
-    p.add_argument("--preset", default="ml100k-als")
+    p.add_argument("--preset", default=None,
+                   help="base preset (default ml100k-als; a --config "
+                        "file's \"preset\" key also selects it)")
     p.add_argument("--config", metavar="FILE.json",
                    help="JSON config file layered over the preset "
                         "(config.config_from_dict); other flags still win")
@@ -58,7 +80,9 @@ def _add_train_overrides(p):
     p.add_argument("--shards", type=int)
     p.add_argument("--vstep-mode", choices=["gram_psum", "item_sharded"],
                    help="sharded V-step collective strategy")
-    p.add_argument("--out", default="runs")
+    p.add_argument("--out", default=None,
+                   help="artifact dir (default: the config's out_dir, "
+                        "else ./runs)")
     p.add_argument("--resume", help="checkpoint dir to resume from")
     p.add_argument("--platform", help="force jax platform (e.g. cpu)")
     p.add_argument("--profile", metavar="DIR",
@@ -98,11 +122,20 @@ def _add_train_overrides(p):
 
 
 def _build_cfg(args):
-    cfg = get_preset(args.preset)
+    file_cfg = None
+    preset = args.preset
     if getattr(args, "config", None):
-        from ycnr_tpu.config import load_config
+        with open(args.config) as f:
+            file_cfg = json.load(f)
+        # the file's {"preset": name} selects the base unless --preset was
+        # given explicitly (args.preset defaults to None so we can tell)
+        if preset is None:
+            preset = file_cfg.get("preset")
+    cfg = get_preset(preset or "ml100k-als")
+    if file_cfg is not None:
+        from ycnr_tpu.config import config_from_dict
 
-        cfg = load_config(args.config, cfg)
+        cfg = config_from_dict(file_cfg, cfg)
     if args.algorithm:
         cfg = cfg.replace(algorithm=args.algorithm)
     dkw = {}
@@ -110,10 +143,14 @@ def _build_cfg(args):
         if args.source == "synthetic":
             dkw["source"] = "synthetic"
         else:
-            ext = args.source.rsplit(".", 1)[-1]
-            dkw.update(source=f"file-{ext}", path=args.source)
-            dkw["source"] = {"data": "ml-100k", "dat": "ml-1m",
-                             "csv": "ml-20m"}.get(ext, "ml-20m")
+            ext = args.source.rsplit(".", 1)[-1].lower()
+            kinds = {"data": "ml-100k", "dat": "ml-1m", "csv": "ml-20m"}
+            if ext not in kinds:
+                raise SystemExit(
+                    f"--source {args.source!r}: unsupported extension "
+                    f".{ext} (expected .data / .dat / .csv, or "
+                    f"'synthetic')")
+            dkw.update(source=kinds[ext], path=args.source)
     for k, a in (("n_users", "users"), ("n_items", "items"),
                  ("n_ratings", "ratings"), ("max_groups", "max_groups")):
         v = getattr(args, a, None)
@@ -146,7 +183,10 @@ def _build_cfg(args):
                           early_stop_min_delta=args.early_stop_delta)
     if getattr(args, "ckpt_backend", None):
         cfg = cfg.replace(checkpoint_backend=args.ckpt_backend)
-    cfg = cfg.replace(out_dir=args.out)
+    if args.out is not None:
+        cfg = cfg.replace(out_dir=args.out)
+    elif not cfg.out_dir:
+        cfg = cfg.replace(out_dir="runs")
     return cfg
 
 
@@ -239,14 +279,15 @@ def cmd_recommend(args):
     maps = store.id_maps()  # dense -> original dataset ids (if imported)
 
     def _load_state():
+        """(state, manifest | None) — shm segments carry no manifest."""
         if args.shm:
             from ycnr_tpu.serve.shm import FactorShmReader
 
             with FactorShmReader(args.shm) as r:
-                return r.read()[0]
+                return r.read()[0], None
         from ycnr_tpu.train.checkpoint import load_checkpoint
 
-        return load_checkpoint(args.ckpt)[0]
+        return load_checkpoint(args.ckpt)
 
     if args.rated:
         # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
@@ -266,7 +307,10 @@ def cmd_recommend(args):
                                   "items": [int(x) for x in ii[bad]]}))
                 return
             ii = pos
-        items = recommend_fold_in(_load_state(), [ii], [rr], n=args.n)[0][0]
+        state, manifest = _load_state()
+        lam, alpha = _fold_params(manifest, args)
+        items = recommend_fold_in(state, [ii], [rr], n=args.n,
+                                  lam=lam, alpha=alpha)[0][0]
         if maps is not None:
             items = maps[1][np.asarray(items)]
         print(json.dumps({"user": "cold",
@@ -281,7 +325,7 @@ def cmd_recommend(args):
     else:
         from ycnr_tpu.serve.engine import Recommender
 
-        rec = Recommender(_load_state(), u, i)
+        rec = Recommender(_load_state()[0], u, i)
     for uid in args.user:
         dense = uid
         if maps is not None:
@@ -315,6 +359,7 @@ def cmd_serve(args):
 
     store, u, i, r = _open_store(args.store)
     maps = store.id_maps()
+    manifest = None
     if args.shm:
         from ycnr_tpu.serve.shm import ShmRecommender
 
@@ -323,7 +368,10 @@ def cmd_serve(args):
         from ycnr_tpu.serve.engine import Recommender
         from ycnr_tpu.train.checkpoint import load_checkpoint
 
-        rec = Recommender(load_checkpoint(args.ckpt)[0], u, i, train_r=r)
+        state0, manifest = load_checkpoint(args.ckpt)
+        rec = Recommender(state0, u, i, train_r=r)
+    fold_lam, fold_alpha = _fold_params(manifest, args)
+
     def handle_line(line: str) -> str:
         try:
             if line.startswith("cold:"):
@@ -339,9 +387,14 @@ def cmd_serve(args):
                     if not ok.all():
                         raise KeyError(f"unknown items {ii[~ok].tolist()}")
                     ii = pos
-                state = rec._rec.state if args.shm else rec.state
-                items = recommend_fold_in(state, [ii], [rr],
-                                          n=args.n)[0][0]
+                if args.shm:
+                    rec.refresh()  # cold path must hot-reload too
+                    state = rec._rec.state
+                else:
+                    state = rec.state
+                items = recommend_fold_in(state, [ii], [rr], n=args.n,
+                                          lam=fold_lam,
+                                          alpha=fold_alpha)[0][0]
                 key = "cold"
             else:
                 uid = int(line)
@@ -421,6 +474,15 @@ def cmd_validate(args):
 
     state, manifest = load_checkpoint(args.ckpt)
     store, u, i, r = _open_store(args.store)
+    if (int(u.max(initial=0)) >= state.n_users
+            or int(i.max(initial=0)) >= state.n_items):
+        # out-of-range ids would clamp-gather trash rows and print a
+        # plausible but wrong RMSE — refuse instead
+        raise SystemExit(
+            f"store {args.store!r} holds users up to {int(u.max())} / "
+            f"items up to {int(i.max())}, but the checkpoint was trained "
+            f"on {state.n_users} users x {state.n_items} items — wrong "
+            "store for this checkpoint?")
     (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r,
                                                   args.test_fraction,
                                                   args.seed)
@@ -470,7 +532,7 @@ def main(argv=None):
     p.add_argument("--ratings", type=int, default=50000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--portion", type=int, default=1_000_000)
-    p.set_defaults(fn=cmd_prepare)
+    p.set_defaults(fn=cmd_prepare, uses_jax=False)
 
     p = sub.add_parser("recommend",
                        help="serve top-N from a checkpoint or shm store")
@@ -486,6 +548,13 @@ def main(argv=None):
                         "rating list instead of a trained user id")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
+    p.add_argument("--lam", type=float,
+                   help="fold-in regularization override (default: the "
+                        "checkpoint's training lam)")
+    p.add_argument("--alpha", type=float,
+                   help="fold-in implicit-confidence alpha override "
+                        "(0 forces the explicit solve; default: the "
+                        "checkpoint's training alpha)")
     p.set_defaults(fn=cmd_recommend)
 
     p = sub.add_parser("serve",
@@ -500,6 +569,13 @@ def main(argv=None):
                    help="serve the same line protocol over TCP instead of "
                         "stdin (port 0 picks a free port, printed in the "
                         "ready line)")
+    p.add_argument("--lam", type=float,
+                   help="fold-in regularization override (default: the "
+                        "checkpoint's training lam)")
+    p.add_argument("--alpha", type=float,
+                   help="fold-in implicit-confidence alpha override "
+                        "(0 forces the explicit solve; default: the "
+                        "checkpoint's training alpha)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("publish",
@@ -524,10 +600,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("presets", help="list config presets")
-    p.set_defaults(fn=cmd_presets)
+    p.set_defaults(fn=cmd_presets, uses_jax=False)
 
     args = ap.parse_args(argv)
-    if getattr(args, "platform", None) != "cpu":
+    if getattr(args, "uses_jax", True) and \
+            getattr(args, "platform", None) != "cpu":
         _enable_compile_cache()
     args.fn(args)
 

@@ -89,7 +89,16 @@ class MeshConfig:
     """
 
     n_shards: int = 1  # 1 = single chip, no mesh
+    # mesh axis name. Fixed: every shard_map spec / psum in parallel/ binds
+    # the module constant AXIS='shard'; any other value would fail at the
+    # first collective, so reject it at config time instead.
     axis: str = "shard"
+
+    def __post_init__(self):
+        if self.axis != "shard":
+            raise ValueError(
+                "MeshConfig.axis must be 'shard' (parallel/shard.py and "
+                "parallel/dual.py bind that axis name in every collective)")
     # V-step strategy when sharded (SURVEY.md M6):
     #   "gram_psum": ratings stay user-sharded; per-item Gram matrices are
     #                psum'd over ICI (the BASELINE.json:5 prescribed collective)

@@ -353,6 +353,9 @@ def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,
     ids. rated_bits: device-put dual_rated_bits(meta) for repeated serving;
     built (and left unsharded) automatically when None.
     """
+    if meta.user_layout_host is None:
+        # needed below for entity ids even when rated_bits is prebuilt
+        raise ValueError("build data with host_user_layout=True for serving")
     if rated_bits is None:
         rated_bits = jax.device_put(dual_rated_bits(meta),
                                     NamedSharding(mesh, P(AXIS)))

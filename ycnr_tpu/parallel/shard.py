@@ -173,7 +173,7 @@ def build_sharded_data(
     chunk_len: int = 32, block_chunks=None, rank_hint: int = 64,
     test_u=None, test_i=None, test_r=None, sgd_batch: int = 4096,
     dtype=jnp.float32, mesh: Mesh | None = None,
-    host_user_layout: bool = False,
+    host_user_layout: bool = False, algo: str = "all",
 ):
     """Partition ratings by user across shards and build all device inputs.
 
@@ -182,7 +182,16 @@ def build_sharded_data(
     host_user_layout=True keeps the numpy per-shard user layout on
     ``meta.user_layout_host`` for host-side builders (serving bits); it pins
     nnz-proportional host RAM, so it is opt-in.
+
+    ``algo`` ("als"/"ials"/"sgd"/"all") gates the expensive inputs: the
+    alternating solvers never read the SGD stream and SGD never reads the
+    blocked layouts — building both costs O(nnz) host work and GB-scale
+    HBM for nothing. Unused fields become empty placeholders (same pytree
+    structure).
     """
+    # serving (host_user_layout) reads the user layout regardless of algo
+    need_layouts = algo in ("all", "als", "ials") or host_user_layout
+    need_sgd = algo in ("all", "sgd")
     D = n_shards
     train_u = np.asarray(train_u)
     train_i = np.asarray(train_i)
@@ -227,7 +236,8 @@ def build_sharded_data(
         ub_item = max(ub_item, _auto_block_entities(C_B, len(di), chunks_i))
 
     u_lays, i_lays = [], []
-    for d, p in enumerate(per):
+    for d, pfull in enumerate(per):
+        p = pfull if need_layouts else pfull[:0]
         lu = local_of[train_u[p]].astype(np.int64)
         u_lays.append(build_blocked_csr(lu, train_i[p], train_r[p], upd,
                                         n_items, chunk_len, C_B,
@@ -248,8 +258,9 @@ def build_sharded_data(
     # --- SGD stream: each shard's ratings, padded to a common length that is
     # a whole number of local batches ---
     b_local = max(1, sgd_batch // D)
+    sgd_per = per if need_sgd else [p[:0] for p in per]
     sgd_u, sgd_i, sgd_r = _stack_ragged(
-        [(local_of[train_u[p]], train_i[p], train_r[p]) for p in per],
+        [(local_of[train_u[p]], train_i[p], train_r[p]) for p in sgd_per],
         pads=(upd, n_items, 0.0), round_to=b_local)
 
     # --- held-out COO sharded by the same user partition ---

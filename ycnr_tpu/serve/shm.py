@@ -151,11 +151,15 @@ class ShmRecommender:
     def epoch(self) -> int:
         return self._epoch
 
-    def _refresh(self):
+    def refresh(self):
+        """Pick up a newer published epoch (recommend/recommend_batch call
+        this automatically; external state consumers should too)."""
         e = self.reader.epoch()
         if e >= 0 and e != self._epoch:
             state, self._epoch = self.reader.read()
             self._rec.update_state(state)
+
+    _refresh = refresh
 
     def recommend(self, user_id: int, n: int = 10):
         self._refresh()

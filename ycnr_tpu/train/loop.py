@@ -258,7 +258,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         rank_hint=params.rank, test_u=ds.test_u, test_i=ds.test_i,
         test_r=ds.test_r,
         sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh,
-        host_user_layout=cfg.measure_serving)
+        host_user_layout=cfg.measure_serving, algo=cfg.algorithm)
 
     start_epoch = 0
     if resume:
