@@ -133,6 +133,8 @@ def _build_cfg(args):
             preset = file_cfg.get("preset")
     cfg = get_preset(preset or "ml100k-als")
     if file_cfg is not None:
+        # inline rather than config.load_config: the raw dict is also
+        # peeked for "preset" (above) and "out_dir" (below)
         from ycnr_tpu.config import config_from_dict
 
         cfg = config_from_dict(file_cfg, cfg)
@@ -158,9 +160,8 @@ def _build_cfg(args):
             dkw[k] = v
     if dkw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **dkw))
-    for field, arg in (("als", "epochs"), ("sgd", "epochs"),
-                       ("ials", "epochs")):
-        if args.epochs:
+    if args.epochs is not None:
+        for field in ("als", "sgd", "ials"):
             cfg = cfg.replace(**{field: dataclasses.replace(
                 getattr(cfg, field), epochs=args.epochs)})
     if args.rank:
@@ -185,7 +186,9 @@ def _build_cfg(args):
         cfg = cfg.replace(checkpoint_backend=args.ckpt_backend)
     if args.out is not None:
         cfg = cfg.replace(out_dir=args.out)
-    elif not cfg.out_dir:
+    elif not cfg.out_dir and not (file_cfg and "out_dir" in file_cfg):
+        # nobody chose an out_dir -> ./runs; an explicit "" in the config
+        # file means "no artifacts" and is honored
         cfg = cfg.replace(out_dir="runs")
     return cfg
 
@@ -410,7 +413,9 @@ def cmd_serve(args):
                 items = maps[1][np.asarray(items)]
             return json.dumps({"user": key,
                                "items": [int(x) for x in items]})
-        except (ValueError, KeyError, IndexError) as e:
+        except (ValueError, KeyError, IndexError, RuntimeError) as e:
+            # RuntimeError covers shm torn-read retry exhaustion during a
+            # publish storm — one failed request must not kill the server
             return json.dumps({"error": str(e), "request": line})
 
     ready = {"event": "ready", "users": int(store.meta["n_users"]),

@@ -189,8 +189,10 @@ def build_sharded_data(
     HBM for nothing. Unused fields become empty placeholders (same pytree
     structure).
     """
-    # serving (host_user_layout) reads the user layout regardless of algo
-    need_layouts = algo in ("all", "als", "ials") or host_user_layout
+    # serving (host_user_layout) reads the USER layout regardless of algo;
+    # the item layout is only ever read by the alternating solvers
+    need_user_layout = algo in ("all", "als", "ials") or host_user_layout
+    need_item_layout = algo in ("all", "als", "ials")
     need_sgd = algo in ("all", "sgd")
     D = n_shards
     train_u = np.asarray(train_u)
@@ -237,14 +239,14 @@ def build_sharded_data(
 
     u_lays, i_lays = [], []
     for d, pfull in enumerate(per):
-        p = pfull if need_layouts else pfull[:0]
-        lu = local_of[train_u[p]].astype(np.int64)
-        u_lays.append(build_blocked_csr(lu, train_i[p], train_r[p], upd,
-                                        n_items, chunk_len, C_B,
-                                        block_entities=ub_user))
-        i_lays.append(build_blocked_csr(train_i[p], lu, train_r[p], n_items,
-                                        upd, chunk_len, C_B,
-                                        block_entities=ub_item))
+        pu = pfull if need_user_layout else pfull[:0]
+        pi = pfull if need_item_layout else pfull[:0]
+        u_lays.append(build_blocked_csr(
+            local_of[train_u[pu]].astype(np.int64), train_i[pu], train_r[pu],
+            upd, n_items, chunk_len, C_B, block_entities=ub_user))
+        i_lays.append(build_blocked_csr(
+            train_i[pi], local_of[train_u[pi]].astype(np.int64), train_r[pi],
+            n_items, upd, chunk_len, C_B, block_entities=ub_item))
     nb_u = max(l.n_blocks for l in u_lays)
     nb_i = max(l.n_blocks for l in i_lays)
     u_lays = [_pad_blocks(l, nb_u, upd, n_items) for l in u_lays]
