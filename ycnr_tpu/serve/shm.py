@@ -14,7 +14,6 @@ flushes the rec cache) when the trainer has republished.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
