@@ -191,6 +191,22 @@ def test_config_file_layering(tmp_path, capsys):
     assert dataclasses.asdict(get_preset("ml1m-sgd"))["sgd"]["lr"] != 0.123
 
 
+def test_recommend_all_jsonl(trained, tmp_path, capsys):
+    """--all: batch top-N for every rated user; masked, id-complete."""
+    store, ckpt = trained
+    main(["recommend", "--ckpt", ckpt, "--store", store, "--all", "-n", "3",
+          "--save", str(tmp_path / "recs.jsonl")])
+    assert _out_lines(capsys)[-1]["event"] == "recommend_all"
+    rows = [json.loads(x) for x in open(tmp_path / "recs.jsonl")]
+    assert rows and all(len(r["items"]) == 3 for r in rows)
+    # spot-check the mask invariant on the first user
+    from ycnr_tpu.data.store import RatingsStore
+
+    u, i, _ = RatingsStore(store).read_all()
+    rated0 = set(i[u == rows[0]["user"]].tolist())
+    assert not (set(rows[0]["items"]) & rated0)
+
+
 def test_config_file_preset_and_out_dir_honored(tmp_path, capsys):
     """Without an explicit --preset/--out, the config file's own 'preset'
     and 'out_dir' keys must win (they used to be silently ignored /

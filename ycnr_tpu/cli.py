@@ -292,6 +292,45 @@ def cmd_recommend(args):
 
         return load_checkpoint(args.ckpt)
 
+    if getattr(args, "all", False):
+        # batch offline serving: top-N for EVERY rated user through the
+        # rated-bits fast path (the reference's precompute-recs-to-store
+        # role, C8/C13), written as JSONL
+        import sys
+
+        from ycnr_tpu.eval.recommend import recommend_all
+        from ycnr_tpu.ops.layout import build_blocked_csr
+
+        u, i, r = _read_rows(store)
+        state, _ = _load_state()
+        if (int(u.max(initial=0)) >= state.n_users
+                or int(i.max(initial=0)) >= state.n_items):
+            raise SystemExit(
+                f"store ids exceed the factor dims "
+                f"({state.n_users} users x {state.n_items} items) — "
+                "wrong store for these factors?")
+        lay = build_blocked_csr(u, i, r, state.n_users, state.n_items,
+                                rank_hint=state.rank)
+        users, items, scores = recommend_all(state, lay, n=args.n)
+        if maps is not None:
+            users = maps[0][users]
+            items = maps[1][items]
+        out = open(args.save, "w") if args.save else sys.stdout
+        try:
+            for j in range(len(users)):
+                out.write(json.dumps({
+                    "user": int(users[j]),
+                    "items": [int(x) for x in items[j]],
+                    "scores": [round(float(x), 4) for x in scores[j]],
+                }) + "\n")
+        finally:
+            if args.save:
+                out.close()
+                print(json.dumps({"event": "recommend_all",
+                                  "users": int(len(users)), "n": args.n,
+                                  "save": args.save}))
+        return
+
     if args.rated:
         # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
         # (needs only the factor state, not the full rated-mask index)
@@ -551,6 +590,12 @@ def main(argv=None):
     p.add_argument("--rated", metavar="ITEM:RATING,...",
                    help="serve a cold user by fold-in from this ad-hoc "
                         "rating list instead of a trained user id")
+    p.add_argument("--all", action="store_true",
+                   help="batch mode: top-N for EVERY rated user as JSONL "
+                        "(stdout, or --save FILE)")
+    p.add_argument("--save", metavar="FILE",
+                   help="with --all: write the JSONL here and print a "
+                        "summary line instead")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.add_argument("--lam", type=float,
