@@ -95,3 +95,24 @@ def test_topn_masks_rated():
     scores = V @ U[0]
     expect = [j for j in np.argsort(-scores) if j not in rated][:5]
     np.testing.assert_array_equal(top, expect)
+
+
+def test_rmse_padded_chunked_matches_unchunked(monkeypatch):
+    """Large COOs take a chunked scan (HBM-bounded); result must be
+    identical to the direct path."""
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models import base
+
+    ((tu, ti, tr), _), n_users, n_items = _data(seed=6)
+    from ycnr_tpu.models.base import init_state
+    from ycnr_tpu.ops.layout import pad_coo
+
+    st = init_state(n_users, n_items, 4, seed=0, mu=3.0)
+    pu, pi, pr, n = pad_coo(tu, ti, tr, n_users, n_items, 256)
+    direct = float(base.rmse_padded(st, jnp.asarray(pu), jnp.asarray(pi),
+                                    jnp.asarray(pr), n))
+    monkeypatch.setattr(base, "_RMSE_CHUNK", 256)
+    chunked = float(base.rmse_padded(st, jnp.asarray(pu), jnp.asarray(pi),
+                                     jnp.asarray(pr), n))
+    assert abs(direct - chunked) < 1e-12

@@ -127,16 +127,39 @@ def predict(state: MFState, user_idx, item_idx):
             + jnp.einsum("nk,nk->n", state.U[user_idx], state.V[item_idx]))
 
 
+_RMSE_CHUNK = 1 << 21  # 2M rows: bounds gathered-factor HBM to ~1.5 GB
+
+
 def rmse_padded(state: MFState, pu, pi, pr, n_real):
     """RMSE over a pad_coo-padded held-out COO (SURVEY.md call stack 3.4).
 
     Padding rows point at the trash factor rows; with mu possibly nonzero the
-    prediction there is mu, so padding is masked explicitly.
+    prediction there is mu, so padding is masked explicitly. Large COOs are
+    processed in a chunked scan: unchunked, the two [nnz, k] factor gathers
+    plus their product peak at ~3 * nnz * k * 4 bytes — 15 GB at ML-20M
+    train-RMSE scale, an HBM OOM on a 16 GB chip.
     """
-    err = pr - predict(state, pu, pi)
-    valid = pu < state.n_users
-    err = jnp.where(valid, err, 0.0)
-    return jnp.sqrt(jnp.sum(err * err) / jnp.maximum(n_real, 1))
+    def sq_sum(u, i, r):
+        err = r - predict(state, u, i)
+        err = jnp.where(u < state.n_users, err, 0.0)
+        return jnp.sum(err * err)
+
+    m = pu.shape[0]
+    if m <= _RMSE_CHUNK:
+        total = sq_sum(pu, pi, pr)
+    else:
+        nb = -(-m // _RMSE_CHUNK)
+        pad = nb * _RMSE_CHUNK - m
+        # pad with masked rows (trash indices, rating 0)
+        pu = jnp.pad(pu, (0, pad), constant_values=state.n_users)
+        pi = jnp.pad(pi, (0, pad), constant_values=state.n_items)
+        pr = jnp.pad(pr, (0, pad))
+        total, _ = jax.lax.scan(
+            lambda acc, xs: (acc + sq_sum(*xs), None),
+            jnp.zeros((), pr.dtype),
+            (pu.reshape(nb, _RMSE_CHUNK), pi.reshape(nb, _RMSE_CHUNK),
+             pr.reshape(nb, _RMSE_CHUNK)))
+    return jnp.sqrt(total / jnp.maximum(n_real, 1))
 
 
 rmse_padded_jit = jax.jit(rmse_padded, static_argnames=())
