@@ -137,16 +137,19 @@ def test_serve_tcp(trained):
 
 
 def test_serve_loop(trained, capsys, monkeypatch):
-    """serve: line-per-request loop — trained user, cold fold-in, bad
-    input error, then EOF ends the loop."""
+    """serve: line-per-request loop — stats, trained user, cold fold-in,
+    bad input error, then EOF ends the loop."""
     import io
 
     store, ckpt = trained
     monkeypatch.setattr("sys.stdin",
-                        io.StringIO("1\ncold:2:5.0,7:4.0\nnonsense\n"))
+                        io.StringIO("stats\n1\ncold:2:5.0,7:4.0\nnonsense\n"))
     main(["serve", "--ckpt", ckpt, "--store", store, "-n", "4"])
     recs = _out_lines(capsys)
     assert recs[0]["event"] == "ready"
+    assert recs[1]["event"] == "stats" and recs[1]["source"] == "ckpt" \
+        and recs[1]["epoch"] == 3
+    recs = recs[1:]
     assert recs[1]["user"] == 1 and len(recs[1]["items"]) == 4
     assert recs[2]["user"] == "cold" and not {2, 7} & set(recs[2]["items"])
     assert "error" in recs[3]

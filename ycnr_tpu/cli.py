@@ -416,6 +416,18 @@ def cmd_serve(args):
 
     def handle_line(line: str) -> str:
         try:
+            if line == "stats":
+                # which factors is this process serving right now?
+                if args.shm:
+                    rec.refresh()
+                    epoch = rec.epoch
+                else:
+                    epoch = manifest.get("epoch") if manifest else None
+                return json.dumps({
+                    "event": "stats", "epoch": epoch,
+                    "users": int(store.meta["n_users"]),
+                    "items": int(store.meta["n_items"]), "n": args.n,
+                    "source": "shm" if args.shm else "ckpt"})
             if line.startswith("cold:"):
                 from ycnr_tpu.serve.fold_in import recommend_fold_in
 
