@@ -86,7 +86,9 @@ def _add_train_overrides(p):
     p.add_argument("--resume", help="checkpoint dir to resume from")
     p.add_argument("--platform", help="force jax platform (e.g. cpu)")
     p.add_argument("--profile", metavar="DIR",
-                   help="write a jax.profiler trace to DIR")
+                   help="write a jax.profiler trace to DIR (verified on "
+                        "CPU; through a remote-tunnel TPU the profiler can "
+                        "stall — prefer --platform cpu for traces there)")
     p.add_argument("--users", type=int, help="synthetic n_users")
     p.add_argument("--items", type=int, help="synthetic n_items")
     p.add_argument("--ratings", type=int, help="synthetic n_ratings")
