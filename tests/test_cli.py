@@ -104,6 +104,19 @@ def test_publish_and_shm_serving(trained, capsys):
               "--user", "1", "-n", "4"])
         via_ckpt = _out_lines(capsys)[-1]
         assert via_shm == via_ckpt
+        # stats over shm reports the published epoch
+        import io
+        import sys as _sys
+
+        old_stdin = _sys.stdin
+        _sys.stdin = io.StringIO("stats\n")
+        try:
+            main(["serve", "--shm", name, "--store", store, "-n", "4"])
+        finally:
+            _sys.stdin = old_stdin
+        stats = _out_lines(capsys)[-1]
+        assert stats["event"] == "stats" and stats["epoch"] == 3 \
+            and stats["source"] == "shm"
     finally:
         from ycnr_tpu.native import get_shm_lib
 
