@@ -83,6 +83,9 @@ def _add_train_overrides(p):
     p.add_argument("--out", default=None,
                    help="artifact dir (default: the config's out_dir, "
                         "else ./runs)")
+    p.add_argument("--seed", type=int,
+                   help="override cfg.seed (factor init + SGD shuffling) "
+                        "and the synthetic data seed")
     p.add_argument("--resume", help="checkpoint dir to resume from")
     p.add_argument("--platform", help="force jax platform (e.g. cpu)")
     p.add_argument("--profile", metavar="DIR",
@@ -177,6 +180,10 @@ def _build_cfg(args):
         mesh_kw["vstep_mode"] = args.vstep_mode
     if mesh_kw:
         cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
+    if getattr(args, "seed", None) is not None:
+        cfg = cfg.replace(seed=args.seed,
+                          data=dataclasses.replace(cfg.data,
+                                                   seed=args.seed))
     if getattr(args, "measure_serving", False):
         cfg = cfg.replace(measure_serving=True)
     if getattr(args, "publish_shm", None):
