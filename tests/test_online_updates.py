@@ -27,6 +27,14 @@ def test_add_ratings_resolves_user_row():
     top_after = np.asarray(rec.recommend(3, 5))
     assert not set(new_items.tolist()) & set(top_after.tolist())
 
+    # updates live in the pending log until compaction materializes them
+    assert rec.pending_count() == 2
+    rec.compact()
+    assert rec.pending_count() == 0
+    # masking is identical after compaction
+    assert not set(new_items.tolist()) & set(
+        np.asarray(rec.recommend(3, 5)).tolist())
+
     # the row equals a fresh fold-in over the user's full updated list
     from ycnr_tpu.serve.fold_in import fold_in_users
 
@@ -50,6 +58,7 @@ def test_add_ratings_rerating_replaces():
     # re-rate an existing item twice in one update: last value wins, count
     # stays (no duplicate (u, i) rows in the solve)
     rec.add_ratings(2, [rated, rated], [1.0, 5.0])
+    rec.compact()
     mine = rec.train_u == 2
     assert int(mine.sum()) == before
     assert rec.train_r[mine & (rec.train_i == rated)] == [5.0]

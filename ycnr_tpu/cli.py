@@ -323,14 +323,23 @@ def cmd_recommend(args):
         users, items, scores = recommend_all(state, lay, n=args.n)
         if maps is not None:
             users = maps[0][users]
-            items = maps[1][items]
         out = open(args.save, "w") if args.save else sys.stdout
         try:
+            from ycnr_tpu.eval.recommend import NEG_INF
+
             for j in range(len(users)):
+                # users with fewer than n unrated items get NEG_INF-masked
+                # tail entries whose indices are padded columns — drop them
+                # before any id-map lookup (padded index >= len(maps[1]))
+                keep = scores[j] > NEG_INF / 2
+                row = items[j][keep]
+                if maps is not None:
+                    row = maps[1][row]
                 out.write(json.dumps({
                     "user": int(users[j]),
-                    "items": [int(x) for x in items[j]],
-                    "scores": [round(float(x), 4) for x in scores[j]],
+                    "items": [int(x) for x in row],
+                    "scores": [round(float(x), 4)
+                               for x in scores[j][keep]],
                 }) + "\n")
         finally:
             if args.save:
@@ -360,8 +369,13 @@ def cmd_recommend(args):
             ii = pos
         state, manifest = _load_state()
         lam, alpha = _fold_params(manifest, args)
-        items = recommend_fold_in(state, [ii], [rr], n=args.n,
-                                  lam=lam, alpha=alpha)[0][0]
+        top_i, top_s = recommend_fold_in(state, [ii], [rr], n=args.n,
+                                         lam=lam, alpha=alpha)
+        from ycnr_tpu.eval.recommend import NEG_INF
+
+        # drop NEG_INF-masked tail (fewer unrated items than n): their
+        # indices are padding and would crash the maps[1] lookup
+        items = top_i[0][top_s[0] > NEG_INF / 2]
         if maps is not None:
             items = maps[1][np.asarray(items)]
         print(json.dumps({"user": "cold",
@@ -455,9 +469,12 @@ def cmd_serve(args):
                     state = rec._rec.state
                 else:
                     state = rec.state
-                items = recommend_fold_in(state, [ii], [rr], n=args.n,
-                                          lam=fold_lam,
-                                          alpha=fold_alpha)[0][0]
+                top_i, top_s = recommend_fold_in(state, [ii], [rr],
+                                                 n=args.n, lam=fold_lam,
+                                                 alpha=fold_alpha)
+                from ycnr_tpu.eval.recommend import NEG_INF
+
+                items = top_i[0][top_s[0] > NEG_INF / 2]
                 key = "cold"
             else:
                 uid = int(line)

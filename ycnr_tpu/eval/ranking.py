@@ -70,6 +70,9 @@ def ranking_metrics_at_n(state: MFState, train_u, train_i, test_u, test_i,
     if len(np.asarray(test_u)) == 0:
         return {"n": n, "users": 0, "hit_rate": 0.0, "precision": 0.0,
                 "recall": 0.0, "ndcg": 0.0, "map": 0.0}
+    # recommend_users clamps n to the catalog size internally; mirror the
+    # clamp here so np.fromiter(count=n) matches the returned row length
+    n = min(int(n), state.n_items)
     users, test_u, test_i = _sample_users(test_u, test_i, max_users, seed)
     items, _ = recommend_users(state, train_u, train_i, users, n)
 

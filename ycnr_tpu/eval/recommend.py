@@ -228,23 +228,30 @@ def sort_ratings_by_user(train_u, train_i):
 
 
 def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
-                    sorted_index=None):
+                    sorted_index=None, rated_lists=None):
     """Top-N for an explicit user list (the reference's recommend(userId, N)
     entry). Rated lists are gathered host-side and padded with n_items.
 
     sorted_index: optional (sorted_u, sorted_i) from sort_ratings_by_user —
     pass it for repeated serving so the O(nnz log nnz) sort happens once.
-    The mask width is padded to a power of two so the jitted scorer compiles
-    once per width bucket rather than once per distinct rated-count.
+    rated_lists: optional explicit per-user rated-item arrays (one per
+    user_id), overriding the train_u/train_i lookup entirely — the serving
+    engine passes these when it holds pending (not yet compacted) online
+    updates. The mask width is padded to a power of two so the jitted
+    scorer compiles once per width bucket rather than once per distinct
+    rated-count.
     """
     n = min(int(n), state.n_items)  # top_k crashes past the catalog size
-    su, si = sorted_index if sorted_index is not None else (
-        sort_ratings_by_user(train_u, train_i))
     user_ids = np.asarray(user_ids, np.int32)
-    lists = []
-    for u in user_ids:
-        s, t = np.searchsorted(su, u), np.searchsorted(su, u, side="right")
-        lists.append(si[s:t])
+    if rated_lists is not None:
+        lists = list(rated_lists)
+    else:
+        su, si = sorted_index if sorted_index is not None else (
+            sort_ratings_by_user(train_u, train_i))
+        lists = []
+        for u in user_ids:
+            s, t = np.searchsorted(su, u), np.searchsorted(su, u, "right")
+            lists.append(si[s:t])
     width = max(8, max((len(x) for x in lists), default=1))
     width = 1 << int(np.ceil(np.log2(width)))  # bound recompilations
     rated = np.full((len(user_ids), width), state.n_items, np.int32)

@@ -115,6 +115,10 @@ def get_shm_lib() -> Optional[ctypes.CDLL]:
     lib.ycnr_shm_detach.argtypes = [ctypes.c_void_p]
     lib.ycnr_shm_unlink.restype = ctypes.c_int
     lib.ycnr_shm_unlink.argtypes = [ctypes.c_char_p]
+    # present since round 2; older shipped .so files may lack it
+    if hasattr(lib, "ycnr_shm_busy_owner"):
+        lib.ycnr_shm_busy_owner.restype = ctypes.c_uint32
+        lib.ycnr_shm_busy_owner.argtypes = []
     return lib
 
 

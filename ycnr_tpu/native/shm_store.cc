@@ -75,6 +75,11 @@ float* arrays_base(Header* h) {
                                   + sizeof(Header));
 }
 
+// pid recorded by the last ycnr_shm_create that refused because another
+// live writer owns the segment (0 otherwise) — lets the Python side report
+// WHICH process holds the store instead of a generic open failure.
+std::atomic<uint32_t> g_busy_owner{0};
+
 }  // namespace
 
 extern "C" {
@@ -85,6 +90,7 @@ void* ycnr_shm_attach(const char* name);  // forward (reuse in create)
 
 void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
                       int64_t rank) {
+  g_busy_owner.store(0, std::memory_order_relaxed);
   if (n_users <= 0 || n_items <= 0 || rank <= 0) return nullptr;
   const Sizes s = sizes_for(n_users, n_items, rank);
   // If a valid segment with IDENTICAL dims already exists, adopt it (a
@@ -114,6 +120,11 @@ void* ycnr_shm_create(const char* name, int64_t n_users, int64_t n_items,
     uint32_t owner = eh->writer_pid;
     if (owner != 0 && owner != (uint32_t)getpid()
         && kill((pid_t)owner, 0) == 0) {
+      // NOTE: kill(pid, 0) cannot distinguish the real writer from an
+      // unrelated process that recycled its pid after a trainer crash;
+      // recovery in that case is manual shm_unlink (surfaced to Python
+      // via ycnr_shm_busy_owner so the error can say so).
+      g_busy_owner.store(owner, std::memory_order_relaxed);
       munmap(existing, (size_t)eh->total_bytes);
       return nullptr;
     }
@@ -205,8 +216,22 @@ int64_t ycnr_shm_epoch(void* handle) {
   return h->epoch;
 }
 
+// After a create refusal: the live pid that owns the segment, else 0.
+uint32_t ycnr_shm_busy_owner(void) {
+  return g_busy_owner.load(std::memory_order_relaxed);
+}
+
 // Seqlock write: bump to odd, copy the payload, bump to even. Readers that
 // overlap the copy observe an odd/changed seq and retry.
+//
+// Memory-model note: ordering the odd seq store before the payload memcpy
+// via atomic_thread_fence(release) relies on the practical smp_wmb-style
+// behavior of the fence (as in the Linux kernel seqlock); in the strict
+// C++11 model a release fence orders prior writes against LATER ATOMIC
+// stores, not the later plain memcpy, so this is formally a data race.
+// It compiles to the intended barriers on x86/ARM (verified by the
+// cross-process stress test); a standard-clean version would need the
+// payload copied through relaxed atomic words at real cost.
 int ycnr_shm_publish(void* handle, int64_t epoch, double mu, const float* U,
                      const float* V, const float* bu, const float* bi) {
   Header* h = static_cast<Header*>(handle);

@@ -189,8 +189,10 @@ def dual_scatter_state(state: MFState, meta: DualMeta,
 
 
 def dual_gather_state(st: DualState, meta: DualMeta) -> MFState:
-    Ush = np.asarray(st.U)
-    Vsh = np.asarray(st.V)
+    from ycnr_tpu.parallel.shard import host_fetch
+
+    Ush = host_fetch(st.U)
+    Vsh = host_fetch(st.V)
     k = Ush.shape[-1]
     U = np.zeros((meta.n_users + 1, k), Ush.dtype)
     V = np.zeros((meta.n_items + 1, k), Vsh.dtype)
@@ -361,12 +363,13 @@ def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,
                                     NamedSharding(mesh, P(AXIS)))
     ids, sc = _dual_topn_fn(mesh, n)(st.U, st.V, st.mu, data.user_layout,
                                      rated_bits)
-    ids = np.asarray(ids)  # [D, NB, U_B, n] item-cat indices
-    sc = np.asarray(sc)
+    from ycnr_tpu.parallel.shard import host_fetch
+
+    ids = host_fetch(ids)  # [D, NB, U_B, n] item-cat indices
+    sc = host_fetch(sc)
     # cat -> global item lookup (padded score columns -> n_items)
     n_cat = meta.n_shards * (meta.ipd + 1)
-    lut = np.full(np.asarray(rated_bits).shape[-1] * 32, meta.n_items,
-                  np.int64)
+    lut = np.full(rated_bits.shape[-1] * 32, meta.n_items, np.int64)
     for d in range(meta.n_shards):
         base = d * (meta.ipd + 1)
         lut[base : base + meta.ipd] = meta.item_map[d]

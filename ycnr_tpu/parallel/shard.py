@@ -335,10 +335,26 @@ def scatter_state(state: MFState, meta: ShardedMeta,
     return st
 
 
+def host_fetch(x) -> np.ndarray:
+    """np.asarray that also works on multi-host (DCN) global arrays.
+
+    In a multi-process job a P(AXIS)-sharded array is not fully addressable
+    from any one process, so np.asarray raises; replicate it first through a
+    jitted identity (XLA inserts the all-gather over ICI/DCN). Every process
+    must call this at the same point — it is a collective there.
+    """
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        mesh = x.sharding.mesh
+        x = jax.jit(lambda a: a,
+                    out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(x)
+
+
 def gather_state(st: ShardedState, meta: ShardedMeta) -> MFState:
-    """Sharded -> global MFState (host-side inverse of scatter_state)."""
-    Ush = np.asarray(st.U)
-    bush = np.asarray(st.bu)
+    """Sharded -> global MFState (host-side inverse of scatter_state).
+    Multi-host: collective (see host_fetch) — call on every process."""
+    Ush = host_fetch(st.U)
+    bush = host_fetch(st.bu)
     k = Ush.shape[-1]
     U = np.zeros((meta.n_users + 1, k), Ush.dtype)
     bu = np.zeros(meta.n_users + 1, bush.dtype)
@@ -593,9 +609,9 @@ def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
     bits_arg = rated_bits if with_bits else jnp.zeros((), jnp.uint32)
     ids, sc = _topn_fn(mesh, n, with_bits)(st.U, st.bu, st.V, st.bi, st.mu,
                                            data.user_layout, bits_arg)
-    ids = np.asarray(ids)  # [D, NB, U_B, n]
-    sc = np.asarray(sc)
-    eids_local = np.asarray(data.user_layout.entity_ids)  # [D, NB, U_B]
+    ids = host_fetch(ids)  # [D, NB, U_B, n]
+    sc = host_fetch(sc)
+    eids_local = host_fetch(data.user_layout.entity_ids)  # [D, NB, U_B]
     D = meta.n_shards
     out_u, out_i, out_s = [], [], []
     for d in range(D):

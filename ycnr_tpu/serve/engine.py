@@ -1,5 +1,11 @@
 """Serving facade: the reference's engine.recommend(userId, N) entry
 (SURVEY.md §1 public interface; call stack 3.5), with the C8 cache in front.
+
+Online updates (add_ratings) are amortized: each call appends to a small
+per-user pending log (O(user's own count) host work) and the global COO
+arrays + sorted serving index are rebuilt only when the pending volume
+crosses a threshold — a stream of updates costs amortized O(1) copies of
+the full rating set instead of one O(nnz) splice per call.
 """
 
 from __future__ import annotations
@@ -8,14 +14,15 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ycnr_tpu.eval.recommend import recommend_users, sort_ratings_by_user
+from ycnr_tpu.eval.recommend import NEG_INF, recommend_users, sort_ratings_by_user
 from ycnr_tpu.models.base import MFState
 from ycnr_tpu.serve.cache import RecCache
 
 
 class Recommender:
     def __init__(self, state: MFState, train_u, train_i, train_r=None,
-                 cache: Optional[RecCache] = None):
+                 cache: Optional[RecCache] = None,
+                 compact_threshold: Optional[int] = None):
         self.state = state
         self.train_u = np.asarray(train_u)
         self.train_i = np.asarray(train_i)
@@ -24,7 +31,85 @@ class Recommender:
                                                                np.float32)
         # one-time CSR sort so per-request mask building is O(log nnz)
         self._sorted = sort_ratings_by_user(self.train_u, self.train_i)
+        self._sorted_r = (None if self.train_r is None else self.train_r[
+            np.argsort(self.train_u, kind="stable")])
         self.cache = cache if cache is not None else RecCache()
+        # pending online updates: user -> (item array, rating array), the
+        # LAST entry per item wins; folded into the base arrays at compact()
+        self._pending: dict = {}
+        self._pending_n = 0
+        self._compact_threshold = compact_threshold
+
+    # -- rated-list plumbing (base index + pending overlay) ----------------
+
+    def _base_slice(self, user_id: int):
+        su, si = self._sorted
+        s = np.searchsorted(su, user_id)
+        t = np.searchsorted(su, user_id, side="right")
+        return s, t
+
+    def _user_items(self, user_id: int) -> np.ndarray:
+        """The user's full current rated-item set (base + pending)."""
+        s, t = self._base_slice(user_id)
+        base = self._sorted[1][s:t]
+        pend = self._pending.get(int(user_id))
+        if pend is None:
+            return base
+        return np.union1d(base, pend[0])
+
+    def _user_items_ratings(self, user_id: int):
+        """(items, ratings) with pending overlaying base (replacement
+        semantics: a re-rated item takes the pending value)."""
+        s, t = self._base_slice(user_id)
+        base_i = self._sorted[1][s:t]
+        base_r = (self._sorted_r[s:t] if self._sorted_r is not None
+                  else np.zeros(t - s, np.float32))
+        pend = self._pending.get(int(user_id))
+        if pend is None:
+            return base_i, base_r
+        pi, pr = pend
+        keep = ~np.isin(base_i, pi)
+        return (np.concatenate([base_i[keep], pi]),
+                np.concatenate([base_r[keep], pr]))
+
+    def pending_count(self) -> int:
+        return self._pending_n
+
+    def compact(self):
+        """Fold the pending log into the base arrays (one O(nnz) pass).
+        Called automatically when pending volume crosses the threshold."""
+        if not self._pending:
+            return
+        users = []
+        for u, (pi, pr) in self._pending.items():
+            users.append((u, pi, pr))
+        drop = np.zeros(len(self.train_u), bool)
+        add_u, add_i, add_r = [], [], []
+        for u, pi, pr in users:
+            drop |= (self.train_u == u) & np.isin(self.train_i, pi)
+            add_u.append(np.full(len(pi), u, self.train_u.dtype))
+            add_i.append(pi.astype(self.train_i.dtype))
+            add_r.append(pr)
+        keep = ~drop
+        self.train_u = np.concatenate([self.train_u[keep]] + add_u)
+        self.train_i = np.concatenate([self.train_i[keep]] + add_i)
+        if self.train_r is not None:
+            self.train_r = np.concatenate([self.train_r[keep]] + add_r)
+        order = np.argsort(self.train_u, kind="stable")
+        self._sorted = (self.train_u[order], self.train_i[order])
+        if self.train_r is not None:
+            self._sorted_r = self.train_r[order]
+        self._pending = {}
+        self._pending_n = 0
+
+    def _maybe_compact(self):
+        thresh = self._compact_threshold
+        if thresh is None:
+            thresh = max(4096, len(self.train_u) // 100)
+        if self._pending_n >= thresh:
+            self.compact()
+
+    # -- serving -----------------------------------------------------------
 
     def _check_users(self, user_ids: np.ndarray):
         # out-of-range ids would silently gather the zero trash row and
@@ -45,28 +130,33 @@ class Recommender:
         hit = self.cache.get(key)
         if hit is not None:
             return hit
-        items, scores = recommend_users(self.state, self.train_u,
-                                        self.train_i, np.asarray([user_id]),
-                                        n, sorted_index=self._sorted)
+        items, scores = recommend_users(
+            self.state, self.train_u, self.train_i, np.asarray([user_id]),
+            n, rated_lists=[self._user_items(user_id)])
         # when n exceeds the user's unrated count, top_k fills the tail
         # with NEG_INF-masked (already-rated) entries — drop them
-        from ycnr_tpu.eval.recommend import NEG_INF
-
         result = items[0][scores[0] > NEG_INF / 2]
         self.cache.put(key, result)
         return result
 
     def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
+        """Top-n per user as a LIST of arrays: rows are ragged because
+        NEG_INF-masked tail entries (users with fewer than n unrated items)
+        are dropped, matching the single-user path."""
         user_ids = np.asarray(user_ids)
         self._check_users(user_ids)
-        items, _ = recommend_users(self.state, self.train_u, self.train_i,
-                                   user_ids, n,
-                                   sorted_index=self._sorted)
-        return items
+        items, scores = recommend_users(
+            self.state, self.train_u, self.train_i, user_ids, n,
+            rated_lists=[self._user_items(int(u)) for u in user_ids])
+        return [items[j][scores[j] > NEG_INF / 2]
+                for j in range(len(user_ids))]
 
     def update_state(self, state: MFState):
-        """Swap in retrained factors; cached recs are stale -> flush."""
+        """Swap in retrained factors; cached recs are stale -> flush. The
+        pending online-update log also flushes: a retrain supersedes it."""
         self.state = state
+        self._pending = {}
+        self._pending_n = 0
         self.cache.invalidate()
 
     def add_ratings(self, user_id: int, item_ids, ratings,
@@ -80,7 +170,9 @@ class Recommender:
         Requires train_r at construction. The re-solve fits the residual
         r - (mu + b_i), so biased (SGD) states stay consistent; the user's
         own bias term is left untouched (approximation: only the factor row
-        refits). O(nnz) host work per call. New users: recommend_cold.
+        refits). Amortized O(own count) host work per call: updates land in
+        a pending log, folded into the base arrays when the log crosses
+        max(4096, nnz/100) entries. New users: recommend_cold.
         """
         if self.train_r is None:
             raise ValueError("add_ratings needs train_r at construction")
@@ -94,42 +186,26 @@ class Recommender:
         ratings = np.asarray(ratings, np.float32).reshape(-1)
         self._check_items(item_ids)
         # re-rating replaces: keep the last value per item within the update
-        # and drop the user's previous rows for the updated items
         uniq, inv = np.unique(item_ids, return_inverse=True)
         last = np.zeros(len(uniq), np.int64)
         last[inv] = np.arange(len(item_ids))  # later writes win
         item_ids, ratings = item_ids[last], ratings[last]
-        drop = (self.train_u == user_id) & np.isin(self.train_i, item_ids)
-        if drop.any():
-            keep = ~drop
-            self.train_u = self.train_u[keep]
-            self.train_i = self.train_i[keep]
-            self.train_r = self.train_r[keep]
-        self.train_u = np.concatenate(
-            [self.train_u, np.full(len(item_ids), user_id,
-                                   self.train_u.dtype)])
-        self.train_i = np.concatenate([self.train_i, item_ids])
-        self.train_r = np.concatenate([self.train_r, ratings])
+        prev = self._pending.get(user_id)
+        if prev is not None:
+            keep = ~np.isin(prev[0], item_ids)
+            item_ids = np.concatenate([prev[0][keep], item_ids])
+            ratings = np.concatenate([prev[1][keep], ratings])
+            self._pending_n -= len(prev[0])
+        self._pending[user_id] = (item_ids, ratings)
+        self._pending_n += len(item_ids)
         from ycnr_tpu.serve.fold_in import fold_in_users
 
-        mine = self.train_u == user_id
-        # maintain the sorted serving index incrementally: replace the
-        # user's span in place (one O(nnz) copy, no global re-sort — keeps
-        # the documented O(nnz) bound instead of O(nnz log nnz))
-        su, si = self._sorted
-        lo = np.searchsorted(su, user_id, "left")
-        hi = np.searchsorted(su, user_id, "right")
-        mine_items = np.sort(self.train_i[mine]).astype(si.dtype)
-        self._sorted = (
-            np.concatenate([su[:lo],
-                            np.full(len(mine_items), user_id, su.dtype),
-                            su[hi:]]),
-            np.concatenate([si[:lo], mine_items, si[hi:]]))
-        row = fold_in_users(self.state, [self.train_i[mine]],
-                            [self.train_r[mine]], lam=lam, alpha=alpha)[0]
+        mi, mr = self._user_items_ratings(user_id)
+        row = fold_in_users(self.state, [mi], [mr], lam=lam, alpha=alpha)[0]
         self.state = self.state._replace(
             U=self.state.U.at[user_id].set(row.astype(self.state.U.dtype)))
         self.cache.invalidate(user_id)
+        self._maybe_compact()
 
     def _check_items(self, item_ids: np.ndarray):
         # ids past the catalog silently hit V's zero trash row: the rating
@@ -150,7 +226,7 @@ class Recommender:
 
         item_ids = np.asarray(item_ids)
         self._check_items(item_ids)
-        items, _ = recommend_fold_in(self.state, [np.asarray(item_ids)],
-                                     [np.asarray(ratings, np.float32)],
-                                     n=n, lam=lam, alpha=alpha)
-        return items[0]
+        items, scores = recommend_fold_in(self.state, [np.asarray(item_ids)],
+                                          [np.asarray(ratings, np.float32)],
+                                          n=n, lam=lam, alpha=alpha)
+        return items[0][scores[0] > NEG_INF / 2]

@@ -30,19 +30,20 @@ from ycnr_tpu.models.base import MFState
 
 
 @partial(jax.jit, static_argnames=("implicit",))
-def _fold_in(V, item_idx, rating, bias, mu, lam, alpha, implicit: bool):
+def _fold_in(V, G, item_idx, rating, bias, mu, lam, alpha, implicit: bool):
     """Solve the per-user normal equations for padded rating lists.
 
-    V [n_items+1, k] (zero last row); item_idx [m, L] padded with n_items;
-    rating [m, L] padded with 0; bias [n_items+1] the OTHER side's trained
-    bias terms (zero for ALS/iALS states). Returns factors [m, k].
+    V [n_items+1, k] (zero last row); G [k, k] the cached base Gram
+    V[:-1]ᵀV[:-1] (only read on the implicit path — pass a [0, 0] dummy
+    for explicit); item_idx [m, L] padded with n_items; rating [m, L]
+    padded with 0; bias [n_items+1] the OTHER side's trained bias terms
+    (zero for ALS/iALS states). Returns factors [m, k].
     """
     Vr = V[item_idx]  # [m, L, k]; padding rows are zero
     k = V.shape[1]
     mask = (item_idx < V.shape[0] - 1).astype(V.dtype)
     if implicit:
         # base Gram over ALL items + confidence correction over rated ones
-        G = V[:-1].T @ V[:-1]
         A = (G[None] + alpha * jnp.einsum("mlk,ml,mle->mke", Vr, rating, Vr)
              + lam * jnp.eye(k, dtype=V.dtype))
         # padding contributes nothing: its Vr rows are V's zero row
@@ -63,6 +64,29 @@ def _fold_in(V, item_idx, rating, bias, mu, lam, alpha, implicit: bool):
     return jax.scipy.linalg.cho_solve(cf, b)
 
 
+_GRAM_CACHE: dict = {}  # id(V) -> (V, G); V kept alive so its id is stable
+
+
+@jax.jit
+def _base_gram(V):
+    return V[:-1].T @ V[:-1]
+
+
+def _item_gram(V):
+    """Cached base Gram VᵀV for the implicit fold-in solve: recomputing it
+    per request costs ~2·n·k² FLOPs (≈220 MFLOP for a 27k×64 V) for a
+    result that only changes when a new epoch is published."""
+    key = id(V)
+    hit = _GRAM_CACHE.get(key)
+    if hit is not None and hit[0] is V:
+        return hit[1]
+    G = _base_gram(V)
+    if len(_GRAM_CACHE) >= 8:  # a serving process holds a handful of states
+        _GRAM_CACHE.clear()
+    _GRAM_CACHE[key] = (V, G)
+    return G
+
+
 def _pad_lists(item_lists, rating_lists, n_items, dtype):
     m = len(item_lists)
     width = max(8, max((len(x) for x in item_lists), default=1))
@@ -76,7 +100,9 @@ def _pad_lists(item_lists, rating_lists, n_items, dtype):
 
 
 def _fold_in_padded(state: MFState, idx, r, dtype, lam, alpha):
-    return np.asarray(_fold_in(state.V, jnp.asarray(idx), jnp.asarray(r),
+    G = (_item_gram(state.V) if alpha is not None
+         else jnp.zeros((0, 0), state.V.dtype))
+    return np.asarray(_fold_in(state.V, G, jnp.asarray(idx), jnp.asarray(r),
                                state.bi, state.mu,
                                dtype.type(lam), dtype.type(alpha or 0.0),
                                alpha is not None))
@@ -104,7 +130,9 @@ def fold_in_items(state: MFState, user_lists: Sequence,
         else np.float32
     idx, r = _pad_lists(user_lists, rating_lists, state.n_users, dtype)
     # the jitted solve is symmetric in U/V: pass U as the fixed factor
-    return np.asarray(_fold_in(state.U, jnp.asarray(idx), jnp.asarray(r),
+    G = (_item_gram(state.U) if alpha is not None
+         else jnp.zeros((0, 0), state.U.dtype))
+    return np.asarray(_fold_in(state.U, G, jnp.asarray(idx), jnp.asarray(r),
                                state.bu, state.mu,
                                dtype.type(lam), dtype.type(alpha or 0.0),
                                alpha is not None))

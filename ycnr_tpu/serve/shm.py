@@ -51,9 +51,20 @@ class FactorShmWriter:
         self.n_users, self.n_items, self.rank = n_users, n_items, rank
         self._h = lib.ycnr_shm_create(name.encode(), n_users, n_items, rank)
         if not self._h:
+            owner = (int(lib.ycnr_shm_busy_owner())
+                     if hasattr(lib, "ycnr_shm_busy_owner") else 0)
+            if owner:
+                raise OSError(
+                    f"shm store {name!r} is owned by live writer pid "
+                    f"{owner}; if that process is not a trainer (pid "
+                    f"recycled after a crash), remove the stale segment "
+                    f"with FactorShmWriter.unlink / shm_unlink({name!r}) "
+                    f"and retry")
             raise OSError(f"shm_open/mmap failed for {name!r}")
 
     def publish(self, state: MFState, epoch: int):
+        if not self._h:  # ctypes would pass NULL -> native deref -> segfault
+            raise ValueError(f"shm writer {self.name!r} is closed")
         if (state.n_users, state.n_items, state.rank) != (
                 self.n_users, self.n_items, self.rank):
             raise ValueError(
@@ -100,12 +111,16 @@ class FactorShmReader:
 
     def epoch(self) -> int:
         """Last published epoch (-1 if a publish is in flight, -2 if none)."""
+        if not self._h:
+            raise ValueError(f"shm reader {self.name!r} is closed")
         return int(self._lib.ycnr_shm_epoch(self._h))
 
     def read(self, max_retries: int = 64):
         """Consistent snapshot -> (MFState, epoch). Raises if the writer is
         republishing faster than we can copy for max_retries attempts, or if
         nothing has been published yet."""
+        if not self._h:  # ctypes would pass NULL -> native deref -> segfault
+            raise ValueError(f"shm reader {self.name!r} is closed")
         U = np.empty((self.n_users + 1, self.rank), np.float32)
         V = np.empty((self.n_items + 1, self.rank), np.float32)
         bu = np.empty(self.n_users + 1, np.float32)
