@@ -214,13 +214,18 @@ def test_recommend_all_jsonl(trained, tmp_path, capsys):
           "--save", str(tmp_path / "recs.jsonl")])
     assert _out_lines(capsys)[-1]["event"] == "recommend_all"
     rows = [json.loads(x) for x in open(tmp_path / "recs.jsonl")]
-    assert rows and all(len(r["items"]) == 3 for r in rows)
-    # spot-check the mask invariant on the first user
     from ycnr_tpu.data.store import RatingsStore
 
-    u, i, _ = RatingsStore(store).read_all()
-    rated0 = set(i[u == rows[0]["user"]].tolist())
-    assert not (set(rows[0]["items"]) & rated0)
+    st = RatingsStore(store)
+    u, i, _ = st.read_all()
+    n_items = int(st.meta["n_items"])
+    assert rows
+    for r in rows:
+        rated = set(i[u == r["user"]].tolist())
+        # rows are ragged: users with fewer than 3 unrated items get the
+        # NEG_INF-masked tail dropped instead of padded/rated indices
+        assert len(r["items"]) == min(3, n_items - len(rated))
+        assert not (set(r["items"]) & rated)
 
 
 def test_config_file_preset_and_out_dir_honored(tmp_path, capsys):

@@ -408,10 +408,14 @@ def cmd_recommend(args):
 
 def cmd_serve(args):
     """Long-running serving loop: one request per stdin line, one JSON
-    response per stdout line. Requests: a user id ("42"), or an ad-hoc
-    cold-user rating list ("cold:318:5.0,296:4.5"). With --shm the factors
-    hot-reload whenever the trainer republishes (reference pattern: workers
-    serving from live shm while the master retrains)."""
+    response per stdout line. Requests: a user id ("42"), an ad-hoc
+    cold-user rating list ("cold:318:5.0,296:4.5"), or "stats" (epoch,
+    catalog dims, latency histogram). With --shm the factors hot-reload
+    whenever the trainer republishes (reference pattern: workers serving
+    from live shm while the master retrains). With --listen the same
+    protocol runs behind a thread-per-connection TCP server
+    (serve/server.py): concurrent clients are safe — engine calls are
+    serialized behind the app lock."""
     import sys
 
     if not args.ckpt and not args.shm:
@@ -420,7 +424,8 @@ def cmd_serve(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    import numpy as np
+
+    from ycnr_tpu.serve.server import ServingApp
 
     store, u, i, r = _open_store(args.store)
     maps = store.id_maps()
@@ -436,87 +441,18 @@ def cmd_serve(args):
         state0, manifest = load_checkpoint(args.ckpt)
         rec = Recommender(state0, u, i, train_r=r)
     fold_lam, fold_alpha = _fold_params(manifest, args)
-
-    def handle_line(line: str) -> str:
-        try:
-            if line == "stats":
-                # which factors is this process serving right now?
-                if args.shm:
-                    rec.refresh()
-                    epoch = rec.epoch
-                else:
-                    epoch = manifest.get("epoch") if manifest else None
-                return json.dumps({
-                    "event": "stats", "epoch": epoch,
-                    "users": int(store.meta["n_users"]),
-                    "items": int(store.meta["n_items"]), "n": args.n,
-                    "source": "shm" if args.shm else "ckpt"})
-            if line.startswith("cold:"):
-                from ycnr_tpu.serve.fold_in import recommend_fold_in
-
-                pairs = [p.split(":") for p in line[5:].split(",")]
-                ii = np.asarray([int(a) for a, _ in pairs])
-                rr = np.asarray([float(b) for _, b in pairs], np.float32)
-                if maps is not None:
-                    pos = np.searchsorted(maps[1], ii)
-                    ok = (pos < len(maps[1])) & (maps[1][np.minimum(
-                        pos, len(maps[1]) - 1)] == ii)
-                    if not ok.all():
-                        raise KeyError(f"unknown items {ii[~ok].tolist()}")
-                    ii = pos
-                if args.shm:
-                    rec.refresh()  # cold path must hot-reload too
-                    state = rec._rec.state
-                else:
-                    state = rec.state
-                top_i, top_s = recommend_fold_in(state, [ii], [rr],
-                                                 n=args.n, lam=fold_lam,
-                                                 alpha=fold_alpha)
-                from ycnr_tpu.eval.recommend import NEG_INF
-
-                items = top_i[0][top_s[0] > NEG_INF / 2]
-                key = "cold"
-            else:
-                uid = int(line)
-                dense = uid
-                if maps is not None:
-                    pos = np.searchsorted(maps[0], uid)
-                    if pos >= len(maps[0]) or maps[0][pos] != uid:
-                        raise KeyError(f"unknown user {uid}")
-                    dense = int(pos)
-                items = rec.recommend(dense, args.n)
-                key = uid
-            if maps is not None:
-                items = maps[1][np.asarray(items)]
-            return json.dumps({"user": key,
-                               "items": [int(x) for x in items]})
-        except (ValueError, KeyError, IndexError, RuntimeError) as e:
-            # RuntimeError covers shm torn-read retry exhaustion during a
-            # publish storm — one failed request must not kill the server
-            return json.dumps({"error": str(e), "request": line})
+    app = ServingApp(
+        rec, maps=maps, n=args.n, fold_lam=fold_lam, fold_alpha=fold_alpha,
+        store_meta=store.meta, source="shm" if args.shm else "ckpt",
+        epoch=(manifest.get("epoch") if manifest else None), shm=args.shm)
 
     ready = {"event": "ready", "users": int(store.meta["n_users"]),
              "items": int(store.meta["n_items"])}
     if args.listen:
-        # same line protocol over TCP (the reference's service-style
-        # serving; SURVEY.md C4 notes a possible TCP mode). Connections are
-        # handled one at a time: the recommendation cache and shm
-        # hot-reload are not synchronized for concurrent mutation.
-        import socketserver
+        from ycnr_tpu.serve.server import serve_tcp
 
         host, _, port = args.listen.rpartition(":")
-
-        class Handler(socketserver.StreamRequestHandler):
-            def handle(self):
-                for raw in self.rfile:
-                    line = raw.decode("utf-8", "replace").strip()
-                    if not line:
-                        continue
-                    self.wfile.write((handle_line(line) + "\n").encode())
-                    self.wfile.flush()
-
-        with socketserver.TCPServer((host or "127.0.0.1", int(port)),
-                                    Handler) as srv:
+        with serve_tcp(app, host, int(port)) as srv:
             ready["listen"] = "%s:%d" % srv.server_address[:2]
             print(json.dumps(ready), flush=True)
             srv.serve_forever()
@@ -525,7 +461,7 @@ def cmd_serve(args):
         for line in sys.stdin:
             line = line.strip()
             if line:
-                print(handle_line(line), flush=True)
+                print(app.handle(line), flush=True)
 
 
 def cmd_publish(args):

@@ -29,29 +29,31 @@ class Recommender:
         # ratings are only needed for online updates (add_ratings)
         self.train_r = None if train_r is None else np.asarray(train_r,
                                                                np.float32)
-        # one-time CSR sort so per-request mask building is O(log nnz)
-        self._sorted = sort_ratings_by_user(self.train_u, self.train_i)
-        self._sorted_r = (None if self.train_r is None else self.train_r[
+        # one-time CSR sort so per-request mask building is O(log nnz).
+        # (su, si, sr) live in ONE tuple attribute so concurrent readers
+        # always snapshot a consistent index across a compact() swap.
+        su, si = sort_ratings_by_user(self.train_u, self.train_i)
+        sr = (None if self.train_r is None else self.train_r[
             np.argsort(self.train_u, kind="stable")])
+        self._csr = (su, si, sr)
         self.cache = cache if cache is not None else RecCache()
         # pending online updates: user -> (item array, rating array), the
         # LAST entry per item wins; folded into the base arrays at compact()
         self._pending: dict = {}
         self._pending_n = 0
         self._compact_threshold = compact_threshold
+        # bumped on every state swap/update; lets concurrent readers detect
+        # that a result they computed became stale before caching it
+        self._version = 0
 
     # -- rated-list plumbing (base index + pending overlay) ----------------
 
-    def _base_slice(self, user_id: int):
-        su, si = self._sorted
-        s = np.searchsorted(su, user_id)
-        t = np.searchsorted(su, user_id, side="right")
-        return s, t
-
     def _user_items(self, user_id: int) -> np.ndarray:
         """The user's full current rated-item set (base + pending)."""
-        s, t = self._base_slice(user_id)
-        base = self._sorted[1][s:t]
+        su, si, _ = self._csr  # one atomic snapshot of the index
+        s = np.searchsorted(su, user_id)
+        t = np.searchsorted(su, user_id, side="right")
+        base = si[s:t]
         pend = self._pending.get(int(user_id))
         if pend is None:
             return base
@@ -60,10 +62,11 @@ class Recommender:
     def _user_items_ratings(self, user_id: int):
         """(items, ratings) with pending overlaying base (replacement
         semantics: a re-rated item takes the pending value)."""
-        s, t = self._base_slice(user_id)
-        base_i = self._sorted[1][s:t]
-        base_r = (self._sorted_r[s:t] if self._sorted_r is not None
-                  else np.zeros(t - s, np.float32))
+        su, si, sr = self._csr
+        s = np.searchsorted(su, user_id)
+        t = np.searchsorted(su, user_id, side="right")
+        base_i = si[s:t]
+        base_r = sr[s:t] if sr is not None else np.zeros(t - s, np.float32)
         pend = self._pending.get(int(user_id))
         if pend is None:
             return base_i, base_r
@@ -96,9 +99,9 @@ class Recommender:
         if self.train_r is not None:
             self.train_r = np.concatenate([self.train_r[keep]] + add_r)
         order = np.argsort(self.train_u, kind="stable")
-        self._sorted = (self.train_u[order], self.train_i[order])
-        if self.train_r is not None:
-            self._sorted_r = self.train_r[order]
+        self._csr = (self.train_u[order], self.train_i[order],
+                     self.train_r[order] if self.train_r is not None
+                     else None)
         self._pending = {}
         self._pending_n = 0
 
@@ -130,13 +133,15 @@ class Recommender:
         hit = self.cache.get(key)
         if hit is not None:
             return hit
+        v0 = self._version
         items, scores = recommend_users(
             self.state, self.train_u, self.train_i, np.asarray([user_id]),
             n, rated_lists=[self._user_items(user_id)])
         # when n exceeds the user's unrated count, top_k fills the tail
         # with NEG_INF-masked (already-rated) entries — drop them
         result = items[0][scores[0] > NEG_INF / 2]
-        self.cache.put(key, result)
+        if self._version == v0:  # don't cache across a concurrent swap
+            self.cache.put(key, result)
         return result
 
     def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
@@ -157,6 +162,7 @@ class Recommender:
         self.state = state
         self._pending = {}
         self._pending_n = 0
+        self._version += 1
         self.cache.invalidate()
 
     def add_ratings(self, user_id: int, item_ids, ratings,
@@ -204,6 +210,7 @@ class Recommender:
         row = fold_in_users(self.state, [mi], [mr], lam=lam, alpha=alpha)[0]
         self.state = self.state._replace(
             U=self.state.U.at[user_id].set(row.astype(self.state.U.dtype)))
+        self._version += 1
         self.cache.invalidate(user_id)
         self._maybe_compact()
 

@@ -165,6 +165,12 @@ class ShmRecommender:
     def epoch(self) -> int:
         return self._epoch
 
+    @property
+    def engine(self) -> Recommender:
+        """The wrapped Recommender (serve/server.py refreshes under its own
+        lock, then reads through this without re-refreshing)."""
+        return self._rec
+
     def refresh(self):
         """Pick up a newer published epoch (recommend/recommend_batch call
         this automatically; external state consumers should too)."""
