@@ -39,6 +39,20 @@ def test_golden_sgd_rmse():
     assert abs(res.rmse_history[-1] - 0.576) < 0.02, res.rmse_history
 
 
-def test_golden_ials_runs():
+def test_golden_ials_ranking_quality():
+    """Pinned implicit-feedback quality (not just finiteness): hit-rate@10
+    and NDCG@10 on the fixed synthetic set. The band is tight enough to
+    catch a wrong confidence weighting — measured 2026-08-17: halving the
+    effective alpha (1.0 vs 5.0) moves hit_rate by ~0.06 and ndcg by ~0.10,
+    3-5x these tolerances. An untrained state scores hit_rate 0.105 /
+    ndcg 0.065."""
+    from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
     res = train(_cfg("ials"), out_dir=None)
     assert np.isfinite(res.rmse_history).all()
+    ds = res.dataset
+    m = ranking_metrics_at_n(res.state, ds.train_u, ds.train_i,
+                             ds.test_u, ds.test_i, n=10)
+    # pinned 2026-08-17 (fp32, bucketed path, alpha=5, lam=0.3, 3 epochs)
+    assert abs(m["hit_rate"] - 0.296) < 0.02, m
+    assert abs(m["ndcg"] - 0.2486) < 0.02, m
