@@ -1,0 +1,125 @@
+"""Stream-SGD (models/sgd_stream.py): parity with the reference batched
+path, tile-window edge cases, and convergence equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ycnr_tpu.data.split import train_test_split
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.models.base import init_state, rmse_padded, state_from_numpy
+from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data, sgd_epoch
+from ycnr_tpu.models.sgd_stream import (
+    StreamSGD,
+    prepare_stream_sgd,
+    sgd_stream_epoch,
+)
+from ycnr_tpu.ops.layout import pad_coo
+
+DT = jnp.float64
+
+
+def _state(nu, ni, k, seed, mu=0.0):
+    rng = np.random.default_rng(seed)
+    st = state_from_numpy(rng.normal(0, 0.1, (nu, k)),
+                          rng.normal(0, 0.1, (ni, k)), dtype=DT)
+    return st._replace(mu=jnp.asarray(mu, DT))
+
+
+def _clone(st):
+    # the epoch fns donate their state argument; tests reuse the start state
+    return jax.tree.map(jnp.copy, st)
+
+
+@pytest.mark.parametrize("grad_mode", ["sum", "mean"])
+def test_stream_parity_with_batched_reference(grad_mode):
+    """Stream epoch == sgd_epoch run with the stream order as its perm
+    (same batch contents, same math; only the access pattern differs)."""
+    nu, ni, k, B = 80, 40, 5, 64
+    u, i, r = synthetic_ratings(nu, ni, 900, true_rank=3, seed=2)
+    st0 = _state(nu, ni, k, 0, mu=float(r.mean()))
+
+    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=5, dtype=DT)
+    bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
+    nb = sdata.ul.shape[0]
+
+    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02,
+                    0.01, B, grad_mode)
+    got = sgd_stream_epoch(_clone(st0), sdata.ul, sdata.ib, sdata.rb,
+                           sdata.ip, sdata.u_lo, jnp.arange(nb), 0.02,
+                           0.01, sdata.tile, grad_mode)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_stream_sparse_users_wide_tile():
+    """Adversarial span: many single-rating users spread over a wide id
+    range forces the tile window toward B; updates must still match."""
+    nu, ni, k, B = 4000, 30, 4, 128
+    rng = np.random.default_rng(0)
+    u = rng.choice(nu, 700, replace=False)  # 700 users, 1 rating each
+    i = rng.integers(0, ni, 700)
+    r = rng.uniform(1, 5, 700).astype(np.float32)
+    st0 = _state(nu, ni, k, 1)
+    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=3, dtype=DT)
+    bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
+    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02, 0.01, B, "sum")
+    got = sgd_stream_epoch(_clone(st0), sdata.ul, sdata.ib, sdata.rb,
+                           sdata.ip, sdata.u_lo,
+                           jnp.arange(sdata.ul.shape[0]), 0.02, 0.01,
+                           sdata.tile, "sum")
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.V), np.asarray(ref.V),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_stream_batch_order_determinism_and_shuffling():
+    """Same seed => bitwise identical; different epoch => different order
+    actually changes the result (the reshuffle is real)."""
+    nu, ni, k, B = 60, 30, 4, 64
+    u, i, r = synthetic_ratings(nu, ni, 700, true_rank=2, seed=4)
+    st0 = _state(nu, ni, k, 2)
+    data, _ = prepare_stream_sgd(u, i, r, B, nu, ni, seed=1, dtype=DT)
+    tr = StreamSGD(lam=0.02, lr=0.02, seed=9)
+    a = tr.epoch(_clone(st0), data, 0)
+    b = tr.epoch(_clone(st0), data, 0)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+    c = tr.epoch(_clone(st0), data, 1)
+    assert not np.array_equal(np.asarray(a.U), np.asarray(c.U))
+
+
+def test_stream_convergence_matches_shuffled_reference():
+    """User-major stream order + per-epoch batch reshuffle converges like
+    the uniformly-shuffled reference (final RMSE within a small band)."""
+    nu, ni, k, B = 600, 200, 8, 512
+    u, i, r = synthetic_ratings(nu, ni, 24_000, true_rank=4, seed=6)
+    (tu, ti, tr_), (su, si, sr) = train_test_split(u, i, r, 0.1, seed=6)
+    mu = float(tr_.mean())
+    pu, pi, pr, n = pad_coo(su, si, sr, nu, ni, 256)
+    dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
+
+    def final_rmse_stream():
+        st = init_state(nu, ni, k, seed=0, mu=mu, dtype=jnp.float32)
+        data, _ = prepare_stream_sgd(tu, ti, tr_, B, nu, ni, seed=0)
+        t = StreamSGD(lam=0.02, lr=0.03, lr_decay=0.95, seed=0,
+                      grad_mode="mean")
+        for ep in range(8):
+            st = t.epoch(st, data, ep)
+        return float(rmse_padded(st, dpu, dpi, dpr, n))
+
+    def final_rmse_ref():
+        st = init_state(nu, ni, k, seed=0, mu=mu, dtype=jnp.float32)
+        data = prepare_sgd_data(tu, ti, tr_, B, nu, ni)
+        t = BiasedSGD(lam=0.02, lr=0.03, lr_decay=0.95, batch_size=B,
+                      seed=0, grad_mode="mean")
+        for ep in range(8):
+            st = t.epoch(st, data, ep)
+        return float(rmse_padded(st, dpu, dpi, dpr, n))
+
+    a, b = final_rmse_stream(), final_rmse_ref()
+    # both learned, and the orders agree to a few percent of RMSE
+    assert a < 0.9 and b < 0.9, (a, b)
+    assert abs(a - b) < 0.05, (a, b)

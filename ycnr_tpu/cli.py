@@ -80,6 +80,11 @@ def _add_train_overrides(p):
     p.add_argument("--shards", type=int)
     p.add_argument("--vstep-mode", choices=["gram_psum", "item_sharded"],
                    help="sharded V-step collective strategy")
+    p.add_argument("--sgd-method", choices=["batched", "stream"],
+                   help="SGD epoch structure: 'batched' = uniformly "
+                        "shuffled (oracle semantics), 'stream' = "
+                        "user-sorted scatter-free stream (faster on TPU; "
+                        "models/sgd_stream.py)")
     p.add_argument("--out", default=None,
                    help="artifact dir (default: the config's out_dir, "
                         "else ./runs)")
@@ -173,6 +178,9 @@ def _build_cfg(args):
         for field in ("als", "sgd", "ials"):
             cfg = cfg.replace(**{field: dataclasses.replace(
                 getattr(cfg, field), rank=args.rank)})
+    if getattr(args, "sgd_method", None):
+        cfg = cfg.replace(sgd=dataclasses.replace(cfg.sgd,
+                                                  method=args.sgd_method))
     mesh_kw = {}
     if args.shards:
         mesh_kw["n_shards"] = args.shards

@@ -64,6 +64,12 @@ class SGDConfig:
     # "sum" = per-sample accumulation (oracle-exact); "mean" = per-entity
     # batch-mean, stable for hot entities in large batches (see models/sgd.py)
     grad_mode: str = "sum"
+    # "batched" = uniformly-shuffled batches (models/sgd.py, the oracle
+    # semantics); "stream" = user-sorted stream with batch-order reshuffle
+    # (models/sgd_stream.py) — scatter-free access pattern, much faster on
+    # TPU; implies grad_mode="mean" unless overridden (hot users
+    # concentrate per batch in stream order)
+    method: str = "batched"
 
 
 @dataclass(frozen=True)

@@ -118,6 +118,18 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
             cfg.data.chunk_len, params.rank,
             max_groups=cfg.data.max_groups), dtype)
+    elif cfg.sgd.method == "stream":
+        from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
+
+        # stream order concentrates a user's ratings into one batch, the
+        # case "sum" diverges on (models/sgd.py docstring) — force "mean"
+        # unless the config explicitly chose it
+        gm = "mean" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
+        trainer = StreamSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
+                            seed=cfg.seed, grad_mode=gm)
+        sgd_data, _ = prepare_stream_sgd(
+            ds.train_u, ds.train_i, ds.train_r, cfg.sgd.batch_size,
+            ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed,
