@@ -32,23 +32,30 @@ def _clone(st):
     return jax.tree.map(jnp.copy, st)
 
 
+def _stream_once(st, sdata, lam=0.02, lr=0.01):
+    nb = sdata.ul.shape[0]
+    return sgd_stream_epoch(_clone(st), sdata.ul, sdata.ib, sdata.rb,
+                            sdata.wu, sdata.wi, sdata.u_lo,
+                            jnp.arange(nb), lam, lr, sdata.tile)
+
+
 @pytest.mark.parametrize("grad_mode", ["sum", "mean"])
 def test_stream_parity_with_batched_reference(grad_mode):
     """Stream epoch == sgd_epoch run with the stream order as its perm
-    (same batch contents, same math; only the access pattern differs)."""
+    (same batch contents, same math; only the access pattern differs).
+    Also pins bias handling: biases ride as an extra factor column in the
+    stream path and must update identically."""
     nu, ni, k, B = 80, 40, 5, 64
     u, i, r = synthetic_ratings(nu, ni, 900, true_rank=3, seed=2)
     st0 = _state(nu, ni, k, 0, mu=float(r.mean()))
 
-    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=5, dtype=DT)
+    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=5, dtype=DT,
+                                      grad_mode=grad_mode)
     bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
-    nb = sdata.ul.shape[0]
 
     ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02,
                     0.01, B, grad_mode)
-    got = sgd_stream_epoch(_clone(st0), sdata.ul, sdata.ib, sdata.rb,
-                           sdata.ip, sdata.u_lo, jnp.arange(nb), 0.02,
-                           0.01, sdata.tile, grad_mode)
+    got = _stream_once(st0, sdata)
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-12)
@@ -63,16 +70,17 @@ def test_stream_sparse_users_wide_tile():
     i = rng.integers(0, ni, 700)
     r = rng.uniform(1, 5, 700).astype(np.float32)
     st0 = _state(nu, ni, k, 1)
-    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=3, dtype=DT)
+    sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=3, dtype=DT,
+                                      grad_mode="sum")
     bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
-    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02, 0.01, B, "sum")
-    got = sgd_stream_epoch(_clone(st0), sdata.ul, sdata.ib, sdata.rb,
-                           sdata.ip, sdata.u_lo,
-                           jnp.arange(sdata.ul.shape[0]), 0.02, 0.01,
-                           sdata.tile, "sum")
+    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02, 0.01, B,
+                    "sum")
+    got = _stream_once(st0, sdata)
     np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.V), np.asarray(ref.V),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.bu), np.asarray(ref.bu),
                                rtol=1e-12, atol=1e-12)
 
 
@@ -91,6 +99,13 @@ def test_stream_batch_order_determinism_and_shuffling():
     assert not np.array_equal(np.asarray(a.U), np.asarray(c.U))
 
 
+def test_stream_grad_mode_mismatch_is_loud():
+    u, i, r = synthetic_ratings(30, 20, 200, true_rank=2, seed=0)
+    data, _ = prepare_stream_sgd(u, i, r, 64, 30, 20, grad_mode="sum")
+    with pytest.raises(ValueError, match="grad_mode"):
+        StreamSGD(grad_mode="mean").epoch(_state(30, 20, 4, 0), data, 0)
+
+
 def test_stream_convergence_matches_shuffled_reference():
     """User-major stream order + per-epoch batch reshuffle converges like
     the uniformly-shuffled reference (final RMSE within a small band)."""
@@ -103,7 +118,8 @@ def test_stream_convergence_matches_shuffled_reference():
 
     def final_rmse_stream():
         st = init_state(nu, ni, k, seed=0, mu=mu, dtype=jnp.float32)
-        data, _ = prepare_stream_sgd(tu, ti, tr_, B, nu, ni, seed=0)
+        data, _ = prepare_stream_sgd(tu, ti, tr_, B, nu, ni, seed=0,
+                                     grad_mode="mean")
         t = StreamSGD(lam=0.02, lr=0.03, lr_decay=0.95, seed=0,
                       grad_mode="mean")
         for ep in range(8):

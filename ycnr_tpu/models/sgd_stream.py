@@ -1,25 +1,28 @@
 """Stream-SGD: the SGD epoch restructured for TPU memory behavior.
 
-models/sgd.py processes uniformly-shuffled batches, so BOTH factor tables
-see random-row gathers + scatter-adds; measured on v5e those cost 20-50
-ns/row in XLA regardless of table size, sortedness, or hints
-(docs/KERNELS.md "SGD epoch perf model"), putting the Netflix epoch at
-~14.6 s. This module keeps the exact per-batch update MATH (gradients at
-batch-start parameters, duplicate handling per grad_mode) but fixes the
-ACCESS PATTERN, the reference being the hogwild stream of SURVEY.md call
-stack 3.3:
+models/sgd.py processes uniformly-shuffled batches: 2 random-row gathers +
+4 scatter-adds per batch. Measured on v5e (docs/KERNELS.md "SGD epoch perf
+model"), EVERY per-row random-access primitive — scatter-add, sorted or
+unsorted segment_sum, cumsum, a Pallas per-row loop over a VMEM-resident
+table — costs the same ~9 ns/row regardless of table size, so the only
+lever is the NUMBER of per-row ops per rating. This module keeps the exact
+per-batch update MATH (gradients at batch-start parameters, duplicate
+handling per grad_mode — the reference being the hogwild stream of
+SURVEY.md call stack 3.3) and restructures the epoch down to FOUR per-row
+ops per rating:
 
-* The rating stream is sorted by user once at prepare time (items shuffled
-  within each user), and batches are consecutive stream segments. The user
-  rows a batch touches then live in ONE contiguous index window, so the
-  U-side becomes dynamic_slice (sequential HBM read) + sorted segment-sum
-  + dynamic_update_slice (sequential write) — no random access at all.
-* The item side has NO scatters either: each batch carries a precomputed
-  within-batch item-sort permutation, so V/bi deltas are permuted (row
-  gather, ~2 ns/row), segment-summed with sorted indices into a dense
-  [n_items+1, k] delta, and added densely — the item table is small
-  enough (ML-20M 6.8 MB, Netflix 4.5 MB f32) that the dense add is
-  bandwidth-trivial (~11 us/batch at Netflix scale).
+* The stream is sorted by user once at prepare time, batches are
+  consecutive segments, and each batch's rows are then re-sorted by item.
+  The user rows a batch touches live in one contiguous window, so the
+  U side is dynamic_slice tile + segment-sum into the tile + dense
+  slice write (the segment indices are tile-local); the item side is a
+  sorted segment-sum over the small V table + dense add. No scatters.
+* User/item biases ride as a 65th factor column for the epoch (built
+  once per epoch, split at the end), so the bias gathers/updates fuse
+  into the factor-row ops instead of doubling the per-row op count.
+* grad_mode="mean" weights depend only on batch composition, which is
+  fixed at prepare time — they are precomputed host-side, removing two
+  more per-row counting ops per batch.
 * Per-epoch stochasticity comes from permuting the BATCH ORDER every
   epoch (classic incremental-gradient reordering; the convergence band
   vs the uniformly-shuffled reference path is pinned in
@@ -27,10 +30,10 @@ stack 3.3:
 
 "sum" mode is numerically equivalent to models/sgd.sgd_epoch run with the
 stream order as its permutation (the segment sums accumulate the same
-terms); parity is pinned in float64 in tests/test_sgd_stream.py. NOTE the
-stream order CONCENTRATES a hot user's ratings into one batch, which is
-exactly the case "sum" handles badly (models/sgd.py docstring) — "mean"
-is the stream default.
+terms, in a different association order); parity is pinned in float64 in
+tests/test_sgd_stream.py. NOTE the stream order CONCENTRATES a hot user's
+ratings into one batch, which is exactly the case "sum" handles badly
+(models/sgd.py docstring) — "mean" is the stream default.
 """
 
 from __future__ import annotations
@@ -47,27 +50,31 @@ from ycnr_tpu.models.base import MFState
 
 
 class StreamSGDData(NamedTuple):
-    """User-sorted rating stream cut into [n_batches, B] device arrays.
+    """User-sorted, per-batch-item-sorted stream as [NB, B] device arrays.
 
-    Padding rows carry item id n_items (the zero trash row) and mask out of
-    every update. ``ul`` is the LOCAL user row within the batch's U-tile
-    (global user id - u_lo); ``u_lo`` is each batch's tile start, already
-    clamped so a full [tile, k] dynamic_slice stays in bounds.
+    Padding rows carry item id n_items (the zero trash row) and weight 0.
+    ``ul`` is the LOCAL user row within the batch's U-tile (global id -
+    u_lo); ``u_lo`` is each batch's tile start, clamped so a full
+    [tile, k+1] dynamic_slice stays in bounds. ``wu``/``wi`` are the
+    per-row update weights (mask for "sum", mask/multiplicity for
+    "mean") — precomputed because batch composition is static.
     """
 
     ul: jnp.ndarray  # [NB, B] int32 local user row in the batch tile
-    ib: jnp.ndarray  # [NB, B] int32 global item id (pad -> n_items)
+    ib: jnp.ndarray  # [NB, B] int32 global item id, sorted per batch
     rb: jnp.ndarray  # [NB, B] float rating (pad -> 0)
-    ip: jnp.ndarray  # [NB, B] int32 within-batch item-sort permutation
+    wu: jnp.ndarray  # [NB, B] float user-side update weight (pad -> 0)
+    wi: jnp.ndarray  # [NB, B] float item-side update weight (pad -> 0)
     u_lo: jnp.ndarray  # [NB] int32 tile start row
     n_real: int
     tile: int  # static tile height (max user span over batches, padded)
+    grad_mode: str  # weights were built for this mode
 
 
 def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
                        n_users: int, n_items: int, seed: int = 0,
-                       dtype=jnp.float32):
-    """Build the user-sorted stream (host, once per dataset).
+                       dtype=jnp.float32, grad_mode: str = "mean"):
+    """Build the stream (host, once per dataset).
 
     Returns (StreamSGDData, order) where ``order`` maps stream position ->
     original padded-COO position (exposed so tests can replay the exact
@@ -83,102 +90,98 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     rng = np.random.default_rng(seed)
     shuf = rng.permutation(n_pad)  # shuffles items within users after sort
     order = shuf[np.argsort(u[shuf], kind="stable")]
+    # re-sort each batch's rows by item id (keeps the item-side segment
+    # sum on the sorted fast path with no runtime permute)
+    ik = i[order].reshape(nb, batch_size)
+    isort = np.argsort(ik, axis=1, kind="stable")
+    order = order.reshape(nb, batch_size)[
+        np.arange(nb)[:, None], isort].reshape(-1)
     us, is_, rs = u[order], i[order], r[order]
 
-    first = us[::batch_size]  # [NB]
-    last = us[batch_size - 1 :: batch_size]
+    first = us.reshape(nb, batch_size).min(axis=1)
+    last = us.reshape(nb, batch_size).max(axis=1)
     tile = int((last - first).max(initial=0)) + 1
     tile = min(-(-tile // 8) * 8, n_users + 1)  # pad to sublane multiple
     u_lo = np.minimum(first, n_users + 1 - tile).astype(np.int32)
     ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
-    ib2 = is_.reshape(nb, batch_size)
-    ip = np.argsort(ib2, axis=1, kind="stable").astype(np.int32)
+
+    # weights in f64 host-side; cast to the training dtype at device_put
+    # (f32 weights under an f64 test run would break 1e-12 oracle parity)
+    m = (is_ < n_items).astype(np.float64)
+    if grad_mode == "mean":
+        wu = np.empty(n_pad, np.float64)
+        wi = np.empty(n_pad, np.float64)
+        gu = us.reshape(nb, batch_size)
+        gi = is_.reshape(nb, batch_size)
+        for b in range(nb):  # bincount per batch: multiplicity weights
+            cu = np.bincount(gu[b], minlength=n_users + 1)
+            ci = np.bincount(gi[b], minlength=n_items + 1)
+            s = slice(b * batch_size, (b + 1) * batch_size)
+            wu[s] = m[s] / np.maximum(cu[gu[b]], 1)
+            wi[s] = m[s] / np.maximum(ci[gi[b]], 1)
+    else:
+        wu = wi = m
     data = StreamSGDData(
         ul=jnp.asarray(ul.reshape(nb, batch_size)),
-        ib=jnp.asarray(ib2.astype(np.int32)),
+        ib=jnp.asarray(is_.reshape(nb, batch_size).astype(np.int32)),
         rb=jnp.asarray(rs.reshape(nb, batch_size), dtype),
-        ip=jnp.asarray(ip),
+        wu=jnp.asarray(wu.reshape(nb, batch_size), dtype),
+        wi=jnp.asarray(wi.reshape(nb, batch_size), dtype),
         u_lo=jnp.asarray(u_lo),
-        n_real=n, tile=tile)
+        n_real=n, tile=tile, grad_mode=grad_mode)
     return data, order
 
 
-@partial(jax.jit, static_argnames=("lam", "tile", "grad_mode"),
-         donate_argnums=(0,))
-def sgd_stream_epoch(state: MFState, ul, ib, rb, ip, u_lo, order,
-                     lam: float, lr, tile: int,
-                     grad_mode: str = "mean") -> MFState:
+@partial(jax.jit, static_argnames=("lam", "tile"), donate_argnums=(0,))
+def sgd_stream_epoch(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
+                     lam: float, lr, tile: int) -> MFState:
     """One epoch over the stream in batch order ``order`` ([NB] int32
     permutation — reshuffled per epoch for stochasticity).
 
-    Per batch: U-tile in/out via dynamic slices (sequential), user updates
-    via SORTED segment-sum into the tile; V/bi deltas are permuted into
-    item order (``ip``), segment-summed densely over the item table, and
-    added — no scatter anywhere. Gradients are evaluated at batch-start
-    parameters, exactly like models/sgd.sgd_epoch.
+    Per rating, exactly 4 per-row ops: tile gather, V gather, tile
+    segment-sum, item segment-sum (sorted). Biases ride as column k of
+    the extended factor tables, built once per epoch.
     """
-    n_users = state.n_users
     n_items = state.n_items
     k = state.U.shape[1]
     lr = jnp.asarray(lr, state.U.dtype)
+    lam_ = jnp.asarray(lam, state.U.dtype)
+    # extended tables: factors with the bias as column k
+    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
+    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    one_col = (jax.lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
+               == k).astype(Ue.dtype)  # [1, k+1] selector of the bias col
     # materialize the epoch's batch order once (leading-axis gather)
-    xs = (ul[order], ib[order], rb[order], ip[order], u_lo[order])
+    xs = (ul[order], ib[order], rb[order], wu[order], wi[order],
+          u_lo[order])
 
     def body(carry, xs_b):
-        U, V, bu, bi = carry
-        ulb, ibb, rbb, ipb, lo = xs_b
+        Ue, Ve = carry
+        ulb, ibb, rbb, wub, wib, lo = xs_b
         zero = jnp.zeros((), lo.dtype)  # match index dtypes (x64 tests)
-        Ut = lax.dynamic_slice(U, (lo, zero), (tile, k))
-        but = lax.dynamic_slice(bu, (lo,), (tile,))
-        Uu = Ut[ulb]  # [B, k] gather from the VMEM-sized tile
-        Vi = V[ibb]
-        buu = but[ulb]
-        bii = bi[ibb]
-        pred = state.mu + buu + bii + jnp.einsum("nk,nk->n", Uu, Vi)
-        m = (ibb < n_items).astype(U.dtype)  # padding mask
-        e = (rbb - pred) * m
-        ib_sorted = ibb[ipb]
+        Ut = lax.dynamic_slice(Ue, (lo, zero), (tile, k + 1))
+        ue = Ut[ulb]  # [B, k+1] gather from the tile        (per-row op 1)
+        ve = Ve[ibb]  # [B, k+1] gather from the item table  (per-row op 2)
+        pred = (state.mu + ue[:, k] + ve[:, k]
+                + jnp.einsum("nk,nk->n", ue[:, :k], ve[:, :k]))
+        e = rbb - pred  # weights carry the padding mask
+        # gradient rows, uniform across factor cols and the bias col:
+        # replacing the partner's bias col with 1 makes  e*partner - lam*own
+        # compute the bias update in the same fused elementwise expression
+        ve1 = ve * (1 - one_col) + one_col
+        ue1 = ue * (1 - one_col) + one_col
+        gu = (lr * wub)[:, None] * (e[:, None] * ve1 - lam_ * ue)
+        gv = (lr * wib)[:, None] * (e[:, None] * ue1 - lam_ * ve)
+        dU = jax.ops.segment_sum(gu, ulb, num_segments=tile)  # (op 3)
+        dV = jax.ops.segment_sum(gv, ibb, num_segments=n_items + 1,
+                                 indices_are_sorted=True)     # (op 4)
+        Ue = lax.dynamic_update_slice(Ue, Ut + dU, (lo, zero))
+        Ve = Ve + dV
+        return (Ue, Ve), None
 
-        def item_dense(rows, vec):
-            """Permute per-row deltas into item order and segment-sum into
-            a dense [n_items+1(, k)] delta (sorted fast path)."""
-            dV = jax.ops.segment_sum(rows[ipb], ib_sorted,
-                                     num_segments=n_items + 1,
-                                     indices_are_sorted=True)
-            db = jax.ops.segment_sum(vec[ipb], ib_sorted,
-                                     num_segments=n_items + 1,
-                                     indices_are_sorted=True)
-            return dV, db
-
-        if grad_mode == "mean":
-            cu = jax.ops.segment_sum(m, ulb, num_segments=tile,
-                                     indices_are_sorted=True)
-            ci = jax.ops.segment_sum(m[ipb], ib_sorted,
-                                     num_segments=n_items + 1,
-                                     indices_are_sorted=True)
-            wu = m / jnp.maximum(cu[ulb], 1.0)
-            wi = m / jnp.maximum(ci[ibb], 1.0)
-        else:
-            wu = wi = m
-        gU = lr * wu[:, None] * (e[:, None] * Vi - lam * Uu)
-        gbu = lr * wu * (e - lam * buu)
-        # ulb is sorted (user-major stream) -> fast sorted segment path
-        dU = jax.ops.segment_sum(gU, ulb, num_segments=tile,
-                                 indices_are_sorted=True)
-        dbu = jax.ops.segment_sum(gbu, ulb, num_segments=tile,
-                                  indices_are_sorted=True)
-        U = lax.dynamic_update_slice(U, Ut + dU, (lo, zero))
-        bu = lax.dynamic_update_slice(bu, but + dbu, (lo,))
-        gV = lr * wi[:, None] * (e[:, None] * Uu - lam * Vi)
-        gbi = lr * wi * (e - lam * bii)
-        dV, dbi = item_dense(gV, gbi)
-        V = V + dV
-        bi = bi + dbi
-        return (U, V, bu, bi), None
-
-    (U, V, bu, bi), _ = lax.scan(
-        body, (state.U, state.V, state.bu, state.bi), xs)
-    return state._replace(U=U, V=V, bu=bu, bi=bi)
+    (Ue, Ve), _ = lax.scan(body, (Ue, Ve), xs)
+    return state._replace(U=Ue[:, :k], V=Ve[:, :k],
+                          bu=Ue[:, k], bi=Ve[:, k])
 
 
 class StreamSGD:
@@ -199,10 +202,14 @@ class StreamSGD:
 
     def epoch(self, state: MFState, data: StreamSGDData,
               epoch_idx: int) -> MFState:
+        if data.grad_mode != self.grad_mode:
+            raise ValueError(
+                f"data was prepared for grad_mode={data.grad_mode!r}; "
+                f"trainer wants {self.grad_mode!r} — re-run "
+                f"prepare_stream_sgd with matching grad_mode")
         nb = data.ul.shape[0]
         key = jax.random.key(self.seed + 7919 * epoch_idx)
         order = jax.random.permutation(key, nb)
-        return sgd_stream_epoch(state, data.ul, data.ib, data.rb, data.ip,
-                                data.u_lo, order, self.lam,
-                                self.lr_at(epoch_idx), data.tile,
-                                self.grad_mode)
+        return sgd_stream_epoch(state, data.ul, data.ib, data.rb, data.wu,
+                                data.wi, data.u_lo, order, self.lam,
+                                self.lr_at(epoch_idx), data.tile)

@@ -129,7 +129,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                             seed=cfg.seed, grad_mode=gm)
         sgd_data, _ = prepare_stream_sgd(
             ds.train_u, ds.train_i, ds.train_r, cfg.sgd.batch_size,
-            ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype)
+            ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype,
+            grad_mode=gm)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed,
