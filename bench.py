@@ -110,7 +110,8 @@ def _unflatten_layout(prefix: str, z):
 def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
               topn_users: int = 0, layout: str = "bucketed",
-              algo: str = "als", bf16: bool = False, groups: int = 8):
+              algo: str = "als", bf16: bool = False, groups: int = 8,
+              sgd_method: str = "batched"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -238,6 +239,23 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             def step(state, ep):
                 return als_epoch(state, dul, dil, lam)
         ul_serving = ul
+    elif sgd_method == "stream":
+        # scatter-free user-sorted stream epoch (models/sgd_stream.py)
+        from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
+
+        sgd_batch = 4096 if len(tr) < 10**6 else 65536
+        t0 = time.time()
+        sgd_data, _ = prepare_stream_sgd(tu, ti, tr, sgd_batch, n_users,
+                                         n_items, seed=seed,
+                                         grad_mode="mean")
+        log(f"stream prep: {time.time() - t0:.1f}s "
+            f"({sgd_data.ul.shape[0]} batches of {sgd_batch}, "
+            f"tile={sgd_data.tile})")
+        trainer = StreamSGD(lam=0.02, lr=0.008, lr_decay=0.95, seed=seed,
+                            grad_mode="mean")
+
+        def step(state, ep):
+            return trainer.epoch(state, sgd_data, ep)
     else:
         # biased mini-batch SGD over the shuffled rating stream (call stack
         # 3.3 analog); only the padded COO batches are needed — no layouts
@@ -321,6 +339,10 @@ def main():
                     help="netflix = 480k users x 17.8k items, 100M ratings "
                          "(BASELINE config 5 shape, single chip)")
     ap.add_argument("--algo", choices=["als", "ials", "sgd"], default="als")
+    ap.add_argument("--sgd-method", choices=["batched", "stream"],
+                    default="batched",
+                    help="SGD epoch structure (stream = scatter-free "
+                         "user-sorted, models/sgd_stream.py)")
     ap.add_argument("--bf16", dest="bf16", action="store_true", default=True,
                     help="bfloat16 gathers with f32 accumulation (default; "
                          "RMSE trajectory matches f32 to 1e-4 at ML-20M)")
@@ -380,8 +402,11 @@ def main():
         return run_bench(*shapes, rank, epochs, chunk,
                          topn_users=1 if (args.smoke or args.topn) else 0,
                          layout=args.layout, algo=args.algo,
-                         bf16=args.bf16, groups=g)
+                         bf16=args.bf16, groups=g,
+                         sgd_method=args.sgd_method)
 
+    if args.algo == "sgd" and args.sgd_method == "stream":
+        metric = metric.replace("sgd", "sgd-stream", 1)
     epoch_s = measure(groups)
     out = {"metric": metric, "value": round(epoch_s, 4), "unit": "s/epoch",
            "vs_baseline": round(base / epoch_s, 3) if base else None}
