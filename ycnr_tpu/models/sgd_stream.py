@@ -73,12 +73,15 @@ class StreamSGDData(NamedTuple):
 
 def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
                        n_users: int, n_items: int, seed: int = 0,
-                       dtype=jnp.float32, grad_mode: str = "mean"):
+                       dtype=jnp.float32, grad_mode: str = "mean",
+                       tile: int | None = None):
     """Build the stream (host, once per dataset).
 
     Returns (StreamSGDData, order) where ``order`` maps stream position ->
     original padded-COO position (exposed so tests can replay the exact
-    stream through models/sgd.sgd_epoch for parity).
+    stream through models/sgd.sgd_epoch for parity). ``tile`` forces a
+    specific tile height (>= the computed one; the sharded builder aligns
+    shards to a common tile).
     """
     n = len(train_r)
     nb = -(-n // batch_size)
@@ -100,8 +103,12 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
 
     first = us.reshape(nb, batch_size).min(axis=1)
     last = us.reshape(nb, batch_size).max(axis=1)
-    tile = int((last - first).max(initial=0)) + 1
-    tile = min(-(-tile // 8) * 8, n_users + 1)  # pad to sublane multiple
+    need = int((last - first).max(initial=0)) + 1
+    if tile is None:
+        tile = min(-(-need // 8) * 8, n_users + 1)  # sublane multiple
+    elif tile < min(need, n_users + 1):
+        raise ValueError(f"tile override {tile} < required {need}")
+    tile = min(tile, n_users + 1)
     u_lo = np.minimum(first, n_users + 1 - tile).astype(np.int32)
     ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
 

@@ -265,13 +265,28 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             and cfg.algorithm in ("als", "ials")):
         return _train_dual(cfg, ds, metrics, out, resume, mesh, params,
                            dtype)
+    sgd_stream = cfg.algorithm == "sgd" and cfg.sgd.method == "stream"
     data, meta = build_sharded_data(
         ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
         chunk_len=cfg.data.chunk_len, block_chunks=cfg.data.block_chunks,
         rank_hint=params.rank, test_u=ds.test_u, test_i=ds.test_i,
         test_r=ds.test_r,
         sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh,
-        host_user_layout=cfg.measure_serving, algo=cfg.algorithm)
+        host_user_layout=cfg.measure_serving,
+        # the stream path builds its own rating arrays below; skip the
+        # shuffled-SGD stream (algo gate leaves placeholders)
+        algo="stream-sgd" if sgd_stream else cfg.algorithm)
+    stream_data = None
+    if sgd_stream:
+        from ycnr_tpu.parallel.sgd_stream import (
+            build_sharded_stream_sgd,
+            sharded_sgd_stream_epoch,
+        )
+
+        gm = "mean" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
+        stream_data, _ = build_sharded_stream_sgd(
+            ds.train_u, ds.train_i, ds.train_r, meta, cfg.sgd.batch_size,
+            seed=cfg.seed, dtype=dtype, grad_mode=gm, mesh=mesh)
 
     start_epoch = 0
     if resume:
@@ -298,6 +313,11 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             st = sharded_ials_epoch(
                 mesh, st, data, cfg.ials.lam, cfg.ials.alpha,
                 gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+        elif stream_data is not None:
+            lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
+            st = sharded_sgd_stream_epoch(mesh, st, stream_data,
+                                          cfg.sgd.lam, lr,
+                                          jax.random.fold_in(key, epoch))
         else:
             lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
             st = sharded_sgd_epoch(mesh, st, data, cfg.sgd.lam, lr,
