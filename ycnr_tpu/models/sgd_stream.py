@@ -93,10 +93,23 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     rng = np.random.default_rng(seed)
     shuf = rng.permutation(n_pad)  # shuffles items within users after sort
     order = shuf[np.argsort(u[shuf], kind="stable")]
+    us = u[order]
+
+    def _run_multiplicity(keys):
+        """count of equal consecutive keys, broadcast per element (O(n))."""
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, len(keys)])
+        return np.repeat(lens, lens)
+
+    batch_of = np.repeat(np.arange(nb, dtype=np.int64), batch_size)
+    # user-side mean weights BEFORE the item re-sort (user runs are
+    # contiguous here); computed in f64 so f64 runs keep oracle parity
+    if grad_mode == "mean":
+        wu = 1.0 / _run_multiplicity(batch_of * (n_users + 2) + us)
     # re-sort each batch's rows by item id (keeps the item-side segment
     # sum on the sorted fast path with no runtime permute)
-    ik = i[order].reshape(nb, batch_size)
-    isort = np.argsort(ik, axis=1, kind="stable")
+    isort = np.argsort(i[order].reshape(nb, batch_size), axis=1,
+                       kind="stable")
     order = order.reshape(nb, batch_size)[
         np.arange(nb)[:, None], isort].reshape(-1)
     us, is_, rs = u[order], i[order], r[order]
@@ -112,20 +125,11 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     u_lo = np.minimum(first, n_users + 1 - tile).astype(np.int32)
     ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
 
-    # weights in f64 host-side; cast to the training dtype at device_put
-    # (f32 weights under an f64 test run would break 1e-12 oracle parity)
     m = (is_ < n_items).astype(np.float64)
     if grad_mode == "mean":
-        wu = np.empty(n_pad, np.float64)
-        wi = np.empty(n_pad, np.float64)
-        gu = us.reshape(nb, batch_size)
-        gi = is_.reshape(nb, batch_size)
-        for b in range(nb):  # bincount per batch: multiplicity weights
-            cu = np.bincount(gu[b], minlength=n_users + 1)
-            ci = np.bincount(gi[b], minlength=n_items + 1)
-            s = slice(b * batch_size, (b + 1) * batch_size)
-            wu[s] = m[s] / np.maximum(cu[gu[b]], 1)
-            wi[s] = m[s] / np.maximum(ci[gi[b]], 1)
+        wu = (wu.reshape(nb, batch_size)[
+            np.arange(nb)[:, None], isort].reshape(-1)) * m
+        wi = m / _run_multiplicity(batch_of * (n_items + 2) + is_)
     else:
         wu = wi = m
     data = StreamSGDData(
