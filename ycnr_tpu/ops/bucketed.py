@@ -46,6 +46,59 @@ class BucketGroup(NamedTuple):
 BucketedCSR = Tuple[BucketGroup, ...]
 
 
+def _dp_rungs(active_counts: np.ndarray, max_groups: int,
+              n_cand: int = 512) -> np.ndarray:
+    """Per-entity rung heights: the smallest chosen height >= the entity's
+    rating count, with at most max_groups distinct heights chosen to
+    minimize the total padded slots (exact partition DP over <=n_cand
+    candidate heights)."""
+    counts = np.sort(active_counts.astype(np.int64))
+    distinct = np.unique(counts)
+    if len(distinct) > n_cand:
+        sel = np.linspace(0, len(distinct) - 1, n_cand).astype(int)
+        cand = distinct[sel]
+    else:
+        cand = distinct
+    # round heights up to the 8-row sublane; keep them >= the counts they
+    # must cover and always include a top rung covering the max
+    cand = np.unique(-(-cand // 8) * 8)
+    L = len(cand)
+    cum = np.searchsorted(counts, cand, side="right")  # entities covered
+    camf = cand.astype(np.float64)
+    # f[i] = min slots covering entities with count <= cand[i], top rung
+    # cand[i]; choice[g][i] = previous rung index (or -1)
+    f = camf * cum
+    choices = [np.full(L, -1, np.int64)]
+    G = max(1, max_groups)
+    for _ in range(1, G):
+        nf = f.copy()  # not using the extra rung is always allowed
+        ch = np.full(L, -1, np.int64)
+        for i in range(1, L):
+            vals = f[:i] + camf[i] * (cum[i] - cum[:i])
+            j = int(np.argmin(vals))
+            if vals[j] < nf[i]:
+                nf[i] = vals[j]
+                ch[i] = j
+        # keep the no-op choice marker where the previous layer won
+        ch[nf == f] = -2  # -2 = inherit previous layer's traceback
+        f = nf
+        choices.append(ch)
+    # trace back the chosen heights from the top rung
+    heights = []
+    g, i = len(choices) - 1, L - 1
+    while i >= 0:
+        ch = choices[g][i]
+        if ch == -2 and g > 0:
+            g -= 1
+            continue
+        heights.append(int(cand[i]))
+        if ch < 0:
+            break
+        i, g = int(ch), g - 1
+    heights = np.asarray(sorted(heights), np.int64)
+    return heights[np.searchsorted(heights, active_counts)]
+
+
 def build_bucketed(
     entity_idx, other_idx, rating, n_entities: int, n_other: int,
     chunk_len: int = 32, rank_hint: int = 64,
@@ -80,33 +133,14 @@ def build_bucketed(
     np.cumsum(counts, out=starts[1:])
 
     active = np.nonzero(counts)[0]
-    # Row ladder {8, 12, 16, 24, 32, 48, 64, ...} (pow2 plus 1.5x midpoints,
-    # min 8 = fp32 sublane): each entity gets the smallest rung holding its
-    # rating count. Row-granular rungs matter: with power-law data most
-    # entities are tiny, and chunk-granular (L-row) slots pushed fill to
-    # ~0.6; row rungs keep worst-case padding at 50% on the smallest rung
-    # and 33% elsewhere.
-    maxn = int(counts[active].max(initial=1))
-    ladder = sorted({v for base in (8 << np.arange(0, 36, dtype=np.int64))
-                     for v in (int(base), int(base * 3 // 2))
-                     if v <= 2 * maxn} | {8})
-    ladder = np.asarray(ladder, np.int64)
-    rung = ladder[np.searchsorted(ladder, counts[active])]
-
-    # cap the number of distinct rungs: every rung is one compiled program
-    # shape, and each jit costs seconds through a remote compile helper.
-    # Greedily merge the rung whose promotion to the next rung wastes the
-    # fewest slots until at most max_groups remain.
-    uniq = np.unique(rung)
-    while len(uniq) > max_groups:
-        costs = []
-        for gi in range(len(uniq) - 1):
-            members = rung == uniq[gi]
-            costs.append((int(uniq[gi + 1] - uniq[gi]) * int(members.sum()),
-                          gi))
-        cost, gi = min(costs)
-        rung[rung == uniq[gi]] = uniq[gi + 1]
-        uniq = np.unique(rung)
+    # Choose at most max_groups rung heights by exact DP over candidate
+    # heights (quantiles of the distinct rating counts, rounded up to the
+    # 8-row fp32 sublane): minimize total padded slots subject to the
+    # group budget (every rung is one compiled program shape; each jit
+    # costs seconds through a remote compile helper). Replaces a greedy
+    # pow2-ladder merge measured 3-4 points of fill worse at ML-20M
+    # (0.60 -> 0.64 at 8 groups, 0.78 -> 0.81 at 16).
+    rung = _dp_rungs(counts[active], max_groups)
 
     groups = []
     for p in np.unique(rung):
