@@ -107,21 +107,23 @@ def test_stream_grad_mode_mismatch_is_loud():
 
 
 def test_stream_convergence_matches_shuffled_reference():
-    """User-major stream order + per-epoch batch reshuffle converges like
-    the uniformly-shuffled reference (final RMSE within a small band)."""
-    nu, ni, k, B = 600, 200, 8, 512
-    u, i, r = synthetic_ratings(nu, ni, 24_000, true_rank=4, seed=6)
-    (tu, ti, tr_), (su, si, sr) = train_test_split(u, i, r, 0.1, seed=6)
+    """The stream default (capped weights + pass striping) must track the
+    uniformly-shuffled reference in ITS default "sum" mode — i.e. the
+    fast path converges like the oracle-semantics path, not merely "also
+    moves". The band is tight: measured delta is ~0.003 RMSE after 8
+    epochs; plain "mean" (one averaged step per hot entity per epoch)
+    misses this band by ~0.1."""
+    nu, ni, k, B = 1200, 400, 8, 2048
+    u, i, r = synthetic_ratings(nu, ni, 60_000, true_rank=6, seed=11)
+    (tu, ti, tr_), (su, si, sr) = train_test_split(u, i, r, 0.1, seed=11)
     mu = float(tr_.mean())
     pu, pi, pr, n = pad_coo(su, si, sr, nu, ni, 256)
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
 
     def final_rmse_stream():
         st = init_state(nu, ni, k, seed=0, mu=mu, dtype=jnp.float32)
-        data, _ = prepare_stream_sgd(tu, ti, tr_, B, nu, ni, seed=0,
-                                     grad_mode="mean")
-        t = StreamSGD(lam=0.02, lr=0.03, lr_decay=0.95, seed=0,
-                      grad_mode="mean")
+        data, _ = prepare_stream_sgd(tu, ti, tr_, B, nu, ni, seed=0)
+        t = StreamSGD(lam=0.02, lr=0.03, lr_decay=0.95, seed=0)
         for ep in range(8):
             st = t.epoch(st, data, ep)
         return float(rmse_padded(st, dpu, dpi, dpr, n))
@@ -130,12 +132,12 @@ def test_stream_convergence_matches_shuffled_reference():
         st = init_state(nu, ni, k, seed=0, mu=mu, dtype=jnp.float32)
         data = prepare_sgd_data(tu, ti, tr_, B, nu, ni)
         t = BiasedSGD(lam=0.02, lr=0.03, lr_decay=0.95, batch_size=B,
-                      seed=0, grad_mode="mean")
+                      seed=0, grad_mode="sum")
         for ep in range(8):
             st = t.epoch(st, data, ep)
         return float(rmse_padded(st, dpu, dpi, dpr, n))
 
     a, b = final_rmse_stream(), final_rmse_ref()
-    # both learned, and the orders agree to a few percent of RMSE
-    assert a < 0.9 and b < 0.9, (a, b)
-    assert abs(a - b) < 0.05, (a, b)
+    # both genuinely learned, and the trajectories agree closely
+    assert a < 0.55 and b < 0.55, (a, b)
+    assert abs(a - b) < 0.02, (a, b)

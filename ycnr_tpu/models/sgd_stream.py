@@ -31,9 +31,15 @@ ops per rating:
 "sum" mode is numerically equivalent to models/sgd.sgd_epoch run with the
 stream order as its permutation (the segment sums accumulate the same
 terms, in a different association order); parity is pinned in float64 in
-tests/test_sgd_stream.py. NOTE the stream order CONCENTRATES a hot user's
-ratings into one batch, which is exactly the case "sum" handles badly
-(models/sgd.py docstring) — "mean" is the stream default.
+tests/test_sgd_stream.py. NOTE the stream order CONCENTRATES each user's
+ratings, which is exactly the case "sum" handles badly (models/sgd.py
+docstring) while plain "mean" under-steps hot entities (one averaged
+update where the shuffled path applies ~c*B/nnz sequential ones —
+measured several-fold slower convergence). The stream default is
+therefore "capped" (weight min(multiplicity, cap)/multiplicity) plus
+round-robin pass striping, which reproduces the shuffled-batch "sum"
+trajectory without its divergence (tests/test_sgd_stream.py pins the
+band).
 """
 
 from __future__ import annotations
@@ -73,8 +79,9 @@ class StreamSGDData(NamedTuple):
 
 def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
                        n_users: int, n_items: int, seed: int = 0,
-                       dtype=jnp.float32, grad_mode: str = "mean",
-                       tile: int | None = None):
+                       dtype=jnp.float32, grad_mode: str = "capped",
+                       tile: int | None = None, passes: int | None = None,
+                       cap: int = 32):
     """Build the stream (host, once per dataset).
 
     Returns (StreamSGDData, order) where ``order`` maps stream position ->
@@ -82,6 +89,16 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     stream through models/sgd.sgd_epoch for parity). ``tile`` forces a
     specific tile height (>= the computed one; the sharded builder aligns
     shards to a common tile).
+
+    ``passes`` (default min(16, n_batches)) stripes each user's shuffled
+    ratings round-robin over that many user-sorted sub-streams. Without it
+    a hot user's whole history lands in ONE batch, so "mean" mode gives
+    them a single averaged step per epoch — measured to slow convergence
+    badly vs the shuffled-batch path (a user rated c times gets ~c*B/nnz
+    sequential steps there). R passes restore R sequential mean steps per
+    hot user per epoch while every batch still covers a contiguous user
+    window (the tile property the whole layout exists for); passes=1
+    reproduces the plain user-major stream.
     """
     n = len(train_r)
     nb = -(-n // batch_size)
@@ -94,6 +111,18 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     shuf = rng.permutation(n_pad)  # shuffles items within users after sort
     order = shuf[np.argsort(u[shuf], kind="stable")]
     us = u[order]
+    R = min(16, nb) if passes is None else max(1, int(passes))
+    if R > 1:
+        # position within each user's (shuffled) run -> pass id; stable
+        # re-sort by (pass, user) keeps user-major order within each pass
+        run_starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        run_id = np.zeros(n_pad, np.int64)
+        run_id[run_starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        pos = np.arange(n_pad) - run_starts[run_id]
+        p = pos % R
+        order = order[np.lexsort((np.arange(n_pad), us, p))]
+        us = u[order]
 
     def _run_multiplicity(keys):
         """count of equal consecutive keys, broadcast per element (O(n))."""
@@ -102,10 +131,20 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         return np.repeat(lens, lens)
 
     batch_of = np.repeat(np.arange(nb, dtype=np.int64), batch_size)
-    # user-side mean weights BEFORE the item re-sort (user runs are
-    # contiguous here); computed in f64 so f64 runs keep oracle parity
-    if grad_mode == "mean":
-        wu = 1.0 / _run_multiplicity(batch_of * (n_users + 2) + us)
+    # user-side 1/multiplicity per batch. A batch can span a pass
+    # boundary, where the same user appears in two non-adjacent groups —
+    # so count on a per-batch user-SORTED view (the run trick needs
+    # adjacency) and scatter the counts back. f64 keeps oracle parity.
+    if grad_mode in ("mean", "capped"):
+        us2 = us.reshape(nb, batch_size)
+        usort = np.argsort(us2, axis=1, kind="stable")
+        rows = np.arange(nb)[:, None]
+        mult_sorted = _run_multiplicity(
+            (batch_of.reshape(nb, batch_size)[rows, usort]
+             * (n_users + 2) + us2[rows, usort]).reshape(-1))
+        mult = np.empty((nb, batch_size), np.float64)
+        mult[rows, usort] = mult_sorted.reshape(nb, batch_size)
+        wu = 1.0 / mult.reshape(-1)
     # re-sort each batch's rows by item id (keeps the item-side segment
     # sum on the sorted fast path with no runtime permute)
     isort = np.argsort(i[order].reshape(nb, batch_size), axis=1,
@@ -126,10 +165,20 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
 
     m = (is_ < n_items).astype(np.float64)
-    if grad_mode == "mean":
-        wu = (wu.reshape(nb, batch_size)[
-            np.arange(nb)[:, None], isort].reshape(-1)) * m
-        wi = m / _run_multiplicity(batch_of * (n_items + 2) + is_)
+    if grad_mode in ("mean", "capped"):
+        # "mean": weight 1/mult (entity's batch update = mean of its row
+        # grads — every entity gets effective lr*1 per batch). "capped":
+        # weight min(mult, cap)/mult — effective lr*min(mult, cap),
+        # matching the shuffled-batch "sum" path's natural multiplicity
+        # (~c_u*B/nnz, bounded) without its hot-entity divergence;
+        # measured to reproduce batched-sum convergence where "mean" is
+        # several times slower per epoch.
+        t = 1.0 if grad_mode == "mean" else float(cap)
+        wu_m = wu  # 1/mult from the pre-sort pass
+        wu = (np.minimum(1.0 / wu_m, t) * wu_m).reshape(
+            nb, batch_size)[np.arange(nb)[:, None], isort].reshape(-1) * m
+        wi_m = 1.0 / _run_multiplicity(batch_of * (n_items + 2) + is_)
+        wi = np.minimum(1.0 / wi_m, t) * wi_m * m
     else:
         wu = wi = m
     data = StreamSGDData(
@@ -201,7 +250,7 @@ class StreamSGD:
 
     def __init__(self, lam: float = 0.02, lr: float = 0.01,
                  lr_decay: float = 0.95, seed: int = 0,
-                 grad_mode: str = "mean"):
+                 grad_mode: str = "capped"):
         self.lam = float(lam)
         self.lr0 = float(lr)
         self.lr_decay = float(lr_decay)

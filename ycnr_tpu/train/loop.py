@@ -121,10 +121,10 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     elif cfg.sgd.method == "stream":
         from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
 
-        # stream order concentrates a user's ratings into one batch, the
-        # case "sum" diverges on (models/sgd.py docstring) — force "mean"
-        # unless the config explicitly chose it
-        gm = "mean" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
+        # stream order concentrates a user's ratings, the case "sum"
+        # diverges on (models/sgd.py docstring) — "capped" reproduces the
+        # shuffled path's effective step sizes safely (sgd_stream.py)
+        gm = "capped" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
         trainer = StreamSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             seed=cfg.seed, grad_mode=gm)
         sgd_data, _ = prepare_stream_sgd(
@@ -283,7 +283,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             sharded_sgd_stream_epoch,
         )
 
-        gm = "mean" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
+        gm = "capped" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
         stream_data, _ = build_sharded_stream_sgd(
             ds.train_u, ds.train_i, ds.train_r, meta, cfg.sgd.batch_size,
             seed=cfg.seed, dtype=dtype, grad_mode=gm, mesh=mesh)
