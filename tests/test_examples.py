@@ -22,6 +22,7 @@ def _run(script, *args):
     ("train_custom_data.py", ("--cpu",), "rmse per epoch"),
     ("serve_embedded.py", ("--cpu",), "cold user top-5"),
     ("sharded_train.py", (), "gathered factors"),
+    ("stream_sgd_and_serving.py", ("--cpu",), "p99"),
 ])
 def test_example_runs(script, args, marker):
     p = _run(script, *args)
