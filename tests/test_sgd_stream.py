@@ -39,6 +39,30 @@ def _stream_once(st, sdata, lam=0.02, lr=0.01):
                             jnp.arange(nb), lam, lr, sdata.tile)
 
 
+def _replay_sgd_data(order, u, i, r, nu, ni, B, dtype):
+    """Materialize the stream order as explicit SGDData for sgd_epoch
+    (order entries of -1 are prep-inserted pass padding -> trash ids)."""
+    from ycnr_tpu.models.sgd import SGDData
+
+    n = len(r)
+    npad0 = -(-n // B) * B
+    bu_ = np.full(npad0, nu, np.int64)
+    bi_ = np.full(npad0, ni, np.int64)
+    br_ = np.zeros(npad0, np.float32)
+    bu_[:n], bi_[:n], br_[:n] = u, i, r
+    order = np.asarray(order)
+    uu = np.full(len(order), nu, np.int64)
+    ii = np.full(len(order), ni, np.int64)
+    rr = np.zeros(len(order), np.float32)
+    real = order >= 0
+    uu[real] = bu_[order[real]]
+    ii[real] = bi_[order[real]]
+    rr[real] = br_[order[real]]
+    return SGDData(jnp.asarray(uu.astype(np.int32)),
+                   jnp.asarray(ii.astype(np.int32)),
+                   jnp.asarray(rr, dtype), n)
+
+
 @pytest.mark.parametrize("grad_mode", ["sum", "mean"])
 def test_stream_parity_with_batched_reference(grad_mode):
     """Stream epoch == sgd_epoch run with the stream order as its perm
@@ -51,9 +75,8 @@ def test_stream_parity_with_batched_reference(grad_mode):
 
     sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=5, dtype=DT,
                                       grad_mode=grad_mode)
-    bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
-
-    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02,
+    rdata = _replay_sgd_data(order, u, i, r, nu, ni, B, DT)
+    ref = sgd_epoch(_clone(st0), rdata, jnp.arange(len(rdata.u)), 0.02,
                     0.01, B, grad_mode)
     got = _stream_once(st0, sdata)
     for a, b in zip(got, ref):
@@ -72,9 +95,9 @@ def test_stream_sparse_users_wide_tile():
     st0 = _state(nu, ni, k, 1)
     sdata, order = prepare_stream_sgd(u, i, r, B, nu, ni, seed=3, dtype=DT,
                                       grad_mode="sum")
-    bdata = prepare_sgd_data(u, i, r, B, nu, ni, dtype=DT)
-    ref = sgd_epoch(_clone(st0), bdata, jnp.asarray(order), 0.02, 0.01, B,
-                    "sum")
+    rdata = _replay_sgd_data(order, u, i, r, nu, ni, B, DT)
+    ref = sgd_epoch(_clone(st0), rdata, jnp.arange(len(rdata.u)), 0.02,
+                    0.01, B, "sum")
     got = _stream_once(st0, sdata)
     np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
                                rtol=1e-12, atol=1e-12)

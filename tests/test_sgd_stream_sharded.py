@@ -56,7 +56,7 @@ def test_union_batch_parity_with_batched_reference():
         p = np.nonzero(shard_of == d)[0]
         od = orders[d]  # stream position -> padded per-shard COO position
         n_d = len(p)
-        real = od < n_d
+        real = (od >= 0) & (od < n_d)  # -1 = prep-inserted pass padding
         gu = np.full(len(od), nu, np.int64)
         gi = np.full(len(od), ni, np.int64)
         gr = np.zeros(len(od), np.float32)
