@@ -121,7 +121,9 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         run_id = np.cumsum(run_id)
         pos = np.arange(n_pad) - run_starts[run_id]
         p = pos % R
-        order = order[np.lexsort((np.arange(n_pad), us, p))]
+        # order is already user-sorted, so ONE stable sort by pass keeps
+        # user-major order within each pass (a 3-key lexsort costs ~2x)
+        order = order[np.argsort(p, kind="stable")]
         # pad every pass to a whole number of batches (sentinel -1 ->
         # trash ids): a batch straddling a pass boundary would otherwise
         # span the full user-id range and blow the tile to n_users
@@ -152,11 +154,15 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         return np.repeat(lens, lens)
 
     batch_of = np.repeat(np.arange(nb, dtype=np.int64), batch_size)
+    # host weight dtype: f64 only when training in f64 (oracle parity);
+    # f32 runs skip ~1 GB of f64 temporaries at Netflix scale
+    wdt = np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32
     # user-side 1/multiplicity per batch, computed on the user-major
     # stream (user runs are contiguous within a batch: passes are padded
-    # to batch boundaries above). f64 keeps oracle parity.
+    # to batch boundaries above)
     if grad_mode in ("mean", "capped"):
-        wu = 1.0 / _run_multiplicity(batch_of * (n_users + 2) + us)
+        wu = wdt(1.0) / _run_multiplicity(batch_of * (n_users + 2)
+                                          + us).astype(wdt)
     # re-sort each batch's rows by item id (keeps the item-side segment
     # sum on the sorted fast path with no runtime permute)
     isort = np.argsort(take(i, n_items).reshape(nb, batch_size), axis=1,
@@ -176,7 +182,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     u_lo = np.minimum(first, n_users + 1 - tile).astype(np.int32)
     ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
 
-    m = (is_ < n_items).astype(np.float64)
+    m = (is_ < n_items).astype(wdt)
     if grad_mode in ("mean", "capped"):
         # "mean": weight 1/mult (entity's batch update = mean of its row
         # grads — every entity gets effective lr*1 per batch). "capped":
@@ -185,12 +191,13 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         # (~c_u*B/nnz, bounded) without its hot-entity divergence;
         # measured to reproduce batched-sum convergence where "mean" is
         # several times slower per epoch.
-        t = 1.0 if grad_mode == "mean" else float(cap)
+        t = wdt(1.0) if grad_mode == "mean" else wdt(cap)
         wu_m = wu  # 1/mult from the pre-sort pass
-        wu = (np.minimum(1.0 / wu_m, t) * wu_m).reshape(
+        wu = (np.minimum(wdt(1.0) / wu_m, t) * wu_m).reshape(
             nb, batch_size)[np.arange(nb)[:, None], isort].reshape(-1) * m
-        wi_m = 1.0 / _run_multiplicity(batch_of * (n_items + 2) + is_)
-        wi = np.minimum(1.0 / wi_m, t) * wi_m * m
+        wi_m = wdt(1.0) / _run_multiplicity(batch_of * (n_items + 2)
+                                            + is_).astype(wdt)
+        wi = np.minimum(wdt(1.0) / wi_m, t) * wi_m * m
     else:
         wu = wi = m
     data = StreamSGDData(
