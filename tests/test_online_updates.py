@@ -126,3 +126,31 @@ def test_recommend_n_clamps_to_catalog():
     rec = Recommender(state, u, i, train_r=r)
     out = rec.recommend(0, n=50)
     assert len(out) <= 5 and 1 not in out.tolist()
+
+
+def test_compact_many_users_matches_fresh_rebuild():
+    """compact() folds a many-user pending log correctly (vectorized
+    packed-key join — the per-user rescan was quadratic)."""
+    nu, ni = 120, 60
+    u, i, r = synthetic_ratings(nu, ni, 2000, true_rank=3, seed=9)
+    state = init_state(nu, ni, 4, seed=0)
+    rec = Recommender(state, u, i, train_r=r, compact_threshold=10**9)
+    rng = np.random.default_rng(3)
+    for uid in range(50):
+        items = rng.choice(ni, 3, replace=False)
+        rec.add_ratings(uid, items, rng.uniform(1, 5, 3))
+    assert rec.pending_count() > 0
+    rec.compact()
+    assert rec.pending_count() == 0
+    # the folded arrays must equal a fresh engine built from the same
+    # logical rating set: same per-user masks and ratings
+    fresh = Recommender(state, rec.train_u, rec.train_i,
+                        train_r=rec.train_r)
+    for uid in range(0, 60, 7):
+        np.testing.assert_array_equal(np.sort(rec._user_items(uid)),
+                                      np.sort(fresh._user_items(uid)))
+        a_i, a_r = rec._user_items_ratings(uid)
+        b_i, b_r = fresh._user_items_ratings(uid)
+        oa, ob = np.argsort(a_i), np.argsort(b_i)
+        np.testing.assert_array_equal(a_i[oa], b_i[ob])
+        np.testing.assert_allclose(a_r[oa], b_r[ob])

@@ -65,10 +65,12 @@ class SGDConfig:
     # batch-mean, stable for hot entities in large batches (see models/sgd.py)
     grad_mode: str = "sum"
     # "batched" = uniformly-shuffled batches (models/sgd.py, the oracle
-    # semantics); "stream" = user-sorted stream with batch-order reshuffle
-    # (models/sgd_stream.py) — scatter-free access pattern, much faster on
-    # TPU; implies grad_mode="mean" unless overridden (hot users
-    # concentrate per batch in stream order)
+    # semantics); "stream" = user-sorted pass-striped stream with
+    # batch-order reshuffle (models/sgd_stream.py) — scatter-free access
+    # pattern, 5-7x faster on TPU; the default grad_mode "sum" maps to
+    # "capped" there (min(multiplicity, cap) effective step — matches the
+    # batched-sum trajectory without hot-entity divergence); "mean"
+    # passes through unchanged
     method: str = "batched"
 
 

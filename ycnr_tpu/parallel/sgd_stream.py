@@ -74,7 +74,7 @@ def build_sharded_stream_sgd(train_u, train_i, train_r, meta: ShardedMeta,
         pers.append(p)
         sd, od = prepare_stream_sgd(local_of[p], train_i[p], train_r[p],
                                     b_local, upd, meta.n_items,
-                                    seed=seed + d, dtype=jnp.float64,
+                                    seed=seed + d, dtype=dtype,
                                     grad_mode=grad_mode)
         datas.append(sd)
         orders.append(od)
@@ -84,7 +84,7 @@ def build_sharded_stream_sgd(train_u, train_i, train_r, meta: ShardedMeta,
     # prepare is deterministic, so orders are unchanged
     datas = [prepare_stream_sgd(local_of[p], train_i[p], train_r[p],
                                 b_local, upd, meta.n_items, seed=seed + d,
-                                dtype=jnp.float64, grad_mode=grad_mode,
+                                dtype=dtype, grad_mode=grad_mode,
                                 tile=tile)[0]
              for d, p in enumerate(pers)]
 

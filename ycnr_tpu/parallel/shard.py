@@ -335,6 +335,13 @@ def scatter_state(state: MFState, meta: ShardedMeta,
     return st
 
 
+@lru_cache(maxsize=16)
+def _replicator(mesh: Mesh):
+    # one compiled identity-with-all-gather per mesh; a fresh lambda per
+    # call would re-trace and re-compile on every epoch's gather
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
 def host_fetch(x) -> np.ndarray:
     """np.asarray that also works on multi-host (DCN) global arrays.
 
@@ -344,9 +351,7 @@ def host_fetch(x) -> np.ndarray:
     must call this at the same point — it is a collective there.
     """
     if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
-        mesh = x.sharding.mesh
-        x = jax.jit(lambda a: a,
-                    out_shardings=NamedSharding(mesh, P()))(x)
+        x = _replicator(x.sharding.mesh)(x)
     return np.asarray(x)
 
 

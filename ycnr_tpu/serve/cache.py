@@ -47,6 +47,20 @@ class RecCache:
             while len(self._d) > self.capacity:
                 self._d.popitem(last=False)
 
+    def put_if(self, key, value, cond) -> bool:
+        """Insert only if ``cond()`` still holds, atomically with respect
+        to every other cache operation — the check-then-put used by
+        concurrent readers to avoid caching a result computed against a
+        superseded state (serve/engine.py version guard)."""
+        with self._lock:
+            if not cond():
+                return False
+            self._d[key] = (value, time.time())
+            self._d.move_to_end(key)
+            while len(self._d) > self.capacity:
+                self._d.popitem(last=False)
+            return True
+
     def invalidate(self, key=None):
         """Drop everything (key=None), one exact key, or — when key matches
         the first element of tuple keys — every entry for that user (the

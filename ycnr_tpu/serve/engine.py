@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ycnr_tpu.eval.recommend import NEG_INF, recommend_users, sort_ratings_by_user
+from ycnr_tpu.eval.recommend import NEG_INF, recommend_users
 from ycnr_tpu.models.base import MFState
 from ycnr_tpu.serve.cache import RecCache
 
@@ -30,16 +30,15 @@ class Recommender:
         self.train_r = None if train_r is None else np.asarray(train_r,
                                                                np.float32)
         # one-time CSR sort so per-request mask building is O(log nnz).
-        # (su, si, sr) live in ONE tuple attribute so concurrent readers
-        # always snapshot a consistent index across a compact() swap.
-        su, si = sort_ratings_by_user(self.train_u, self.train_i)
-        sr = (None if self.train_r is None else self.train_r[
-            np.argsort(self.train_u, kind="stable")])
-        self._csr = (su, si, sr)
+        # The sorted index AND the pending-update log live in ONE tuple
+        # attribute ((su, si, sr), pending_dict) swapped wholesale, so a
+        # concurrent reader always snapshots a CONSISTENT pair across a
+        # compact() (which folds pending into the base) or update_state.
+        order = np.argsort(self.train_u, kind="stable")
+        self._index = ((self.train_u[order], self.train_i[order],
+                        None if self.train_r is None
+                        else self.train_r[order]), {})
         self.cache = cache if cache is not None else RecCache()
-        # pending online updates: user -> (item array, rating array), the
-        # LAST entry per item wins; folded into the base arrays at compact()
-        self._pending: dict = {}
         self._pending_n = 0
         self._compact_threshold = compact_threshold
         # bumped on every state swap/update; lets concurrent readers detect
@@ -50,11 +49,11 @@ class Recommender:
 
     def _user_items(self, user_id: int) -> np.ndarray:
         """The user's full current rated-item set (base + pending)."""
-        su, si, _ = self._csr  # one atomic snapshot of the index
+        (su, si, _), pending = self._index  # one atomic snapshot
         s = np.searchsorted(su, user_id)
         t = np.searchsorted(su, user_id, side="right")
         base = si[s:t]
-        pend = self._pending.get(int(user_id))
+        pend = pending.get(int(user_id))
         if pend is None:
             return base
         return np.union1d(base, pend[0])
@@ -62,12 +61,12 @@ class Recommender:
     def _user_items_ratings(self, user_id: int):
         """(items, ratings) with pending overlaying base (replacement
         semantics: a re-rated item takes the pending value)."""
-        su, si, sr = self._csr
+        (su, si, sr), pending = self._index
         s = np.searchsorted(su, user_id)
         t = np.searchsorted(su, user_id, side="right")
         base_i = si[s:t]
         base_r = sr[s:t] if sr is not None else np.zeros(t - s, np.float32)
-        pend = self._pending.get(int(user_id))
+        pend = pending.get(int(user_id))
         if pend is None:
             return base_i, base_r
         pi, pr = pend
@@ -79,30 +78,32 @@ class Recommender:
         return self._pending_n
 
     def compact(self):
-        """Fold the pending log into the base arrays (one O(nnz) pass).
-        Called automatically when pending volume crosses the threshold."""
-        if not self._pending:
+        """Fold the pending log into the base arrays (one O(nnz) pass over
+        packed (user, item) keys — NOT per pending user). Called
+        automatically when pending volume crosses the threshold."""
+        _, pending = self._index
+        if not pending:
             return
-        users = []
-        for u, (pi, pr) in self._pending.items():
-            users.append((u, pi, pr))
-        drop = np.zeros(len(self.train_u), bool)
-        add_u, add_i, add_r = [], [], []
-        for u, pi, pr in users:
-            drop |= (self.train_u == u) & np.isin(self.train_i, pi)
-            add_u.append(np.full(len(pi), u, self.train_u.dtype))
-            add_i.append(pi.astype(self.train_i.dtype))
-            add_r.append(pr)
-        keep = ~drop
+        ni = np.int64(self.state.n_items) + 1
+        pend_keys = np.concatenate(
+            [np.int64(u) * ni + pi.astype(np.int64)
+             for u, (pi, _) in pending.items()])
+        keys = self.train_u.astype(np.int64) * ni \
+            + self.train_i.astype(np.int64)
+        keep = ~np.isin(keys, pend_keys)
+        add_u = [np.full(len(pi), u, self.train_u.dtype)
+                 for u, (pi, _) in pending.items()]
+        add_i = [pi.astype(self.train_i.dtype)
+                 for _, (pi, _) in pending.items()]
         self.train_u = np.concatenate([self.train_u[keep]] + add_u)
         self.train_i = np.concatenate([self.train_i[keep]] + add_i)
         if self.train_r is not None:
+            add_r = [pr for _, (_, pr) in pending.items()]
             self.train_r = np.concatenate([self.train_r[keep]] + add_r)
         order = np.argsort(self.train_u, kind="stable")
-        self._csr = (self.train_u[order], self.train_i[order],
-                     self.train_r[order] if self.train_r is not None
-                     else None)
-        self._pending = {}
+        self._index = ((self.train_u[order], self.train_i[order],
+                        self.train_r[order] if self.train_r is not None
+                        else None), {})
         self._pending_n = 0
 
     def _maybe_compact(self):
@@ -140,8 +141,11 @@ class Recommender:
         # when n exceeds the user's unrated count, top_k fills the tail
         # with NEG_INF-masked (already-rated) entries — drop them
         result = items[0][scores[0] > NEG_INF / 2]
-        if self._version == v0:  # don't cache across a concurrent swap
-            self.cache.put(key, result)
+        # the version re-check runs INSIDE the cache lock, so a concurrent
+        # update_state (bump version, then invalidate) can never lose the
+        # race to this put: either the put sees the bumped version and
+        # skips, or it lands before the invalidate, which then clears it
+        self.cache.put_if(key, result, lambda: self._version == v0)
         return result
 
     def recommend_batch(self, user_ids: Sequence[int], n: int = 10):
@@ -158,9 +162,13 @@ class Recommender:
 
     def update_state(self, state: MFState):
         """Swap in retrained factors; cached recs are stale -> flush. The
-        pending online-update log also flushes: a retrain supersedes it."""
+        pending online-update log also flushes: a retrain supersedes it.
+        Ordering matters: bump the version BEFORE invalidating, so any
+        reader's put_if that raced past the bump is cleared by the
+        invalidate (serve/server.py concurrency model)."""
         self.state = state
-        self._pending = {}
+        csr, _ = self._index
+        self._index = (csr, {})
         self._pending_n = 0
         self._version += 1
         self.cache.invalidate()
@@ -196,13 +204,18 @@ class Recommender:
         last = np.zeros(len(uniq), np.int64)
         last[inv] = np.arange(len(item_ids))  # later writes win
         item_ids, ratings = item_ids[last], ratings[last]
-        prev = self._pending.get(user_id)
+        csr, pending = self._index
+        prev = pending.get(user_id)
         if prev is not None:
             keep = ~np.isin(prev[0], item_ids)
             item_ids = np.concatenate([prev[0][keep], item_ids])
             ratings = np.concatenate([prev[1][keep], ratings])
             self._pending_n -= len(prev[0])
-        self._pending[user_id] = (item_ids, ratings)
+        # copy-on-write: readers snapshot (csr, pending) as one tuple, so
+        # the dict is replaced, never mutated in place
+        pending = dict(pending)
+        pending[user_id] = (item_ids, ratings)
+        self._index = (csr, pending)
         self._pending_n += len(item_ids)
         from ycnr_tpu.serve.fold_in import fold_in_users
 

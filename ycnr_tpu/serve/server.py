@@ -121,8 +121,9 @@ class _Batcher:
                     self.app.n)[: len(uids)]
                 for (uid, cell), res in zip(batch, results):
                     cell[0] = res
-                    if eng._version == v0:
-                        eng.cache.put((int(uid), int(self.app.n)), res)
+                    # atomic with the cache lock (see RecCache.put_if)
+                    eng.cache.put_if((int(uid), int(self.app.n)), res,
+                                     lambda: eng._version == v0)
                     cell[2].set()
             except Exception as e:  # noqa: BLE001 — delivered per-request
                 for _, cell in batch:
@@ -191,9 +192,6 @@ class ServingApp:
         return self.rec
 
     def _cold(self, line: str) -> str:
-        from ycnr_tpu.eval.recommend import NEG_INF
-        from ycnr_tpu.serve.fold_in import recommend_fold_in
-
         pairs = [p.split(":") for p in line[5:].split(",")]
         ii = np.asarray([int(a) for a, _ in pairs])
         rr = np.asarray([float(b) for _, b in pairs], np.float32)
@@ -204,11 +202,11 @@ class ServingApp:
             if not ok.all():
                 raise KeyError(f"unknown items {ii[~ok].tolist()}")
             ii = pos
-        state = self._engine().state
-        top_i, top_s = recommend_fold_in(
-            state, [ii], [rr], n=self.n, lam=self.fold_lam,
-            alpha=self.fold_alpha)
-        items = top_i[0][top_s[0] > NEG_INF / 2]
+        # the engine path validates dense item ids (a raw negative id
+        # would silently wrap in the JAX gather) and drops masked tails
+        items = self._engine().recommend_cold(ii, rr, n=self.n,
+                                              lam=self.fold_lam,
+                                              alpha=self.fold_alpha)
         return self._emit("cold", items)
 
     def _user(self, line: str) -> str:
