@@ -172,6 +172,37 @@ def test_serve_loop(trained, capsys, monkeypatch):
     assert _out_lines(capsys)[-1]["items"] == recs[1]["items"]
 
 
+def test_serve_shared_cache(trained, capsys, monkeypatch):
+    """serve --shm-cache: two serve invocations share computed lists
+    through the cross-process shm cache (reference C8/Redis role)."""
+    import io
+    import uuid
+
+    from ycnr_tpu.serve.cache import ShmRecCache, shm_cache_available
+
+    if not shm_cache_available():
+        pytest.skip("native shm cache unavailable")
+    store, ckpt = trained
+    name = f"/ycnr_testcli_{uuid.uuid4().hex[:10]}"
+    try:
+        monkeypatch.setattr("sys.stdin", io.StringIO("1\n"))
+        main(["serve", "--ckpt", ckpt, "--store", store, "-n", "4",
+              "--shm-cache", name])
+        first = _out_lines(capsys)[-1]
+        # second server (fresh process in production) hits the shared entry
+        with ShmRecCache(name) as c:
+            hit = c.get((1, 4))
+            assert hit is not None and hit.tolist() == first["items"]
+        monkeypatch.setattr("sys.stdin", io.StringIO("1\n"))
+        main(["serve", "--ckpt", ckpt, "--store", store, "-n", "4",
+              "--shm-cache", name])
+        assert _out_lines(capsys)[-1]["items"] == first["items"]
+    finally:
+        from ycnr_tpu.native import get_cache_lib
+
+        get_cache_lib().ycnr_cache_unlink(name.encode())
+
+
 def test_presets_list(capsys):
     main(["presets"])
     out = capsys.readouterr().out

@@ -438,16 +438,21 @@ def cmd_serve(args):
     store, u, i, r = _open_store(args.store)
     maps = store.id_maps()
     manifest = None
+    shared_cache = None
+    if getattr(args, "shm_cache", None):
+        from ycnr_tpu.serve.cache import ShmRecCache
+
+        shared_cache = ShmRecCache(args.shm_cache)
     if args.shm:
         from ycnr_tpu.serve.shm import ShmRecommender
 
-        rec = ShmRecommender(args.shm, u, i)
+        rec = ShmRecommender(args.shm, u, i, cache=shared_cache)
     else:
         from ycnr_tpu.serve.engine import Recommender
         from ycnr_tpu.train.checkpoint import load_checkpoint
 
         state0, manifest = load_checkpoint(args.ckpt)
-        rec = Recommender(state0, u, i, train_r=r)
+        rec = Recommender(state0, u, i, train_r=r, cache=shared_cache)
     fold_lam, fold_alpha = _fold_params(manifest, args)
     app = ServingApp(
         rec, maps=maps, n=args.n, fold_lam=fold_lam, fold_alpha=fold_alpha,
@@ -601,6 +606,12 @@ def main(argv=None):
                    help="serve the same line protocol over TCP instead of "
                         "stdin (port 0 picks a free port, printed in the "
                         "ready line)")
+    p.add_argument("--shm-cache", metavar="NAME",
+                   help="share computed top-N lists across every serving "
+                        "process through a POSIX-shm cache segment (the "
+                        "reference's Redis role; entries are keyed by the "
+                        "published factor epoch, so a republish "
+                        "invalidates fleet-wide)")
     p.add_argument("--lam", type=float,
                    help="fold-in regularization override (default: the "
                         "checkpoint's training lam)")

@@ -122,6 +122,35 @@ def get_shm_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+def get_cache_lib() -> Optional[ctypes.CDLL]:
+    """The cross-process recommendation cache (reference C8/Redis role),
+    with signatures set, or None if unbuildable on this host."""
+    lib = _load("shm_cache")
+    if lib is None or hasattr(lib, "_ycnr_typed"):
+        return lib
+    lib._ycnr_typed = True
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.ycnr_cache_create.restype = ctypes.c_void_p
+    lib.ycnr_cache_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_uint32]
+    lib.ycnr_cache_attach.restype = ctypes.c_void_p
+    lib.ycnr_cache_attach.argtypes = [ctypes.c_char_p]
+    lib.ycnr_cache_put.restype = ctypes.c_int
+    lib.ycnr_cache_put.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_int64, ip, ctypes.c_uint32]
+    lib.ycnr_cache_get.restype = ctypes.c_int
+    lib.ycnr_cache_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_int64, ip]
+    lib.ycnr_cache_stats.restype = ctypes.c_int
+    lib.ycnr_cache_stats.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int64)]
+    lib.ycnr_cache_detach.restype = ctypes.c_int
+    lib.ycnr_cache_detach.argtypes = [ctypes.c_void_p]
+    lib.ycnr_cache_unlink.restype = ctypes.c_int
+    lib.ycnr_cache_unlink.argtypes = [ctypes.c_char_p]
+    return lib
+
+
 def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 

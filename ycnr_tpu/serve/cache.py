@@ -1,16 +1,27 @@
-"""Recommendation cache (the reference's Redis role, SURVEY.md C8).
+"""Recommendation caches (the reference's Redis role, SURVEY.md C8).
 
 The reference keeps a Redis client, most plausibly caching computed
-recommendations / job state. Stand-in: a process-local LRU with optional
-TTL — same contract (get/put/invalidate by user), no external service.
+recommendations / job state. Two implementations of the same contract
+(get/put/put_if/invalidate by user):
+
+* ``RecCache`` — process-local LRU with optional TTL, internally locked.
+* ``ShmRecCache`` — CROSS-PROCESS shared cache over POSIX shm
+  (native/shm_cache.cc): a fleet of serving processes attached to one
+  factor store shares computed top-N lists, like the reference's Redis.
+  Entries are stamped with the factor epoch they were computed from, so a
+  trainer republish invalidates the whole shared cache implicitly — no
+  cross-process flush protocol.
 """
 
 from __future__ import annotations
 
+import ctypes
 import threading
 import time
 from collections import OrderedDict
 from typing import Hashable, Optional
+
+import numpy as np
 
 
 class RecCache:
@@ -76,3 +87,141 @@ class RecCache:
 
     def __len__(self):
         return len(self._d)
+
+
+def shm_cache_available() -> bool:
+    from ycnr_tpu.native import get_cache_lib
+
+    return get_cache_lib() is not None
+
+
+class ShmRecCache:
+    """Cross-process top-N cache (drop-in for RecCache in the serving
+    engine). Keys are the engine's (user_id, n) tuples; values are int32
+    item arrays. All entries are implicitly versioned by ``epoch`` — set
+    it to the shm factor store's published epoch (ShmRecommender does) so
+    a republish makes every stale entry miss. ``epoch`` must be >= 1
+    (slot zero-state protection).
+
+    invalidate() only has to bump the local epoch view: per-key deletion
+    is unnecessary because lookups are (key, epoch)-exact.
+    """
+
+    N_MAX = 64
+
+    def __init__(self, name: str, capacity: int = 1 << 16, epoch: int = 1):
+        from ycnr_tpu.native import get_cache_lib
+
+        lib = get_cache_lib()
+        if lib is None:
+            raise RuntimeError("native shm cache unavailable (no g++?)")
+        if capacity & (capacity - 1):
+            raise ValueError("capacity must be a power of two")
+        self._lib = lib
+        self.name = name
+        self._h = lib.ycnr_cache_create(name.encode(), capacity, self.N_MAX)
+        if not self._h:
+            raise OSError(
+                f"shm cache {name!r}: create/attach failed (existing "
+                f"segment with different dims? unlink it first)")
+        # effective entry epoch = base (the PUBLISHED factor epoch, shared
+        # by the whole fleet) * 2^20 + local bump count — full-cache
+        # invalidate() bumps locally without ever colliding with a future
+        # published epoch's entries
+        self._base = int(epoch)
+        self._bump = 0
+        if self._base < 1:
+            raise ValueError("epoch must be >= 1")
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def epoch(self) -> int:
+        return self._base * (1 << 20) + self._bump
+
+    def set_epoch(self, epoch: int):
+        """Adopt a newly PUBLISHED factor epoch (fleet-wide key space)."""
+        if epoch < 1:
+            raise ValueError("epoch must be >= 1")
+        self._base = int(epoch)
+        self._bump = 0
+
+    @staticmethod
+    def _key(key) -> int:
+        user, n = key
+        return (int(user) << 16) | (int(n) & 0xFFFF)
+
+    def get(self, key):
+        if not self._h:
+            raise ValueError(f"shm cache {self.name!r} is closed")
+        if int(key[1]) > self.N_MAX:  # wider requests are never cached
+            self.misses += 1
+            return None
+        out = np.empty(self.N_MAX, np.int32)
+        got = self._lib.ycnr_cache_get(
+            self._h, self._key(key), self.epoch,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if got < 0:
+            self.misses += 1
+            return None
+        self.hits += 1
+        return out[:got].copy()
+
+    def put(self, key, value):
+        if not self._h:
+            raise ValueError(f"shm cache {self.name!r} is closed")
+        if int(key[1]) > self.N_MAX:  # a truncated list would silently
+            return  # serve fewer items than the request asked for
+        items = np.ascontiguousarray(np.asarray(value, np.int32))
+        self._lib.ycnr_cache_put(
+            self._h, self._key(key), self.epoch,
+            items.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(items))
+
+    def put_if(self, key, value, cond) -> bool:
+        # the shared cache is (key, epoch)-exact, so a stale put is
+        # harmless (it can only be read by same-epoch readers); still
+        # honor the caller's condition for interface parity
+        if not cond():
+            return False
+        self.put(key, value)
+        return True
+
+    def invalidate(self, key=None):
+        """key=None: bump the local epoch view — every existing entry
+        misses for this process; fleet-wide invalidation happens when all
+        processes adopt a new published epoch (set_epoch). key=user_id:
+        overwrite that user's possible (user, n) slots with epoch-0
+        tombstones (epoch 0 never matches a lookup — the >=1 contract),
+        which IS fleet-wide: after a local online update, no process
+        serves the user's stale list."""
+        if key is None:
+            self._bump += 1
+            return
+        user = key[0] if isinstance(key, tuple) else key
+        dead = np.empty(0, np.int32)
+        ptr = dead.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        for n in range(self.N_MAX + 1):
+            self._lib.ycnr_cache_put(self._h, self._key((user, n)), 0,
+                                     ptr, 0)
+
+    def stats(self) -> dict:
+        out = (ctypes.c_int64 * 3)()
+        self._lib.ycnr_cache_stats(self._h, out)
+        return {"capacity": int(out[0]), "n_max": int(out[1]),
+                "entries": int(out[2]), "hits": self.hits,
+                "misses": self.misses}
+
+    def close(self):
+        if self._h:
+            self._lib.ycnr_cache_detach(self._h)
+            self._h = None
+
+    def unlink(self):
+        self._lib.ycnr_cache_unlink(self.name.encode())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

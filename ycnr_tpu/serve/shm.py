@@ -160,6 +160,13 @@ class ShmRecommender:
         self.reader = FactorShmReader(name)
         state, self._epoch = self.reader.read()
         self._rec = Recommender(state, train_u, train_i, cache=cache)
+        self._adopt_epoch()
+
+    def _adopt_epoch(self):
+        # a cross-process ShmRecCache keys entries by the published factor
+        # epoch, so the whole fleet shares (and invalidates) together
+        if hasattr(self._rec.cache, "set_epoch"):
+            self._rec.cache.set_epoch(self._epoch + 1)
 
     @property
     def epoch(self) -> int:
@@ -178,6 +185,7 @@ class ShmRecommender:
         if e >= 0 and e != self._epoch:
             state, self._epoch = self.reader.read()
             self._rec.update_state(state)
+            self._adopt_epoch()
 
     _refresh = refresh
 
