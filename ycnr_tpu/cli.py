@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 from ycnr_tpu.config import get_preset, list_presets
 
@@ -211,10 +212,20 @@ def _build_cfg(args):
 
 
 def cmd_train(args):
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compile cache: repeat runs with unchanged program
+    # shapes skip the minutes-long first-epoch compile (the remote-TPU
+    # upload still happens once per process — docs/KERNELS.md
+    # "first-epoch wall"). Opt out with YCNR_COMPILE_CACHE=""
+    cache_dir = os.environ.get(
+        "YCNR_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ycnr_xla"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.distributed or args.coordinator:
         from ycnr_tpu.parallel import init_distributed
 
