@@ -240,19 +240,45 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
                 return als_epoch(state, dul, dil, lam)
         ul_serving = ul
     elif sgd_method == "stream":
-        # scatter-free user-sorted stream epoch (models/sgd_stream.py)
-        from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
+        # scatter-free user-sorted stream epoch (models/sgd_stream.py);
+        # the host-side prep (sorts + striping + weights) is cached like
+        # the layouts — it is minutes at Netflix scale on this host
+        import ycnr_tpu.models.sgd_stream as _stream_mod
+        from ycnr_tpu.models.sgd_stream import (
+            StreamSGD,
+            StreamSGDData,
+            prepare_stream_sgd,
+        )
 
         sgd_batch = 4096 if len(tr) < 10**6 else 65536
-        t0 = time.time()
-        sgd_data, _ = prepare_stream_sgd(tu, ti, tr, sgd_batch, n_users,
-                                         n_items, seed=seed,
-                                         grad_mode="mean")
-        log(f"stream prep: {time.time() - t0:.1f}s "
-            f"({sgd_data.ul.shape[0]} batches of {sgd_batch}, "
-            f"tile={sgd_data.tile})")
+        spath = _cache_path(
+            f"stream_{data_tag[4:]}_b{sgd_batch}_capped"
+            f"_{_code_hash(_stream_mod)}")
+        sz = _load_npz(spath)
+        if sz is not None:
+            sgd_data = StreamSGDData(
+                ul=jnp.asarray(sz["ul"]), ib=jnp.asarray(sz["ib"]),
+                rb=jnp.asarray(sz["rb"]), wu=jnp.asarray(sz["wu"]),
+                wi=jnp.asarray(sz["wi"]), u_lo=jnp.asarray(sz["u_lo"]),
+                n_real=int(sz["n_real"]), tile=int(sz["tile"]),
+                grad_mode="capped")
+            log(f"stream cache hit {spath}")
+        else:
+            t0 = time.time()
+            sgd_data, _ = prepare_stream_sgd(tu, ti, tr, sgd_batch,
+                                             n_users, n_items, seed=seed,
+                                             grad_mode="capped")
+            log(f"stream prep: {time.time() - t0:.1f}s "
+                f"({sgd_data.ul.shape[0]} batches of {sgd_batch}, "
+                f"tile={sgd_data.tile})")
+            _save_npz(spath, {
+                "ul": np.asarray(sgd_data.ul), "ib": np.asarray(sgd_data.ib),
+                "rb": np.asarray(sgd_data.rb), "wu": np.asarray(sgd_data.wu),
+                "wi": np.asarray(sgd_data.wi),
+                "u_lo": np.asarray(sgd_data.u_lo),
+                "n_real": sgd_data.n_real, "tile": sgd_data.tile})
         trainer = StreamSGD(lam=0.02, lr=0.008, lr_decay=0.95, seed=seed,
-                            grad_mode="mean")
+                            grad_mode="capped")
 
         def step(state, ep):
             return trainer.epoch(state, sgd_data, ep)

@@ -68,10 +68,9 @@ def build_sharded_stream_sgd(train_u, train_i, train_r, meta: ShardedMeta,
     local_of = meta.user_local[train_u] % upd
     b_local = max(1, batch_size // D)
 
-    datas, orders, pers = [], [], []
+    datas, orders = [], []
     for d in range(D):
         p = np.nonzero(shard_of == d)[0]
-        pers.append(p)
         sd, od = prepare_stream_sgd(local_of[p], train_i[p], train_r[p],
                                     b_local, upd, meta.n_items,
                                     seed=seed + d, dtype=dtype,
@@ -80,13 +79,17 @@ def build_sharded_stream_sgd(train_u, train_i, train_r, meta: ShardedMeta,
         orders.append(od)
     tile = max(sd.tile for sd in datas)
     nb = max(sd.ul.shape[0] for sd in datas)
-    # rebuild with the common tile so u_lo clamping and shapes agree;
-    # prepare is deterministic, so orders are unchanged
-    datas = [prepare_stream_sgd(local_of[p], train_i[p], train_r[p],
-                                b_local, upd, meta.n_items, seed=seed + d,
-                                dtype=dtype, grad_mode=grad_mode,
-                                tile=tile)[0]
-             for d, p in enumerate(pers)]
+    # re-derive each shard's (u_lo, ul) for the COMMON tile arithmetically
+    # (us = ul + u_lo per batch) instead of re-running the whole prepare
+    for d, sd in enumerate(datas):
+        ul = np.asarray(sd.ul)
+        lo = np.asarray(sd.u_lo)
+        us = ul.astype(np.int64) + lo.astype(np.int64)[:, None]
+        first = us.min(axis=1)
+        lo2 = np.minimum(first, upd + 1 - tile).astype(np.int32)
+        ul2 = (us - lo2[:, None].astype(np.int64)).astype(np.int32)
+        datas[d] = sd._replace(ul=jnp.asarray(ul2), u_lo=jnp.asarray(lo2),
+                               tile=tile)
 
     def stack(field, pad_value, dt):
         out = np.full((D, nb, b_local), pad_value, dt)

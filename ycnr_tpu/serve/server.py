@@ -82,13 +82,22 @@ class _Batcher:
     naturally, so scoring cost amortizes — one [B, n_items] matmul instead
     of B sequential [1, n_items] ones."""
 
+    _STOP = object()
+
     def __init__(self, app: "ServingApp", max_batch: int = 64):
         self.app = app
         self.max_batch = max_batch
         self.q: queue.Queue = queue.Queue()
         self.batches = 0
         self.batched_reqs = 0
-        threading.Thread(target=self._loop, daemon=True).start()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        """Drain and end the worker thread (apps are usually process-lived;
+        tests and embedders that churn apps should call ServingApp.close)."""
+        self.q.put(self._STOP)
+        self._thread.join(timeout=10)
 
     def submit(self, dense_uid: int):
         done = threading.Event()
@@ -101,12 +110,19 @@ class _Batcher:
 
     def _loop(self):
         while True:
-            batch = [self.q.get()]
+            first = self.q.get()
+            if first is self._STOP:
+                return
+            batch = [first]
             while len(batch) < self.max_batch:
                 try:
-                    batch.append(self.q.get_nowait())
+                    item = self.q.get_nowait()
                 except queue.Empty:
                     break
+                if item is self._STOP:
+                    self.q.put(item)  # re-deliver after this batch
+                    break
+                batch.append(item)
             self.batches += 1
             self.batched_reqs += len(batch)
             uids = [b[0] for b in batch]
@@ -160,6 +176,12 @@ class ServingApp:
         self.started = time.time()
         # max_batch=0 disables micro-batching (requests score one by one)
         self.batcher = _Batcher(self, max_batch) if max_batch > 0 else None
+
+    def close(self):
+        """Stop the batching worker (for embedders that churn apps)."""
+        if self.batcher is not None:
+            self.batcher.stop()
+            self.batcher = None
 
     # -- request handlers --------------------------------------------------
 
