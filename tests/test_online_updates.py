@@ -1,5 +1,6 @@
 """Online serving updates (add_ratings) and early stopping."""
 
+import dataclasses
 import json
 
 import numpy as np
@@ -154,3 +155,24 @@ def test_compact_many_users_matches_fresh_rebuild():
         oa, ob = np.argsort(a_i), np.argsort(b_i)
         np.testing.assert_array_equal(a_i[oa], b_i[ob])
         np.testing.assert_allclose(a_r[oa], b_r[ob])
+
+
+def test_early_stop_window_spans_resume(tmp_path):
+    """The checkpoint carries the RMSE history, so a resumed run can
+    early-stop immediately off the pre-resume trajectory (the round-1
+    behavioral seam: the window used to restart at the resume point)."""
+    import os
+
+    cfg = _cfg(tmp_path, patience=0, epochs=6).replace(checkpoint_every=6)
+    res1 = train(cfg)
+    ck = os.path.join(res1.out_dir, "ckpt")
+    res2 = train(cfg.replace(
+        als=dataclasses.replace(cfg.als, epochs=20),
+        early_stop_patience=2, early_stop_min_delta=1e-3,
+        out_dir=str(tmp_path / "resumed")), resume=ck)
+    # tiny ALS converged during the FIRST run; with the carried history the
+    # resumed run notices within `patience` epochs instead of re-learning
+    # the plateau from scratch
+    assert len(res2.rmse_history) < 6 + 14
+    assert res2.rmse_history[:6] == [round(x, 6)
+                                     for x in res1.rmse_history]

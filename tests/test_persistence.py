@@ -60,7 +60,9 @@ def test_train_resume_from_orbax(tmp_path):
     _, man = load_checkpoint(ck)
     assert man["backend"] == "orbax" and man["epoch"] == 2
     r2 = train(cfg.replace(als=ALSConfig(rank=4, epochs=4)), resume=ck)
-    assert len(r2.rmse_history) == 2  # epochs 3 and 4 only
+    # resumed history spans the whole trajectory (manifest extra)
+    assert len(r2.rmse_history) == 4
+    assert r2.rmse_history[:2] == [round(x, 6) for x in r1.rmse_history]
 
 
 def test_store_stream_portions(tmp_path):

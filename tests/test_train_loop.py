@@ -41,7 +41,11 @@ def test_train_resume_continues(tmp_path):
     cfg2 = cfg.replace(als=ALSConfig(rank=6, lam=0.05, epochs=4),
                        out_dir=str(tmp_path / "resumed"))
     res2 = train(cfg2, resume=ck)
-    assert len(res2.rmse_history) == 2  # epochs 3..4 only
+    # the checkpoint carries the earlier RMSE history, so the resumed
+    # run's trajectory spans ALL four epochs (early-stop windows survive)
+    assert len(res2.rmse_history) == 4
+    assert res2.rmse_history[:2] == [round(x, 6)
+                                     for x in res1.rmse_history]
     # resumed run must beat the checkpointed rmse
     assert res2.rmse_history[-1] <= res1.rmse_history[-1] + 1e-9
 

@@ -47,8 +47,9 @@ def _algo_params(cfg: RunConfig):
 
 def _early_stop(cfg: RunConfig, history: list, metrics, epoch: int) -> bool:
     """True when the last `patience` epochs brought no improvement of at
-    least min_delta over the best RMSE before them. On resumed runs the
-    comparison window covers post-resume epochs only (history restarts)."""
+    least min_delta over the best RMSE before them. Checkpoints carry the
+    RMSE history (manifest extra), so a resumed run's window spans the
+    WHOLE trajectory, not just post-resume epochs."""
     p = cfg.early_stop_patience
     if p <= 0 or len(history) <= p:
         return False
@@ -57,6 +58,16 @@ def _early_stop(cfg: RunConfig, history: list, metrics, epoch: int) -> bool:
                     best_rmse=round(min(history), 6))
         return True
     return False
+
+
+def _ckpt_extra(history: list) -> dict:
+    """Manifest payload that lets a resumed run continue its early-stop
+    window where it left off."""
+    return {"rmse_history": [round(float(x), 6) for x in history]}
+
+
+def _resumed_history(manifest) -> list:
+    return list(manifest.get("extra", {}).get("rmse_history", []))
 
 
 def _shm_writer(cfg: RunConfig, state: MFState):
@@ -86,9 +97,11 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     dtype = jnp.dtype(params.dtype)
     mu = ds.mu if cfg.algorithm == "sgd" else 0.0
     start_epoch = 0
+    history = []
     if resume:
         state, manifest = load_checkpoint(resume)
         start_epoch = manifest["epoch"]
+        history = _resumed_history(manifest)
         metrics.log(event="resume", epoch=start_epoch)
     else:
         state = init_state(ds.n_users, ds.n_items, params.rank,
@@ -145,7 +158,6 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     )
 
     shm_writer = _shm_writer(cfg, state)
-    history = []
     for epoch in range(start_epoch, params.epochs):
         if epoch == start_epoch:
             # the first step compiles + uploads the epoch program, which can
@@ -190,6 +202,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 or epoch + 1 == params.epochs or stop):
             save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
                             config=config_dict(cfg),
+                            extra=_ckpt_extra(history),
                             backend=cfg.checkpoint_backend)
         if shm_writer is not None:
             shm_writer.publish(state, epoch + 1)
@@ -289,9 +302,11 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             seed=cfg.seed, dtype=dtype, grad_mode=gm, mesh=mesh)
 
     start_epoch = 0
+    history = []
     if resume:
         gstate, manifest = load_checkpoint(resume)
         start_epoch = manifest["epoch"]
+        history = _resumed_history(manifest)
         metrics.log(event="resume", epoch=start_epoch)
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
@@ -300,7 +315,6 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     shm_writer = _shm_writer(cfg, gstate)
     st = scatter_state(gstate, meta, mesh)
 
-    history = []
     gstate = None  # set when the final-epoch checkpoint gathers the state
     key = jax.random.key(cfg.seed)
     for epoch in range(start_epoch, params.epochs):
@@ -336,6 +350,7 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             gstate = gather_state(st, meta)  # reused for TrainResult below
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg),
+                            extra=_ckpt_extra(history),
                             backend=cfg.checkpoint_backend)
         else:
             gstate = None
@@ -398,9 +413,11 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         test_u=ds.test_u, test_i=ds.test_i, test_r=ds.test_r, dtype=dtype,
         mesh=mesh, host_user_layout=cfg.measure_serving)
     start_epoch = 0
+    history = []
     if resume:
         gstate, manifest = load_checkpoint(resume)
         start_epoch = manifest["epoch"]
+        history = _resumed_history(manifest)
         metrics.log(event="resume", epoch=start_epoch)
     else:
         gstate = init_state(ds.n_users, ds.n_items, params.rank,
@@ -409,7 +426,6 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     shm_writer = _shm_writer(cfg, gstate)
     st = dual_scatter_state(gstate, meta, mesh)
 
-    history = []
     gstate = None  # re-gathered per epoch below (checkpoint/publish reuse)
     for epoch in range(start_epoch, params.epochs):
         t0 = time.time()
@@ -436,6 +452,7 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             gstate = dual_gather_state(st, meta)
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg),
+                            extra=_ckpt_extra(history),
                             backend=cfg.checkpoint_backend)
         if shm_writer is not None:
             shm_writer.publish(gstate if gstate is not None
