@@ -228,7 +228,7 @@ def sort_ratings_by_user(train_u, train_i):
 
 
 def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
-                    sorted_index=None, rated_lists=None):
+                    sorted_index=None, rated_lists=None, min_width=None):
     """Top-N for an explicit user list (the reference's recommend(userId, N)
     entry). Rated lists are gathered host-side and padded with n_items.
 
@@ -239,7 +239,9 @@ def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
     engine passes these when it holds pending (not yet compacted) online
     updates. The mask width is padded to a power of two so the jitted
     scorer compiles once per width bucket rather than once per distinct
-    rated-count.
+    rated-count; long-running servers pass min_width = the catalog's max
+    rated count so EVERY request hits one width bucket (each new bucket
+    is a fresh XLA compile — seconds through a remote-TPU tunnel).
     """
     n = min(int(n), state.n_items)  # top_k crashes past the catalog size
     user_ids = np.asarray(user_ids, np.int32)
@@ -252,7 +254,7 @@ def recommend_users(state: MFState, train_u, train_i, user_ids, n: int = 10,
         for u in user_ids:
             s, t = np.searchsorted(su, u), np.searchsorted(su, u, "right")
             lists.append(si[s:t])
-    width = max(8, max((len(x) for x in lists), default=1))
+    width = max(8, max((len(x) for x in lists), default=1), min_width or 0)
     width = 1 << int(np.ceil(np.log2(width)))  # bound recompilations
     rated = np.full((len(user_ids), width), state.n_items, np.int32)
     for j, x in enumerate(lists):

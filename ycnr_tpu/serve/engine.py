@@ -38,6 +38,12 @@ class Recommender:
         self._index = ((self.train_u[order], self.train_i[order],
                         None if self.train_r is None
                         else self.train_r[order]), {})
+        # fixed mask width = the hottest user's rated count: every request
+        # then hits ONE compiled scorer per batch-size bucket instead of
+        # recompiling per width bucket (seconds each on a remote TPU)
+        counts = np.bincount(self.train_u,
+                             minlength=1) if len(self.train_u) else [1]
+        self._mask_width = int(max(8, np.max(counts)))
         self.cache = cache if cache is not None else RecCache()
         self._pending_n = 0
         self._compact_threshold = compact_threshold
@@ -137,7 +143,8 @@ class Recommender:
         v0 = self._version
         items, scores = recommend_users(
             self.state, self.train_u, self.train_i, np.asarray([user_id]),
-            n, rated_lists=[self._user_items(user_id)])
+            n, rated_lists=[self._user_items(user_id)],
+            min_width=self._mask_width)
         # when n exceeds the user's unrated count, top_k fills the tail
         # with NEG_INF-masked (already-rated) entries — drop them
         result = items[0][scores[0] > NEG_INF / 2]
@@ -156,7 +163,8 @@ class Recommender:
         self._check_users(user_ids)
         items, scores = recommend_users(
             self.state, self.train_u, self.train_i, user_ids, n,
-            rated_lists=[self._user_items(int(u)) for u in user_ids])
+            rated_lists=[self._user_items(int(u)) for u in user_ids],
+            min_width=self._mask_width)
         return [items[j][scores[j] > NEG_INF / 2]
                 for j in range(len(user_ids))]
 
