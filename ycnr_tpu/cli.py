@@ -93,6 +93,12 @@ def _add_train_overrides(p):
                    help="override cfg.seed (factor init + SGD shuffling) "
                         "and the synthetic data seed")
     p.add_argument("--resume", help="checkpoint dir to resume from")
+    p.add_argument("--warm-start", metavar="CKPT",
+                   help="start a NEW run from this checkpoint's factors, "
+                        "grown to the current dataset's catalog (new "
+                        "users/items get fresh init; epoch counter and "
+                        "early-stop history restart) — the retrain-after-"
+                        "new-ratings lifecycle")
     p.add_argument("--platform", help="force jax platform (e.g. cpu)")
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace to DIR (verified on "
@@ -254,9 +260,11 @@ def cmd_train(args):
         from ycnr_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            result = train(cfg, dataset=ds, resume=args.resume)
+            result = train(cfg, dataset=ds, resume=args.resume,
+                           warm_start=args.warm_start)
     else:
-        result = train(cfg, dataset=ds, resume=args.resume)
+        result = train(cfg, dataset=ds, resume=args.resume,
+                       warm_start=args.warm_start)
     print(json.dumps({
         "run": cfg.name, "algorithm": cfg.algorithm,
         "epochs": len(result.rmse_history),

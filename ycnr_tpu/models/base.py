@@ -61,6 +61,43 @@ def init_state(n_users: int, n_items: int, rank: int, seed: int = 0,
     )
 
 
+def grow_state(state: MFState, n_users: int, n_items: int, seed: int = 0,
+               scale: float = 0.1) -> MFState:
+    """Warm-start growth: extend a trained state to a larger catalog.
+
+    The reference retrains from the database, which silently picks up rows
+    for users/items that appeared since the last run (SURVEY.md C7 streaming
+    ingest); the device-resident analog is explicit — new entity rows get the
+    same random-normal init as init_state (from a stream derived from both
+    the seed and the old/new dims, so growth is reproducible), existing
+    factor rows and biases are preserved bitwise, and the trailing zero
+    padding row is maintained. Shrinking is refused: entity indices are
+    positional, so a smaller catalog would silently re-map ids.
+    """
+    ou, oi, k = state.n_users, state.n_items, state.rank
+    if n_users < ou or n_items < oi:
+        raise ValueError(
+            f"grow_state cannot shrink: checkpoint has {ou} users/{oi} "
+            f"items, dataset has {n_users}/{n_items}")
+    if n_users == ou and n_items == oi:
+        return state
+    dt = state.U.dtype
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, ou, oi, n_users, n_items]))
+    U = np.zeros((n_users + 1, k), np.float64)
+    V = np.zeros((n_items + 1, k), np.float64)
+    U[:ou] = np.asarray(state.U, np.float32)[:ou]
+    V[:oi] = np.asarray(state.V, np.float32)[:oi]
+    U[ou:n_users] = rng.normal(0.0, scale, (n_users - ou, k))
+    V[oi:n_items] = rng.normal(0.0, scale, (n_items - oi, k))
+    bu = np.zeros(n_users + 1, np.float64)
+    bi = np.zeros(n_items + 1, np.float64)
+    bu[:ou] = np.asarray(state.bu, np.float32)[:ou]
+    bi[:oi] = np.asarray(state.bi, np.float32)[:oi]
+    return MFState(jnp.asarray(U, dt), jnp.asarray(V, dt),
+                   jnp.asarray(bu, dt), jnp.asarray(bi, dt), state.mu)
+
+
 def zero_cold_entities(state: MFState, train_u, train_i) -> MFState:
     """Zero the factor/bias rows of entities with no training ratings.
 

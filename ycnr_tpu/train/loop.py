@@ -23,6 +23,7 @@ from ycnr_tpu.config import RunConfig
 from ycnr_tpu.data.dataset import Dataset, load_dataset
 from ycnr_tpu.models.base import (
     MFState,
+    grow_state,
     init_state,
     rmse_padded_jit,
     zero_cold_entities,
@@ -70,6 +71,38 @@ def _resumed_history(manifest) -> list:
     return list(manifest.get("extra", {}).get("rmse_history", []))
 
 
+def _start_state(cfg: RunConfig, ds: Dataset, params, resume, warm_start,
+                 metrics, mu: float, dtype):
+    """(state, start_epoch, rmse_history) for all three train paths.
+
+    resume = continue the SAME run (epoch counter + early-stop history carry
+    over); warm_start = start a NEW run from a previous run's factors, grown
+    to the current dataset's catalog (models/base.grow_state) — the
+    retrain-after-new-ratings lifecycle the reference gets implicitly from
+    re-streaming its database."""
+    if resume and warm_start:
+        raise ValueError("resume and warm_start are mutually exclusive: "
+                         "resume continues a run, warm_start begins a new "
+                         "one from its factors")
+    if resume:
+        state, manifest = load_checkpoint(resume)
+        metrics.log(event="resume", epoch=manifest["epoch"])
+        return state, manifest["epoch"], _resumed_history(manifest)
+    if warm_start:
+        state, manifest = load_checkpoint(warm_start)
+        if manifest["rank"] != params.rank:
+            raise ValueError(
+                f"warm-start checkpoint rank {manifest['rank']} != config "
+                f"rank {params.rank} (factor growth is catalog-only)")
+        state = grow_state(state, ds.n_users, ds.n_items, seed=cfg.seed)
+        metrics.log(event="warm_start", from_epoch=manifest["epoch"],
+                    new_users=ds.n_users - manifest["n_users"],
+                    new_items=ds.n_items - manifest["n_items"])
+        return state, 0, []
+    return init_state(ds.n_users, ds.n_items, params.rank, seed=cfg.seed,
+                      mu=mu, dtype=dtype), 0, []
+
+
 def _shm_writer(cfg: RunConfig, state: MFState):
     """Optional live-factor publisher (reference C6c shm serving pattern)."""
     if not cfg.publish_shm:
@@ -81,7 +114,7 @@ def _shm_writer(cfg: RunConfig, state: MFState):
 
 
 def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
-          resume: Optional[str] = None,
+          resume: Optional[str] = None, warm_start: Optional[str] = None,
           out_dir: Optional[str] = None) -> TrainResult:
     """Train per config. If cfg.mesh.n_shards > 1, runs the sharded path."""
     params = _algo_params(cfg)
@@ -92,20 +125,12 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                             append=bool(resume))
 
     if cfg.mesh.n_shards > 1:
-        return _train_sharded(cfg, ds, metrics, out, resume)
+        return _train_sharded(cfg, ds, metrics, out, resume, warm_start)
 
     dtype = jnp.dtype(params.dtype)
     mu = ds.mu if cfg.algorithm == "sgd" else 0.0
-    start_epoch = 0
-    history = []
-    if resume:
-        state, manifest = load_checkpoint(resume)
-        start_epoch = manifest["epoch"]
-        history = _resumed_history(manifest)
-        metrics.log(event="resume", epoch=start_epoch)
-    else:
-        state = init_state(ds.n_users, ds.n_items, params.rank,
-                           seed=cfg.seed, mu=mu, dtype=dtype)
+    state, start_epoch, history = _start_state(
+        cfg, ds, params, resume, warm_start, metrics, mu, dtype)
     state = zero_cold_entities(state, ds.train_u, ds.train_i)
 
     pu, pi, pr, n_test = ds.padded_test()
@@ -254,7 +279,8 @@ def _log_serving_metric(cfg, ds, state, metrics, **extra):
 
 
 def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
-                   out: Optional[str], resume: Optional[str]) -> TrainResult:
+                   out: Optional[str], resume: Optional[str],
+                   warm_start: Optional[str] = None) -> TrainResult:
     from ycnr_tpu.parallel import (
         build_sharded_data,
         gather_state,
@@ -276,8 +302,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
     # (SURVEY.md M6 alternative; ALS/iALS only — SGD needs replicated V)
     if (cfg.mesh.vstep_mode == "item_sharded"
             and cfg.algorithm in ("als", "ials")):
-        return _train_dual(cfg, ds, metrics, out, resume, mesh, params,
-                           dtype)
+        return _train_dual(cfg, ds, metrics, out, resume, warm_start, mesh,
+                           params, dtype)
     sgd_stream = cfg.algorithm == "sgd" and cfg.sgd.method == "stream"
     data, meta = build_sharded_data(
         ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
@@ -301,16 +327,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             ds.train_u, ds.train_i, ds.train_r, meta, cfg.sgd.batch_size,
             seed=cfg.seed, dtype=dtype, grad_mode=gm, mesh=mesh)
 
-    start_epoch = 0
-    history = []
-    if resume:
-        gstate, manifest = load_checkpoint(resume)
-        start_epoch = manifest["epoch"]
-        history = _resumed_history(manifest)
-        metrics.log(event="resume", epoch=start_epoch)
-    else:
-        gstate = init_state(ds.n_users, ds.n_items, params.rank,
-                            seed=cfg.seed, mu=mu, dtype=dtype)
+    gstate, start_epoch, history = _start_state(
+        cfg, ds, params, resume, warm_start, metrics, mu, dtype)
     gstate = zero_cold_entities(gstate, ds.train_u, ds.train_i)
     shm_writer = _shm_writer(cfg, gstate)
     st = scatter_state(gstate, meta, mesh)
@@ -395,7 +413,8 @@ def _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics):
 
 
 def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
-                out: Optional[str], resume: Optional[str], mesh, params,
+                out: Optional[str], resume: Optional[str],
+                warm_start: Optional[str], mesh, params,
                 dtype) -> TrainResult:
     from ycnr_tpu.parallel.dual import (
         build_dual_sharded_data,
@@ -412,16 +431,8 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         block_chunks=cfg.data.block_chunks, rank_hint=params.rank,
         test_u=ds.test_u, test_i=ds.test_i, test_r=ds.test_r, dtype=dtype,
         mesh=mesh, host_user_layout=cfg.measure_serving)
-    start_epoch = 0
-    history = []
-    if resume:
-        gstate, manifest = load_checkpoint(resume)
-        start_epoch = manifest["epoch"]
-        history = _resumed_history(manifest)
-        metrics.log(event="resume", epoch=start_epoch)
-    else:
-        gstate = init_state(ds.n_users, ds.n_items, params.rank,
-                            seed=cfg.seed, dtype=dtype)
+    gstate, start_epoch, history = _start_state(
+        cfg, ds, params, resume, warm_start, metrics, 0.0, dtype)
     gstate = zero_cold_entities(gstate, ds.train_u, ds.train_i)
     shm_writer = _shm_writer(cfg, gstate)
     st = dual_scatter_state(gstate, meta, mesh)
