@@ -4,7 +4,15 @@ The reference persists trained factors to disk/PG tables so recommendation
 can run without retraining; a dead worker means rerunning the epoch. Here
 every epoch can durably snapshot {U, V, b_u, b_i, mu, epoch, config},
 making jobs trivially resumable mid-training (fixed-mesh SPMD needs no
-elastic membership). Writes are atomic (tmp + rename).
+elastic membership).
+
+Crash protocol (verified by tests/test_crash_recovery.py's SIGKILL run):
+arrays land in an epoch-stamped file/dir first, then the manifest naming
+them is renamed into place — the ONE commit point. A kill anywhere leaves
+the previous (manifest, arrays) pair intact and consistent; a fixed arrays
+name would open a window between the two renames where the old manifest
+pairs with the new arrays and a resume would silently retrace a different
+trajectory. Stale epoch files are garbage-collected only after the commit.
 
 Two array backends behind one manifest format:
 
@@ -48,38 +56,53 @@ def _np_savable(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _save_arrays_npz(path: str, state: MFState):
-    tmp = os.path.join(path, _ARRAYS + ".tmp.npz")
+def _save_arrays_npz(path: str, state: MFState, epoch: int) -> str:
+    name = f"state-{epoch}.npz"
+    tmp = os.path.join(path, name + ".tmp.npz")
     np.savez(
         tmp,
         U=_np_savable(state.U), V=_np_savable(state.V),
         bu=_np_savable(state.bu), bi=_np_savable(state.bi),
         mu=_np_savable(state.mu),
     )
-    os.replace(tmp, os.path.join(path, _ARRAYS))
+    os.replace(tmp, os.path.join(path, name))
+    return name
 
 
-def _save_arrays_orbax(path: str, state: MFState):
+def _save_arrays_orbax(path: str, state: MFState, epoch: int) -> str:
     import orbax.checkpoint as ocp
 
-    target = os.path.join(path, _ORBAX_DIR)
-    # write to a fresh scratch dir, then swap into place: deleting the old
-    # checkpoint before the new save completes would break the atomicity
-    # contract (a crash mid-save must leave the previous epoch loadable)
+    name = f"state-{epoch}.orbax"
+    target = os.path.join(path, name)
+    # write to a scratch dir, then rename: the epoch-stamped dir must never
+    # be visible half-written (the manifest commit happens after)
     tmp = target + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(tmp), dict(state._asdict()))
     ckptr.wait_until_finished()
-    old = target + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
     if os.path.exists(target):
-        os.replace(target, old)
+        shutil.rmtree(target)
     os.replace(tmp, target)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    return name
+
+
+def _gc_stale_arrays(path: str, keep: str):
+    """Drop array files/dirs from superseded epochs (and interrupted tmp
+    writes) AFTER the manifest commit — never the one just committed, never
+    legacy fixed-name files a pre-stamp manifest may still reference."""
+    for entry in os.listdir(path):
+        if entry == keep or not entry.startswith("state-"):
+            continue
+        full = os.path.join(path, entry)
+        try:
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+            else:
+                os.remove(full)
+        except OSError:
+            pass  # concurrent reader/cleaner; stale files are harmless
 
 
 def save_checkpoint(path: str, state: MFState, epoch: int,
@@ -89,9 +112,9 @@ def save_checkpoint(path: str, state: MFState, epoch: int,
     arrays is renamed into place last)."""
     os.makedirs(path, exist_ok=True)
     if backend == "orbax":
-        _save_arrays_orbax(path, state)
+        arrays = _save_arrays_orbax(path, state, epoch)
     elif backend == "npz":
-        _save_arrays_npz(path, state)
+        arrays = _save_arrays_npz(path, state, epoch)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     manifest = {
@@ -103,19 +126,21 @@ def save_checkpoint(path: str, state: MFState, epoch: int,
         "config": config or {},
         "extra": extra or {},
         "backend": backend,
-        "format": 2,
+        "arrays": arrays,
+        "format": 3,
     }
     mtmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(mtmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(mtmp, os.path.join(path, _MANIFEST))
+    _gc_stale_arrays(path, arrays)
 
 
-def _load_arrays_orbax(path: str) -> MFState:
+def _load_arrays_orbax(path: str, name: str) -> MFState:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    tree = ckptr.restore(os.path.abspath(os.path.join(path, _ORBAX_DIR)))
+    tree = ckptr.restore(os.path.abspath(os.path.join(path, name)))
     return MFState(**{k: jnp.asarray(v) for k, v in tree.items()})
 
 
@@ -125,8 +150,10 @@ def load_checkpoint(path: str) -> Tuple[MFState, dict]:
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("backend", "npz") == "orbax":
-        return _load_arrays_orbax(path), manifest
-    z = np.load(os.path.join(path, _ARRAYS))
+        # format<3 manifests predate epoch-stamped array names
+        return _load_arrays_orbax(
+            path, manifest.get("arrays", _ORBAX_DIR)), manifest
+    z = np.load(os.path.join(path, manifest.get("arrays", _ARRAYS)))
     # non-numpy state dtypes (bfloat16) are stored widened to float32;
     # cast back to the manifest's recorded dtype
     dt = jnp.dtype(manifest.get("dtype", "float32"))
