@@ -156,8 +156,9 @@ def _ptr(a: np.ndarray, ct):
 
 
 def parse_ratings_native(path: str, sep: str):
-    """Fast MovieLens parse. Returns (u, i, r) int64/int64/float32 raw ids,
-    or None if the native library is unavailable."""
+    """Fast MovieLens parse. Returns (u, i, r) int32/int32/float32 raw ids
+    (MovieLens id spaces fit int32; widening to int64 here would cost two
+    full-array copies at 20M rows), or None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -176,7 +177,7 @@ def parse_ratings_native(path: str, sep: str):
         raise FileNotFoundError(path)
     if got == -2:
         return None  # nothing parseable: defer to the tolerant Python parser
-    return (u[:got].astype(np.int64), i[:got].astype(np.int64), r[:got])
+    return (u[:got], i[:got], r[:got])
 
 
 def pack_rows_native(src_start, src_cnt, o_sorted, r_sorted, out_oi,

@@ -50,73 +50,164 @@ long long ycnr_count_rows(const char* path) {
   return lines - (header ? 1 : 0);
 }
 
+// --- fast field parsers (ASCII, no locale) -------------------------------
+// strtol/strtof are locale-aware and slow; rating files are plain ASCII
+// decimals. Both helpers bound themselves by `end` and report via `ok`.
+
+static inline long ycnr_parse_long(char** pp, char* end, bool* ok) {
+  char* p = *pp;
+  while (p < end && (*p == ' ' || *p == '\t')) p++;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); p++; }
+  long v = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    any = true;
+    p++;
+  }
+  *ok = any;
+  *pp = p;
+  return neg ? -v : v;
+}
+
+static inline float ycnr_parse_float(char** pp, char* end, bool* ok) {
+  char* p = *pp;
+  while (p < end && (*p == ' ' || *p == '\t')) p++;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); p++; }
+  double v = 0.0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10.0 + (*p - '0');
+    any = true;
+    p++;
+  }
+  if (p < end && *p == '.') {
+    p++;
+    double f = 0.1;
+    while (p < end && *p >= '0' && *p <= '9') {
+      v += (*p - '0') * f;
+      f *= 0.1;
+      any = true;
+      p++;
+    }
+  }
+  if (any && p < end && (*p == 'e' || *p == 'E')) {
+    char* save = p;
+    p++;
+    bool eok;
+    long ex = ycnr_parse_long(&p, end, &eok);
+    if (eok) {
+      double scale = 1.0;
+      long a = ex < 0 ? -ex : ex;
+      while (a--) scale *= 10.0;
+      v = ex < 0 ? v / scale : v * scale;
+    } else {
+      p = save;  // bare 'e' belongs to whatever follows, not the number
+    }
+  }
+  *ok = any;
+  *pp = p;
+  return (float)(neg ? -v : v);
+}
+
 // Parse "<user><sep><item><sep><rating>..." rows. sep_mode: 0 = single char
 // in sep[0] (tab or comma), 1 = the two-char separator "::" (ml-1m/10m).
 // Skips a "userId..." header. Returns rows parsed, or -1 on open failure.
+//
+// Streams through a fixed 4 MB buffer (partial trailing line carried across
+// reads) instead of slurping the file: a whole-file vector means hundreds of
+// MB of fresh first-touch pages before parsing starts, which on ballooned
+// VMs (docs/KERNELS.md "host-side build notes") costs far more than the
+// parse itself.
 long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
                              int64_t cap, int32_t* users, int32_t* items,
                              float* ratings) {
+  (void)sep;  // separator bytes are skipped positionally (as before)
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  // read whole file (bench-scale: ~500MB; fine for the import host)
-  fseek(f, 0, SEEK_END);
-  long long n = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<char> data((size_t)n + 1);
-  if (fread(data.data(), 1, (size_t)n, f) != (size_t)n) {
-    fclose(f);
-    return -1;
-  }
-  fclose(f);
-  data[(size_t)n] = '\0';
-
-  char* p = data.data();
-  char* end = p + n;
-  // header sniff: any line starting with a non-digit is a header/comment
-  // (covers "userId", "userID", "user_id", ... — the Python fallback is
-  // case-insensitive and this must not be stricter)
-  {
-    char* q = p;
-    while (q < end && (*q == ' ' || *q == '\t')) q++;
-    if (q < end && !(*q >= '0' && *q <= '9')) {
-      while (p < end && *p != '\n') p++;
-      if (p < end) p++;
-    }
-  }
+  const size_t BUF = (size_t)4 << 20;
+  std::vector<char> buf(BUF);
+  size_t have = 0;      // carried bytes of an unterminated trailing line
+  bool first = true;    // header sniff pending
+  bool discard = false; // inside a line longer than BUF: drop to newline
   const int sw = (sep_mode == 1 ? 2 : 1);  // separator width
   long long row = 0;
   long long bad = 0;
-  while (p < end && row < cap) {
-    if (*p == '\n') { p++; continue; }
-    char* line_end = p;
-    while (line_end < end && *line_end != '\n') line_end++;
-    char* q;
-    long u = strtol(p, &q, 10);
-    bool ok = (q != p) && (q + sw <= line_end);
-    long it = 0;
-    float r = 0.0f;
-    if (ok) {
-      p = q + sw;
-      it = strtol(p, &q, 10);
-      ok = (q != p) && (q + sw <= line_end);
+  for (;;) {
+    size_t got = fread(buf.data() + have, 1, BUF - have, f);
+    size_t len = have + got;
+    if (len == 0) break;
+    bool eof = (got == 0);
+    char* p = buf.data();
+    char* end = p + len;
+    if (discard) {
+      while (p < end && *p != '\n') p++;
+      if (p < end) {
+        p++;
+        discard = false;
+      }
     }
-    if (ok) {
-      p = q + sw;
-      r = strtof(p, &q);
-      ok = (q != p);
+    // parse only up to the last complete line unless this is the tail
+    char* stop = end;
+    if (!eof) {
+      while (stop > p && stop[-1] != '\n') stop--;
+      if (stop == p && len == BUF && !discard) {
+        // no newline in a full buffer: pathological line; skip it
+        bad++;
+        discard = true;
+        have = 0;
+        continue;
+      }
     }
-    if (ok) {
-      users[row] = (int32_t)u;
-      items[row] = (int32_t)it;
-      ratings[row] = r;
-      row++;
-    } else {
-      bad++;  // malformed row: skip the LINE, keep parsing (the Python
-              // fallback skips bad lines too; breaking here would silently
-              // truncate the dataset at the first bad row)
+    if (first) {
+      // header sniff: a first line starting with a non-digit is a
+      // header/comment ("userId", "user_id", ... — the Python fallback is
+      // case-insensitive and this must not be stricter)
+      char* q = p;
+      while (q < stop && (*q == ' ' || *q == '\t')) q++;
+      if (q < stop && !(*q >= '0' && *q <= '9')) {
+        while (p < stop && *p != '\n') p++;
+        if (p < stop) p++;
+      }
+      first = false;
     }
-    p = (line_end < end) ? line_end + 1 : line_end;
+    while (p < stop && row < cap) {
+      if (*p == '\n') { p++; continue; }
+      char* line_end = p;
+      while (line_end < stop && *line_end != '\n') line_end++;
+      bool ok;
+      long u = ycnr_parse_long(&p, line_end, &ok);
+      ok = ok && (p + sw <= line_end);
+      long it = 0;
+      float r = 0.0f;
+      if (ok) {
+        p += sw;
+        it = ycnr_parse_long(&p, line_end, &ok);
+        ok = ok && (p + sw <= line_end);
+      }
+      if (ok) {
+        p += sw;
+        r = ycnr_parse_float(&p, line_end, &ok);
+      }
+      if (ok) {
+        users[row] = (int32_t)u;
+        items[row] = (int32_t)it;
+        ratings[row] = r;
+        row++;
+      } else {
+        bad++;  // malformed row: skip the LINE, keep parsing (the Python
+                // fallback skips bad lines too; breaking here would
+                // silently truncate the dataset at the first bad row)
+      }
+      p = (line_end < stop) ? line_end + 1 : line_end;
+    }
+    if (eof || row >= cap) break;
+    have = (size_t)(end - stop);
+    if (have) memmove(buf.data(), stop, have);
   }
+  fclose(f);
   // a file that yielded nothing but had content is not "an empty dataset";
   // signal failure so the caller falls back to the tolerant Python parser
   if (row == 0 && bad > 0) return -2;
