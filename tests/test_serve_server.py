@@ -189,3 +189,35 @@ def test_concurrent_with_hot_updates(app):
         up.join(timeout=10)
         srv.shutdown()
         srv.server_close()
+
+
+def test_batch_request_matches_single(app):
+    """batch: answers row-for-row equal to the single-user path, and a bad
+    id (or empty list) fails the WHOLE line so responses can't misalign."""
+    singles = [json.loads(app.handle(str(q)))["items"] for q in (1, 2, 3)]
+    b = json.loads(app.handle("batch:1,2,3"))
+    assert b["users"] == [1, 2, 3] and b["items"] == singles
+    assert "error" in json.loads(app.handle("batch:1,999999"))
+    assert "error" in json.loads(app.handle("batch:"))
+
+
+def test_batch_request_id_maps():
+    """Raw-id round trip: request users by dataset id, items come back in
+    dataset item-id space — identical to the mapped single-user path."""
+    n_users, n_items = 30, 20
+    u, i, r = synthetic_ratings(n_users, n_items, 300, true_rank=2, seed=9)
+    state = init_state(n_users, n_items, 4, seed=2)
+    uu = np.arange(n_users, dtype=np.int64) * 7 + 5
+    ii = np.arange(n_items, dtype=np.int64) * 3 + 2
+    app = ServingApp(Recommender(state, u, i, train_r=r), maps=(uu, ii),
+                     n=4, store_meta={"n_users": n_users,
+                                      "n_items": n_items})
+    try:
+        raw = [int(uu[3]), int(uu[11])]
+        singles = [json.loads(app.handle(str(q)))["items"] for q in raw]
+        b = json.loads(app.handle(f"batch:{raw[0]},{raw[1]}"))
+        assert b["items"] == singles
+        assert all(x in ii for row in b["items"] for x in row)
+        assert "error" in json.loads(app.handle("batch:4"))  # not a raw id
+    finally:
+        app.close()

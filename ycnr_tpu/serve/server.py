@@ -13,8 +13,15 @@ is timed into a log-bucketed latency histogram reported by `stats`.
 Protocol (one request per line, one JSON object per line back):
 
     42                  -> {"user": 42, "items": [...]}
+    batch:42,17,99      -> {"users": [42, 17, 99], "items": [[...], ...]}
     cold:318:5.0,296:4  -> {"user": "cold", "items": [...]}
     stats               -> {"event": "stats", ..., "latency": {...}}
+
+`batch:` amortizes scoring AND round-trips: a request-per-line client is
+bounded by protocol latency (~1k req/s over threads), while one batch line
+rides the bulk scorer directly — the per-user cost approaches the offline
+recommend_all path. Unknown ids fail the whole line (one error object), so
+callers can't misalign the response with their request list.
 """
 
 from __future__ import annotations
@@ -231,6 +238,49 @@ class ServingApp:
                                               alpha=self.fold_alpha)
         return self._emit("cold", items)
 
+    # bound per scoring call: [chunk, n_items] score rows stay ~a few
+    # hundred MB at any catalog size instead of scaling with the batch
+    BATCH_CHUNK = 1024
+
+    def _batch(self, line: str) -> str:
+        uids = [int(x) for x in line[6:].split(",") if x.strip()]
+        if not uids:
+            raise ValueError("empty batch request")
+        dense = np.asarray(uids, np.int64)
+        if self.maps is not None:
+            pos = np.searchsorted(self.maps[0], dense)
+            ok = (pos < len(self.maps[0])) & (self.maps[0][np.minimum(
+                pos, len(self.maps[0]) - 1)] == dense)
+            if not ok.all():
+                raise KeyError(f"unknown users {dense[~ok].tolist()}")
+            dense = pos
+        eng = self._engine()
+        eng._check_users(dense)
+        v0 = eng._version
+        out = [None] * len(uids)
+        miss = []
+        for k, d in enumerate(dense):
+            hit = eng.cache.get((int(d), int(self.n)))
+            if hit is not None:
+                out[k] = hit
+            else:
+                miss.append(k)
+        for lo in range(0, len(miss), self.BATCH_CHUNK):
+            idxs = miss[lo:lo + self.BATCH_CHUNK]
+            du = [int(dense[k]) for k in idxs]
+            # same pow2 padding as the micro-batcher: one compile per bucket
+            P = 1 << max(len(du) - 1, 0).bit_length()
+            res = eng.recommend_batch(du + [du[0]] * (P - len(du)),
+                                      self.n)[: len(du)]
+            for k, r in zip(idxs, res):
+                out[k] = r
+                eng.cache.put_if((int(dense[k]), int(self.n)), r,
+                                 lambda: eng._version == v0)
+        if self.maps is not None:
+            out = [self.maps[1][np.asarray(r)] for r in out]
+        return json.dumps({"users": uids,
+                           "items": [[int(x) for x in r] for r in out]})
+
     def _user(self, line: str) -> str:
         uid = int(line)
         dense = uid
@@ -262,6 +312,8 @@ class ServingApp:
                 return self._stats()
             if line.startswith("cold:"):
                 return self._cold(line)
+            if line.startswith("batch:"):
+                return self._batch(line)
             return self._user(line)
         except (ValueError, KeyError, IndexError, RuntimeError) as e:
             # RuntimeError covers shm torn-read retry exhaustion during a
