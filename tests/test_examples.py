@@ -23,6 +23,7 @@ def _run(script, *args):
     ("serve_embedded.py", ("--cpu",), "cold user top-5"),
     ("sharded_train.py", (), "gathered factors"),
     ("stream_sgd_and_serving.py", ("--cpu",), "p99"),
+    ("model_lifecycle.py", ("--cpu",), "served grown-catalog cohort OK"),
 ])
 def test_example_runs(script, args, marker):
     p = _run(script, *args)

@@ -53,23 +53,44 @@ class Recommender:
 
     # -- rated-list plumbing (base index + pending overlay) ----------------
 
+    # NOTE on searchsorted dtypes: `su` is int32; probing it with a Python
+    # int makes NumPy upcast THE WHOLE 2M-element index to int64 on every
+    # call (~1 ms each on the serving host — profiled at 90% of a batch
+    # request before the fix). Probe with su.dtype scalars/arrays only.
+
     def _user_items(self, user_id: int) -> np.ndarray:
         """The user's full current rated-item set (base + pending)."""
         (su, si, _), pending = self._index  # one atomic snapshot
-        s = np.searchsorted(su, user_id)
-        t = np.searchsorted(su, user_id, side="right")
+        uid = su.dtype.type(user_id)
+        s = np.searchsorted(su, uid)
+        t = np.searchsorted(su, uid, side="right")
         base = si[s:t]
         pend = pending.get(int(user_id))
         if pend is None:
             return base
         return np.union1d(base, pend[0])
 
+    def _user_items_batch(self, user_ids) -> list:
+        """Per-user rated sets for a whole batch: TWO vectorized
+        searchsorted probes instead of 2B scalar ones."""
+        (su, si, _), pending = self._index  # one atomic snapshot
+        uids = np.asarray(user_ids, su.dtype)
+        s = np.searchsorted(su, uids)
+        t = np.searchsorted(su, uids, side="right")
+        out = []
+        for k in range(len(uids)):
+            base = si[s[k]:t[k]]
+            pend = pending.get(int(uids[k]))
+            out.append(base if pend is None else np.union1d(base, pend[0]))
+        return out
+
     def _user_items_ratings(self, user_id: int):
         """(items, ratings) with pending overlaying base (replacement
         semantics: a re-rated item takes the pending value)."""
         (su, si, sr), pending = self._index
-        s = np.searchsorted(su, user_id)
-        t = np.searchsorted(su, user_id, side="right")
+        uid = su.dtype.type(user_id)
+        s = np.searchsorted(su, uid)
+        t = np.searchsorted(su, uid, side="right")
         base_i = si[s:t]
         base_r = sr[s:t] if sr is not None else np.zeros(t - s, np.float32)
         pend = pending.get(int(user_id))
@@ -163,7 +184,7 @@ class Recommender:
         self._check_users(user_ids)
         items, scores = recommend_users(
             self.state, self.train_u, self.train_i, user_ids, n,
-            rated_lists=[self._user_items(int(u)) for u in user_ids],
+            rated_lists=self._user_items_batch(user_ids),
             min_width=self._mask_width)
         return [items[j][scores[j] > NEG_INF / 2]
                 for j in range(len(user_ids))]
