@@ -117,3 +117,58 @@ def test_bf16_gather_close_to_f32():
     a, b = np.asarray(s32.U), np.asarray(s16.U)
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 2e-2, rel  # bf16 inputs, f32 accumulation
+
+
+def test_fused_epochs_match_sequential():
+    """als/ials_epochs_bucketed (scan over epochs + in-program RMSE) must
+    reproduce the per-epoch dispatch loop: same factors, same RMSE values."""
+    from ycnr_tpu.models.base import rmse_padded_jit
+    from ycnr_tpu.models.bucketed_phase import (
+        als_epochs_bucketed,
+        ials_epochs_bucketed,
+    )
+    from ycnr_tpu.ops.layout import pad_coo
+
+    tu, ti, tr, U0, V0, nu, ni = _setup(seed=5)
+    # a held-out COO for the in-program RMSE
+    su, si, sr = tu[::7], ti[::7], tr[::7]
+    pu, pi, pr, n = pad_coo(su, si, sr, nu, ni, 256)
+    coo = (jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr),
+           jnp.asarray(n))
+    ug = device_bucketed(build_bucketed(tu, ti, tr, nu, ni, 8))
+    ig = device_bucketed(build_bucketed(ti, tu, tr, ni, nu, 8))
+    for algo in ("als", "ials"):
+        st_seq = state_from_numpy(U0, V0)
+        rms_seq = []
+        for _ in range(3):
+            if algo == "als":
+                st_seq = als_epoch_bucketed(st_seq, ug, ig, 0.05)
+            else:
+                st_seq = ials_epoch_bucketed(st_seq, ug, ig, 0.05, 10.0)
+            rms_seq.append(float(rmse_padded_jit(st_seq, *coo[:3],
+                                                 int(n))))
+        st_f = state_from_numpy(U0, V0)
+        if algo == "als":
+            st_f, (rt, rq) = als_epochs_bucketed(st_f, ug, ig, 0.05, 3,
+                                                 coo, coo)
+        else:
+            st_f, (rt, rq) = ials_epochs_bucketed(st_f, ug, ig, 0.05, 10.0,
+                                                  3, coo, coo)
+        np.testing.assert_allclose(np.asarray(st_f.U),
+                                   np.asarray(st_seq.U), rtol=2e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rt), rms_seq, rtol=1e-5)
+        # train_coo == test_coo here, so both RMSE streams must agree
+        np.testing.assert_allclose(np.asarray(rq), np.asarray(rt),
+                                   rtol=1e-6)
+        # train_coo=None path returns an empty second stream
+        st_n = state_from_numpy(U0, V0)
+        if algo == "als":
+            st_n, (rt2, empty) = als_epochs_bucketed(st_n, ug, ig, 0.05, 3,
+                                                     coo, None)
+        else:
+            st_n, (rt2, empty) = ials_epochs_bucketed(st_n, ug, ig, 0.05,
+                                                      10.0, 3, coo, None)
+        assert empty == ()
+        np.testing.assert_allclose(np.asarray(rt2), np.asarray(rt),
+                                   rtol=1e-6)

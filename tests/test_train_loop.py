@@ -64,3 +64,21 @@ def test_train_sharded_both_modes(tmp_path):
     r_one = train(_cfg(tmp_path / "c", shards=1))
     np.testing.assert_allclose(r_gram.rmse_history, r_one.rmse_history,
                                rtol=1e-4)
+
+
+def test_train_fused_epochs_matches_per_epoch(tmp_path):
+    """fused_epochs=2 over 5 epochs (one partial tail block) must reproduce
+    the per-epoch driver's RMSE history and still checkpoint + log."""
+    cfg = _cfg(tmp_path / "seq", epochs=5)
+    res_seq = train(cfg)
+    cfg_f = _cfg(tmp_path / "fused", epochs=5).replace(fused_epochs=2)
+    res_f = train(cfg_f)
+    np.testing.assert_allclose(res_f.rmse_history, res_seq.rmse_history,
+                               rtol=1e-5)
+    records = [json.loads(x) for x in
+               open(os.path.join(res_f.out_dir, "metrics.jsonl"))]
+    assert [r["epoch"] for r in records] == [1, 2, 3, 4, 5]
+    assert all("rmse_train" in r and r.get("fused") in (1, 2)
+               for r in records)
+    assert os.path.exists(os.path.join(res_f.out_dir, "ckpt",
+                                       "manifest.json"))

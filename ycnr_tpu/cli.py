@@ -121,6 +121,11 @@ def _add_train_overrides(p):
     p.add_argument("--ckpt-backend", choices=["npz", "orbax"],
                    help="checkpoint array storage (default npz; orbax = "
                         "JAX-ecosystem TensorStore format)")
+    p.add_argument("--fused-epochs", type=int, metavar="K",
+                   help="fuse K epochs + their RMSE evals into one device "
+                        "program (single-chip ALS/iALS; ~7%% wall saved per "
+                        "epoch at ML-20M; checkpoints/early-stop at block "
+                        "boundaries — prefer K dividing --epochs)")
     p.add_argument("--early-stop", type=int, metavar="PATIENCE",
                    help="stop when held-out RMSE hasn't improved for "
                         "PATIENCE epochs")
@@ -208,6 +213,8 @@ def _build_cfg(args):
                           early_stop_min_delta=args.early_stop_delta)
     if getattr(args, "ckpt_backend", None):
         cfg = cfg.replace(checkpoint_backend=args.ckpt_backend)
+    if getattr(args, "fused_epochs", None):
+        cfg = cfg.replace(fused_epochs=args.fused_epochs)
     if args.out is not None:
         cfg = cfg.replace(out_dir=args.out)
     elif not cfg.out_dir and not (file_cfg and "out_dir" in file_cfg):

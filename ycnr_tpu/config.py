@@ -133,6 +133,14 @@ class RunConfig:
     early_stop_patience: int = 0
     early_stop_min_delta: float = 0.0
     log_train_rmse: bool = True  # per-epoch train RMSE in metrics
+    # >1 fuses that many epochs (plus their RMSE evals) into ONE device
+    # program (models/bucketed_phase.als_epochs_bucketed): saves the
+    # ~30 ms/dispatch host roundtrip — measured 0.2845 -> 0.2641 s/epoch
+    # wall at ML-20M (7%). Single-chip ALS/iALS only; checkpoints, early
+    # stopping, shm publishes, and the iALS hit-rate land at block
+    # boundaries. Prefer a value dividing `epochs` (a partial tail block
+    # compiles a second program — minutes of upload on a remote TPU).
+    fused_epochs: int = 1
     measure_serving: bool = False  # time top-N for all users after training
     # shm segment name to publish factors into after each checkpointed epoch
     # (serving processes attach via serve.ShmRecommender) — reference C6c

@@ -95,3 +95,76 @@ def ials_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
     V = phase_bucketed(state.V, U, item_groups, lam, alpha, GU,
                        gather_bf16=gather_bf16)
     return state._replace(U=U, V=V)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-epoch programs: lax.scan over epochs with the held-out RMSE
+# computed in-program. One dispatch (and one host sync) per n_epochs instead
+# of two per epoch — on this remote-tunnel v5e every synced dispatch pays a
+# ~30 ms host-roundtrip floor (docs/KERNELS.md "Measurement methodology").
+# Measured at ML-20M rank 64 (8 groups, bf16): per-epoch wall incl. the RMSE
+# dispatch 0.2845 s -> fused 0.2641 s/epoch (7.2%). Math is identical to
+# calling *_epoch_bucketed in a Python loop: the scan body IS the
+# single-epoch body, so the RMSE trajectory matches (parity-tested).
+# ---------------------------------------------------------------------------
+
+
+def _epochs_fused(state: MFState, n_epochs: int, epoch_fn, test_coo,
+                  train_coo):
+    """scan epochs; per-epoch outputs = (rmse_test, rmse_train?).
+
+    train_coo None (an empty pytree, part of the trace signature) skips the
+    train-RMSE pass — it gathers factors for every TRAIN rating, the same
+    order of work as a solve phase, so it is strictly opt-in.
+    """
+    from ycnr_tpu.models.base import rmse_padded
+
+    def body(st, _):
+        st = epoch_fn(st)
+        out = (rmse_padded(st, *test_coo),
+               rmse_padded(st, *train_coo) if train_coo is not None else ())
+        return st, out
+
+    return lax.scan(body, state, None, length=n_epochs)
+
+
+@partial(jax.jit, static_argnames=("lam", "n_epochs", "gather_bf16"),
+         donate_argnums=(0,))
+def als_epochs_bucketed(state: MFState, user_groups: BucketedCSR,
+                        item_groups: BucketedCSR, lam: float, n_epochs: int,
+                        test_coo, train_coo=None,
+                        gather_bf16: bool = False):
+    """n_epochs ALS-WR sweeps + per-epoch held-out RMSE in ONE program.
+
+    test_coo/train_coo = (pu, pi, pr, n_real) as in models.base.rmse_padded
+    (pad_coo-padded COO on device). Returns
+    (final_state, (rmse_test[n_epochs], rmse_train[n_epochs] | ())).
+    """
+    def one(st):
+        U = phase_bucketed(st.U, st.V, user_groups, lam,
+                           gather_bf16=gather_bf16)
+        V = phase_bucketed(st.V, U, item_groups, lam,
+                           gather_bf16=gather_bf16)
+        return st._replace(U=U, V=V)
+
+    return _epochs_fused(state, n_epochs, one, test_coo, train_coo)
+
+
+@partial(jax.jit, static_argnames=("lam", "alpha", "n_epochs", "gather_bf16"),
+         donate_argnums=(0,))
+def ials_epochs_bucketed(state: MFState, user_groups: BucketedCSR,
+                         item_groups: BucketedCSR, lam: float, alpha: float,
+                         n_epochs: int, test_coo, train_coo=None,
+                         gather_bf16: bool = False):
+    """n_epochs iALS sweeps + per-epoch held-out RMSE in ONE program."""
+    def one(st):
+        GV = jnp.einsum("nk,nm->km", st.V, st.V,
+                        preferred_element_type=st.V.dtype)
+        U = phase_bucketed(st.U, st.V, user_groups, lam, alpha, GV,
+                           gather_bf16=gather_bf16)
+        GU = jnp.einsum("nk,nm->km", U, U, preferred_element_type=U.dtype)
+        V = phase_bucketed(st.V, U, item_groups, lam, alpha, GU,
+                           gather_bf16=gather_bf16)
+        return st._replace(U=U, V=V)
+
+    return _epochs_fused(state, n_epochs, one, test_coo, train_coo)

@@ -183,8 +183,18 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     )
 
     shm_writer = _shm_writer(cfg, state)
-    for epoch in range(start_epoch, params.epochs):
-        if epoch == start_epoch:
+    if cfg.fused_epochs > 1 and cfg.algorithm in ("als", "ials"):
+        test_coo = (dpu, dpi, dpr, jnp.asarray(n_test))
+        train_coo = ((dqu, dqi, dqr, jnp.asarray(n_train))
+                     if cfg.log_train_rmse else None)
+        state = _fused_epoch_blocks(cfg, ds, params, state, start_epoch,
+                                    history, dul, dil, test_coo, train_coo,
+                                    metrics, shm_writer, out)
+        epochs_done = params.epochs  # fused blocks ran everything
+    else:
+        epochs_done = start_epoch
+    for epoch in range(epochs_done, params.epochs):
+        if epoch == epochs_done:
             # the first step compiles + uploads the epoch program, which can
             # take minutes at scale on a remote-tunnel TPU; say so instead
             # of sitting silent (docs/KERNELS.md "first-epoch wall")
@@ -247,6 +257,79 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         _log_serving_metric(cfg, ds, state, metrics)
     return TrainResult(state=state, dataset=ds, rmse_history=history,
                        out_dir=out)
+
+
+def _fused_epoch_blocks(cfg, ds, params, state, start_epoch, history,
+                        dul, dil, test_coo, train_coo, metrics, shm_writer,
+                        out):
+    """Run epochs in fused blocks of cfg.fused_epochs (single-chip ALS/iALS).
+
+    Each block is ONE device program (models/bucketed_phase.
+    als_epochs_bucketed): k solve sweeps + k RMSE evals, one dispatch, one
+    sync — the per-dispatch host roundtrip is paid once per block instead of
+    twice per epoch. Per-epoch metrics records still come out (epoch_s =
+    block wall / k); checkpoints, shm publishes, the iALS hit-rate, and the
+    early-stop check land at block boundaries. Appends to `history` in
+    place and returns the final state."""
+    from ycnr_tpu.models.bucketed_phase import (
+        als_epochs_bucketed,
+        ials_epochs_bucketed,
+    )
+
+    p = cfg.als if cfg.algorithm == "als" else cfg.ials
+    bf16 = p.gather_dtype == "bfloat16"
+    print(json.dumps({"event": "first_epoch",
+                      "note": f"compiling + uploading fused "
+                              f"{cfg.fused_epochs}-epoch program; later "
+                              f"blocks run at steady speed"}),
+          file=sys.stderr, flush=True)
+    epoch = start_epoch
+    while epoch < params.epochs:
+        k = min(cfg.fused_epochs, params.epochs - epoch)
+        t0 = time.time()
+        if cfg.algorithm == "als":
+            state, (rt, rq) = als_epochs_bucketed(
+                state, dul, dil, cfg.als.lam, k, test_coo, train_coo,
+                gather_bf16=bf16)
+        else:
+            state, (rt, rq) = ials_epochs_bucketed(
+                state, dul, dil, cfg.ials.lam, cfg.ials.alpha, k, test_coo,
+                train_coo, gather_bf16=bf16)
+        device_sync(state.U)
+        per_epoch_s = (time.time() - t0) / k
+        rt = np.asarray(rt)
+        rq = np.asarray(rq) if train_coo is not None else None
+        for j in range(k):
+            history.append(float(rt[j]))
+            record = dict(epoch=epoch + j + 1,
+                          rmse_test=round(float(rt[j]), 6),
+                          epoch_s=round(per_epoch_s, 4), algo=cfg.algorithm,
+                          fused=k)
+            if rq is not None:
+                record["rmse_train"] = round(float(rq[j]), 6)
+            if cfg.algorithm == "ials" and j == k - 1:
+                # only the block's final state exists on host; earlier
+                # epochs' hit-rates are not recoverable from a fused block
+                from ycnr_tpu.eval.ranking import hit_rate_at_n
+
+                record["hit_rate"] = round(hit_rate_at_n(
+                    state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
+                    n=cfg.topn, max_users=512), 4)
+            metrics.log(**record)
+        epoch += k
+        stop = _early_stop(cfg, history, metrics, epoch)
+        if out and cfg.checkpoint_every and (
+                epoch % cfg.checkpoint_every == 0
+                or epoch == params.epochs or stop):
+            save_checkpoint(os.path.join(out, "ckpt"), state, epoch,
+                            config=config_dict(cfg),
+                            extra=_ckpt_extra(history),
+                            backend=cfg.checkpoint_backend)
+        if shm_writer is not None:
+            shm_writer.publish(state, epoch)
+        if stop:
+            break
+    return state
 
 
 def _time_serving(call):
