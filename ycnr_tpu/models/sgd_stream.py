@@ -101,26 +101,35 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     reproduces the plain user-major stream.
     """
     n = len(train_r)
+    if n >= 2**31 - 1:
+        raise ValueError("stream prep indexes positions in int32")
     nb = -(-n // batch_size)
     n_pad = nb * batch_size
-    u = np.full(n_pad, n_users, np.int64)
-    i = np.full(n_pad, n_items, np.int64)
+    # every host stage here is page-fault/bandwidth bound on big datasets
+    # (flat profile, docs/KERNELS.md "Host-side build notes"), so indices
+    # and ids are int32 throughout — same values, half the bytes (measured
+    # 65 -> ~40 s at ML-20M on this host)
+    u = np.full(n_pad, n_users, np.int32)
+    i = np.full(n_pad, n_items, np.int32)
     r = np.zeros(n_pad, np.float32)
     u[:n], i[:n], r[:n] = train_u, train_i, train_r
     rng = np.random.default_rng(seed)
-    shuf = rng.permutation(n_pad)  # shuffles items within users after sort
+    # permute an int32 iota: identical sequence of swaps (and thus the
+    # identical permutation) as permutation(n_pad), minus the int64 blob
+    shuf = rng.permutation(np.arange(n_pad, dtype=np.int32))
     order = shuf[np.argsort(u[shuf], kind="stable")]
     us = u[order]
     R = min(16, nb) if passes is None else max(1, int(passes))
     if R > 1:
         # position within each user's (shuffled) run -> pass id; stable
         # re-sort by (pass, user) keeps user-major order within each pass
-        run_starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
-        run_id = np.zeros(n_pad, np.int64)
+        run_starts = np.flatnonzero(
+            np.r_[True, us[1:] != us[:-1]]).astype(np.int32)
+        run_id = np.zeros(n_pad, np.int32)
         run_id[run_starts[1:]] = 1
-        run_id = np.cumsum(run_id)
-        pos = np.arange(n_pad) - run_starts[run_id]
-        p = pos % R
+        run_id = np.cumsum(run_id, dtype=np.int32)
+        pos = np.arange(n_pad, dtype=np.int32) - run_starts[run_id]
+        p = (pos % R).astype(np.int8 if R <= 127 else np.int32)
         # order is already user-sorted, so ONE stable sort by pass keeps
         # user-major order within each pass (a 3-key lexsort costs ~2x)
         order = order[np.argsort(p, kind="stable")]
@@ -135,7 +144,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
             parts.append(ch)
             short = (-len(ch)) % batch_size
             if short:
-                parts.append(np.full(short, -1, np.int64))
+                parts.append(np.full(short, -1, np.int32))
         order = np.concatenate(parts)
         nb = len(order) // batch_size
         n_pad = nb * batch_size
@@ -148,12 +157,18 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     us = take(u, n_users)
 
     def _run_multiplicity(keys):
-        """count of equal consecutive keys, broadcast per element (O(n))."""
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        lens = np.diff(np.r_[starts, len(keys)])
+        """count of equal consecutive keys within each batch, broadcast per
+        element (O(n)). Runs break at batch boundaries directly instead of
+        via a composite (batch, key) int64 key — three full-length int64
+        temporaries fewer on this page-fault-bound host."""
+        brk = np.empty(len(keys), np.bool_)
+        brk[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=brk[1:])
+        brk[::batch_size] = True
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(keys)]).astype(np.int32)
         return np.repeat(lens, lens)
 
-    batch_of = np.repeat(np.arange(nb, dtype=np.int64), batch_size)
     # host weight dtype: f64 only when training in f64 (oracle parity);
     # f32 runs skip ~1 GB of f64 temporaries at Netflix scale
     wdt = np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32
@@ -161,8 +176,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     # stream (user runs are contiguous within a batch: passes are padded
     # to batch boundaries above)
     if grad_mode in ("mean", "capped"):
-        wu = wdt(1.0) / _run_multiplicity(batch_of * (n_users + 2)
-                                          + us).astype(wdt)
+        wu = wdt(1.0) / _run_multiplicity(us).astype(wdt)
     # re-sort each batch's rows by item id (keeps the item-side segment
     # sum on the sorted fast path with no runtime permute)
     isort = np.argsort(take(i, n_items).reshape(nb, batch_size), axis=1,
@@ -180,7 +194,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         raise ValueError(f"tile override {tile} < required {need}")
     tile = min(tile, n_users + 1)
     u_lo = np.minimum(first, n_users + 1 - tile).astype(np.int32)
-    ul = (us - np.repeat(u_lo.astype(np.int64), batch_size)).astype(np.int32)
+    ul = us - np.repeat(u_lo, batch_size)  # int32 - int32
 
     m = (is_ < n_items).astype(wdt)
     if grad_mode in ("mean", "capped"):
@@ -195,8 +209,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         wu_m = wu  # 1/mult from the pre-sort pass
         wu = (np.minimum(wdt(1.0) / wu_m, t) * wu_m).reshape(
             nb, batch_size)[np.arange(nb)[:, None], isort].reshape(-1) * m
-        wi_m = wdt(1.0) / _run_multiplicity(batch_of * (n_items + 2)
-                                            + is_).astype(wdt)
+        wi_m = wdt(1.0) / _run_multiplicity(is_).astype(wdt)
         wi = np.minimum(wdt(1.0) / wi_m, t) * wi_m * m
     else:
         wu = wi = m
