@@ -186,17 +186,39 @@ def _topn_blocks(state: MFState, layout: BlockedCSR, n: int,
 
 
 def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10,
-                  rated_bits=None):
+                  rated_bits=None, method: str = "exact"):
     """Top-N for every user with >=1 training rating.
 
     Returns (user_ids [m], item_ids [m, n], scores [m, n]) as numpy.
     rated_bits: packed mask from ``build_rated_bits(user_layout, n_items)``;
     built automatically when the layout is host-resident (numpy). Pass it
     explicitly for repeated serving so the pack happens once.
+
+    method: "exact" = the XLA scorer (f32 end to end). "fused" = the Pallas
+    fused scorer (``ops.pallas_topn``, 2.6-4x on v5e at ML-20M): segment
+    choice exact from f32 maxima, within-segment ordering and returned scores
+    at bfloat16 precision (~0.4% relative; measured 99.9% top-10 id overlap).
+    "fused32" keeps the score buffer f32 (bf16 matmul inputs only). Both
+    fused modes fall back to "exact" when the catalog is too small for the
+    two-level select; on CPU they run the kernel in interpreter mode (tests).
     """
     n = min(int(n), state.n_items)  # top_k crashes past the catalog size
     if rated_bits is None and isinstance(user_layout.other_idx, np.ndarray):
         rated_bits = build_rated_bits(user_layout, state.n_items)
+    if method != "exact" and rated_bits is not None:
+        from ycnr_tpu.ops.pallas_topn import fused_supported, \
+            fused_topn_blocks
+        if fused_supported(state.n_items, n):
+            ids, sc = fused_topn_blocks(
+                state, jnp.asarray(user_layout.entity_ids),
+                jnp.asarray(rated_bits), n,
+                score_bf16=(method != "fused32"),
+                interpret=(jax.default_backend() == "cpu"))
+            eids = np.asarray(user_layout.entity_ids).reshape(-1)
+            ids = np.asarray(ids).reshape(-1, n)
+            sc = np.asarray(sc).reshape(-1, n)
+            real = eids < state.n_users
+            return eids[real], ids[real], sc[real]
     ids, sc = _topn_blocks(state, user_layout, n, rated_bits)
     eids = np.asarray(user_layout.entity_ids).reshape(-1)
     ids = np.asarray(ids).reshape(-1, n)
