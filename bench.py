@@ -346,7 +346,21 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         sync(sc)
         dt = time.time() - t0
         log(f"top-10 on device for {n_served:,} users in {dt:.2f}s "
-            f"= {n_served / dt:,.0f} recs/s (device compute)")
+            f"= {n_served / dt:,.0f} recs/s (device compute, exact)")
+        from ycnr_tpu.ops.pallas_topn import (
+            fused_supported,
+            fused_topn_blocks,
+        )
+
+        if fused_supported(n_items, 10):
+            idf, vf = fused_topn_blocks(state, dlay.entity_ids, bits, 10)
+            sync(vf)
+            t0 = time.time()
+            idf, vf = fused_topn_blocks(state, dlay.entity_ids, bits, 10)
+            sync(vf)
+            dtf = time.time() - t0
+            log(f"top-10 fused Pallas scorer in {dtf:.2f}s "
+                f"= {n_served / dtf:,.0f} recs/s ({dt / dtf:.2f}x exact)")
     return epoch_s
 
 

@@ -354,7 +354,8 @@ def cmd_recommend(args):
                 "wrong store for these factors?")
         lay = build_blocked_csr(u, i, r, state.n_users, state.n_items,
                                 rank_hint=state.rank)
-        users, items, scores = recommend_all(state, lay, n=args.n)
+        users, items, scores = recommend_all(state, lay, n=args.n,
+                                             method=args.scorer)
         if maps is not None:
             users = maps[0][users]
         out = open(args.save, "w") if args.save else sys.stdout
@@ -609,6 +610,12 @@ def main(argv=None):
     p.add_argument("--save", metavar="FILE",
                    help="with --all: write the JSONL here and print a "
                         "summary line instead")
+    p.add_argument("--scorer", choices=["exact", "fused", "fused32"],
+                   default="exact",
+                   help="with --all: serving scorer. fused = Pallas fused "
+                        "kernel (2.6x on v5e, bf16 score precision); "
+                        "fused32 = fused with f32 scores (2.1x, measured "
+                        "identical ids/scores to exact at ML-20M)")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--platform")
     p.add_argument("--lam", type=float,

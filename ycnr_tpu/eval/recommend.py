@@ -213,7 +213,7 @@ def recommend_all(state: MFState, user_layout: BlockedCSR, n: int = 10,
                 state, jnp.asarray(user_layout.entity_ids),
                 jnp.asarray(rated_bits), n,
                 score_bf16=(method != "fused32"),
-                interpret=(jax.default_backend() == "cpu"))
+                interpret=None)
             eids = np.asarray(user_layout.entity_ids).reshape(-1)
             ids = np.asarray(ids).reshape(-1, n)
             sc = np.asarray(sc).reshape(-1, n)

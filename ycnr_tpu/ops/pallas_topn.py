@@ -149,7 +149,7 @@ def fused_supported(n_items: int, n: int, sc: int = 32) -> bool:
          static_argnames=("n", "sc", "tu", "score_bf16", "interpret"))
 def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
                       tu: int = 256, score_bf16: bool = True,
-                      interpret: bool = False):
+                      interpret=None):
     """Masked top-n over every block of a serving layout, fused scorer.
 
     Drop-in for ``eval.recommend._topn_blocks``'s fast path: same inputs
@@ -158,6 +158,8 @@ def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
     [NB, U_B, n] f32). Selection: exact top-n *segments* from f32 segment
     maxima, then top-n within the n*128 candidates at score-buffer precision.
     """
+    if interpret is None:  # no Mosaic off-TPU: run the kernel interpreted
+        interpret = jax.default_backend() != "tpu"
     w = rated_bits.shape[-1]
     m = w * 32
     s = m // SEG_LEN
