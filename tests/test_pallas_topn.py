@@ -132,3 +132,93 @@ def test_chunk_perm_is_bijection():
         c, jj = j // ic, j % ic
         assert np.array_equal(p >> 5, c * wc + (jj % wc))
         assert np.array_equal(p & 31, jj // wc)
+
+
+def _int_state_arrays(seed, n_users, n_items, k=8):
+    rng = np.random.default_rng(seed)
+    U0 = rng.integers(-2, 3, (n_users, k)).astype(np.float64)
+    V0 = rng.integers(-2, 3, (n_items, k)).astype(np.float64)
+    return U0, V0
+
+
+def test_sharded_fused_matches_sharded_exact():
+    """User-sharded mesh serving: fused Pallas scorer per shard must return
+    the same top-n value sequences as the exact sharded path (integer
+    factors -> scores exact in bf16; ids pinned by exact rescoring)."""
+    from ycnr_tpu.models.base import state_from_numpy
+    from ycnr_tpu.parallel import (
+        build_sharded_data,
+        make_mesh,
+        scatter_state,
+        sharded_recommend_all,
+    )
+
+    rng = np.random.default_rng(11)
+    n_users, n_items, nnz, k, n = 300, 2000, 6000, 8, 7
+    u = rng.integers(0, n_users, nnz).astype(np.int32)
+    i = rng.integers(0, n_items, nnz).astype(np.int32)
+    pairs = np.unique(np.stack([u, i], 1), axis=0)
+    u, i = pairs[:, 0], pairs[:, 1]
+    r = rng.integers(1, 6, len(u)).astype(np.float32)
+    U0, V0 = _int_state_arrays(11, n_users, n_items, k)
+    mesh = make_mesh(4)
+    data, meta = build_sharded_data(u, i, r, n_users, n_items, 4,
+                                    chunk_len=8, block_chunks=32,
+                                    dtype=jnp.float32)
+    bits = build_rated_bits(data.user_layout, n_items)
+    st = scatter_state(state_from_numpy(U0, V0, dtype=jnp.float32),
+                       meta, mesh)
+    eu, ei, es = sharded_recommend_all(mesh, st, data, meta, n=n,
+                                       rated_bits=bits)
+    fu, fi, fs = sharded_recommend_all(mesh, st, data, meta, n=n,
+                                       rated_bits=bits, method="fused")
+    oe, of = np.argsort(eu), np.argsort(fu)
+    np.testing.assert_array_equal(eu[oe], fu[of])
+    np.testing.assert_array_equal(es[oe], fs[of])
+    # id validity by exact rescoring (ties may permute between paths)
+    true = np.einsum("uk,unk->un", U0[fu], V0[fi])
+    live = fs > -1e37
+    np.testing.assert_array_equal(true[live], fs[live])
+    rated = {(int(a), int(b)) for a, b in zip(u, i)}
+    assert not any((int(a), int(b)) in rated
+                   for a, row, lv in zip(fu, fi, live)
+                   for b, ok in zip(row, lv) if ok)
+
+
+def test_dual_fused_matches_dual_exact():
+    """Item-sharded (dual) mesh serving with the fused scorer in cat space."""
+    from ycnr_tpu.models.base import state_from_numpy
+    from ycnr_tpu.parallel.dual import (
+        build_dual_sharded_data,
+        dual_recommend_all,
+        dual_scatter_state,
+    )
+    from ycnr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    n_users, n_items, nnz, k, n = 200, 3000, 5000, 8, 6
+    u = rng.integers(0, n_users, nnz).astype(np.int32)
+    i = rng.integers(0, n_items, nnz).astype(np.int32)
+    pairs = np.unique(np.stack([u, i], 1), axis=0)
+    u, i = pairs[:, 0], pairs[:, 1]
+    r = rng.integers(1, 6, len(u)).astype(np.float32)
+    U0, V0 = _int_state_arrays(13, n_users, n_items, k)
+    mesh = make_mesh(4)
+    data, meta = build_dual_sharded_data(u, i, r, n_users, n_items, 4,
+                                         chunk_len=8, block_chunks=32,
+                                         dtype=jnp.float32, mesh=mesh,
+                                         host_user_layout=True)
+    st = dual_scatter_state(state_from_numpy(U0, V0, dtype=jnp.float32),
+                            meta, mesh)
+    eu, ei, es = dual_recommend_all(mesh, st, data, meta, n=n)
+    fu, fi, fs = dual_recommend_all(mesh, st, data, meta, n=n,
+                                    method="fused")
+    oe, of = np.argsort(eu), np.argsort(fu)
+    np.testing.assert_array_equal(eu[oe], fu[of])
+    np.testing.assert_array_equal(es[oe], fs[of])
+    live = fs > -1e37
+    in_cat = fi < n_items  # clamped pad picks only ever ride NEG_INF vals
+    assert np.all(in_cat[live])
+    true = np.einsum("uk,unk->un", U0[fu], np.where(
+        in_cat[..., None], V0[np.minimum(fi, n_items - 1)], 0.0))
+    np.testing.assert_array_equal(true[live], fs[live])

@@ -114,6 +114,11 @@ def _add_train_overrides(p):
     p.add_argument("--measure-serving", action="store_true",
                    help="time top-N for all users after training and log "
                         "the recs/s metric (BASELINE.json:2)")
+    p.add_argument("--train-scorer", dest="train_scorer",
+                   choices=["exact", "fused", "fused32"],
+                   help="serving scorer for --measure-serving (fused = "
+                        "Pallas kernel, 2.6x on v5e; see recommend "
+                        "--scorer)")
     p.add_argument("--publish-shm", metavar="NAME",
                    help="publish factors into shared memory after each "
                         "epoch so serving processes hot-reload them "
@@ -206,6 +211,8 @@ def _build_cfg(args):
                                                    seed=args.seed))
     if getattr(args, "measure_serving", False):
         cfg = cfg.replace(measure_serving=True)
+    if getattr(args, "train_scorer", None):
+        cfg = cfg.replace(scorer=args.train_scorer)
     if getattr(args, "publish_shm", None):
         cfg = cfg.replace(publish_shm=args.publish_shm)
     if getattr(args, "early_stop", None):

@@ -142,6 +142,10 @@ class RunConfig:
     # compiles a second program — minutes of upload on a remote TPU).
     fused_epochs: int = 1
     measure_serving: bool = False  # time top-N for all users after training
+    # serving scorer for measure_serving / offline top-N: exact | fused |
+    # fused32 (fused = Pallas kernel, ops/pallas_topn.py; falls back to
+    # exact when the catalog is too small for the two-level select)
+    scorer: str = "exact"
     # shm segment name to publish factors into after each checkpointed epoch
     # (serving processes attach via serve.ShmRecommender) — reference C6c
     publish_shm: Optional[str] = None

@@ -145,18 +145,17 @@ def fused_supported(n_items: int, n: int, sc: int = 32) -> bool:
     return s > n and n <= 64
 
 
-@partial(jax.jit,
-         static_argnames=("n", "sc", "tu", "score_bf16", "interpret"))
-def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
-                      tu: int = 256, score_bf16: bool = True,
-                      interpret=None):
-    """Masked top-n over every block of a serving layout, fused scorer.
+def fused_topn_core(U, V, bu, bi, mu, entity_ids, rated_bits, n: int, *,
+                    sc: int = 32, tu: int = 256, score_bf16: bool = True,
+                    interpret=None):
+    """Traced core of the fused scorer (no jit): masked top-n over every
+    block of a serving layout. Callable from inside ``shard_map`` with a
+    local U/bu shard and a replicated (or all-gathered cat-space) V/bi —
+    ``entity_ids`` index into U exactly as in ``eval.recommend.topn_block``.
 
-    Drop-in for ``eval.recommend._topn_blocks``'s fast path: same inputs
-    (``entity_ids`` [NB, U_B] and packed ``rated_bits`` [NB, U_B, W] from
-    ``build_rated_bits``), same outputs (ids [NB, U_B, n] int32, vals
-    [NB, U_B, n] f32). Selection: exact top-n *segments* from f32 segment
-    maxima, then top-n within the n*128 candidates at score-buffer precision.
+    entity_ids [NB, U_B] int32, rated_bits [NB, U_B, W] uint32 (from
+    ``build_rated_bits``) -> (ids [NB, U_B, n] int32 item/column indices,
+    vals [NB, U_B, n] f32).
     """
     if interpret is None:  # no Mosaic off-TPU: run the kernel interpreted
         interpret = jax.default_backend() != "tpu"
@@ -170,14 +169,14 @@ def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
     s_pad = -(-s // sc) * sc
     m_pad = s_pad * SEG_LEN
     w_pad = s_pad * 4
-    k = state.U.shape[1]
+    k = U.shape[1]
     perm = jnp.asarray(_chunk_perm(m_pad, sc * SEG_LEN))
-    ub16 = state.U.astype(jnp.bfloat16)
+    ub16 = U.astype(jnp.bfloat16)
     vp = jnp.zeros((m_pad, k), jnp.bfloat16)
-    vp = vp.at[: state.V.shape[0]].set(state.V.astype(jnp.bfloat16))
+    vp = vp.at[: V.shape[0]].set(V.astype(jnp.bfloat16))
     vp = vp[perm]  # kernel slot j scores catalog item perm[j]
     bip = jnp.zeros((1, m_pad), jnp.float32)
-    bip = bip.at[0, : state.bi.shape[0]].set(state.bi)
+    bip = bip.at[0, : bi.shape[0]].set(bi)
     bip = bip[:, perm]
     bits_i = lax.bitcast_convert_type(rated_bits, jnp.int32)
     if w_pad > w:  # pad words are all-ones: every pad column stays masked
@@ -201,9 +200,30 @@ def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
         v, loc = lax.top_k(cand.reshape(-1, n * SEG_LEN), n)
         seg_sel = jnp.take_along_axis(top_seg, loc // SEG_LEN, axis=1)
         slots = seg_sel * SEG_LEN + (loc % SEG_LEN)
-        items = perm[slots]  # decode kernel slots back to catalog items
-        vals = v + (state.mu + state.bu[eids])[:, None]  # exact f32 rebias
+        # decode kernel slots back to catalog items; pad-segment picks (only
+        # possible with NEG_INF values, users with < n unrated items) clamp
+        # into the bitmask width so callers' id lookups never go OOB
+        items = jnp.minimum(perm[slots], m - 1)
+        vals = v + (mu + bu[eids])[:, None]  # exact f32 rebias
         return None, (items.astype(jnp.int32), vals)
 
     _, (ids, vals) = lax.scan(body, None, (entity_ids, bits_i))
     return ids, vals
+
+
+@partial(jax.jit,
+         static_argnames=("n", "sc", "tu", "score_bf16", "interpret"))
+def fused_topn_blocks(state, entity_ids, rated_bits, n: int, *, sc: int = 32,
+                      tu: int = 256, score_bf16: bool = True,
+                      interpret=None):
+    """Masked top-n over every block of a serving layout, fused scorer.
+
+    Drop-in for ``eval.recommend._topn_blocks``'s fast path: same inputs
+    (``entity_ids`` [NB, U_B] and packed ``rated_bits`` [NB, U_B, W] from
+    ``build_rated_bits``), same outputs (ids [NB, U_B, n] int32, vals
+    [NB, U_B, n] f32). Selection: exact top-n *segments* from f32 segment
+    maxima, then top-n within the n*128 candidates at score-buffer precision.
+    """
+    return fused_topn_core(state.U, state.V, state.bu, state.bi, state.mu,
+                           entity_ids, rated_bits, n, sc=sc, tu=tu,
+                           score_bf16=score_bf16, interpret=interpret)

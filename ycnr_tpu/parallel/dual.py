@@ -318,10 +318,11 @@ def dual_rated_bits(meta: DualMeta) -> np.ndarray:
 
 
 @lru_cache(maxsize=16)
-def _dual_topn_fn(mesh: Mesh, n: int):
+def _dual_topn_fn(mesh: Mesh, n: int, method: str = "exact"):
     """Top-n on the mesh with V sharded: all-gather V into cat space once
     per call, score each shard's local users against it, mask with the
-    cat-space rated bits, exact segment top-k (eval.recommend fast path)."""
+    cat-space rated bits, exact segment top-k (eval.recommend fast path) or
+    the fused Pallas scorer (ops.pallas_topn) per device."""
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
     def local(U, V, mu, lay_arrays, bits):
@@ -329,8 +330,15 @@ def _dual_topn_fn(mesh: Mesh, n: int):
 
         V_cat = lax.all_gather(V[0], AXIS, axis=0, tiled=True)
         bi = jnp.zeros(V_cat.shape[0], V_cat.dtype)
-        Vp, bip = _pad_items(V_cat, bi, bits.shape[-1])
         bu = jnp.zeros(U.shape[1], U.dtype)
+        if method != "exact":
+            from ycnr_tpu.ops.pallas_topn import fused_topn_core
+
+            ids, sc = fused_topn_core(
+                U[0], V_cat, bu, bi, mu, lay_arrays.entity_ids[0], bits[0],
+                n, score_bf16=(method != "fused32"))
+            return ids[None], sc[None]
+        Vp, bip = _pad_items(V_cat, bi, bits.shape[-1])
 
         def body(_, xs):
             blk = BlockData(*xs[:5])
@@ -344,16 +352,21 @@ def _dual_topn_fn(mesh: Mesh, n: int):
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), lay_spec, P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS))))
+        out_specs=(P(AXIS), P(AXIS)),
+        # pallas_call out_shapes carry no vma (see shard._topn_fn)
+        check_vma=(method == "exact")))
 
 
 def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,
-                       meta: DualMeta, n: int = 10, rated_bits=None):
+                       meta: DualMeta, n: int = 10, rated_bits=None,
+                       method: str = "exact"):
     """Top-N for every rated user ON the mesh in dual (item-sharded) mode.
 
     Returns (user_ids, item_ids [m, n], scores [m, n]) as numpy in GLOBAL
     ids. rated_bits: device-put dual_rated_bits(meta) for repeated serving;
-    built (and left unsharded) automatically when None.
+    built (and left unsharded) automatically when None. method: "fused"/
+    "fused32" run the Pallas fused scorer per device (see
+    eval.recommend.recommend_all); falls back to exact on tiny catalogs.
     """
     if meta.user_layout_host is None:
         # needed below for entity ids even when rated_bits is prebuilt
@@ -361,8 +374,14 @@ def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,
     if rated_bits is None:
         rated_bits = jax.device_put(dual_rated_bits(meta),
                                     NamedSharding(mesh, P(AXIS)))
-    ids, sc = _dual_topn_fn(mesh, n)(st.U, st.V, st.mu, data.user_layout,
-                                     rated_bits)
+    if method != "exact":
+        from ycnr_tpu.ops.pallas_topn import fused_supported
+
+        # cat space: the scored width is the bitmask width, not n_items
+        if not fused_supported(rated_bits.shape[-1] * 32 - 1, n):
+            method = "exact"
+    ids, sc = _dual_topn_fn(mesh, n, method)(st.U, st.V, st.mu,
+                                             data.user_layout, rated_bits)
     from ycnr_tpu.parallel.shard import host_fetch
 
     ids = host_fetch(ids)  # [D, NB, U_B, n] item-cat indices

@@ -567,12 +567,22 @@ def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
 
 
 @lru_cache(maxsize=16)
-def _topn_fn(mesh: Mesh, n: int, with_bits: bool):
+def _topn_fn(mesh: Mesh, n: int, with_bits: bool, method: str = "exact"):
     lay_spec = BlockedCSR(*(P(AXIS) for _ in BlockedCSR._fields))
 
     def local(U, bu, V, bi, mu, lay_arrays, bits):
         from ycnr_tpu.eval.recommend import _pad_items, topn_block
         from ycnr_tpu.ops.gram import BlockData as BD
+
+        if with_bits and method != "exact":
+            # fused Pallas scorer per device shard: each device runs the
+            # kernel over its local blocks against the replicated V
+            from ycnr_tpu.ops.pallas_topn import fused_topn_core
+
+            ids, sc = fused_topn_core(
+                U[0], V, bu[0], bi, mu, lay_arrays.entity_ids[0], bits[0],
+                n, score_bf16=(method != "fused32"))
+            return ids[None], sc[None]
 
         if with_bits:  # align scores to the bitmask width (see _topn_blocks)
             V, bi = _pad_items(V, bi, bits.shape[-1])
@@ -593,11 +603,15 @@ def _topn_fn(mesh: Mesh, n: int, with_bits: bool):
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P(), P(), lay_spec,
                   P(AXIS) if with_bits else P()),
-        out_specs=(P(AXIS), P(AXIS))))
+        out_specs=(P(AXIS), P(AXIS)),
+        # pallas_call out_shapes carry no vma; the fused kernel is purely
+        # per-device so the varying-across-mesh check adds nothing here
+        check_vma=(method == "exact")))
 
 
 def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
-                          meta: ShardedMeta, n: int = 10, rated_bits=None):
+                          meta: ShardedMeta, n: int = 10, rated_bits=None,
+                          method: str = "exact"):
     """Top-N for every rated user, computed ON the mesh: each device scores
     its own user shard against the replicated V and masks with its local
     layout (BASELINE config 5: 'full top-N serving over 8-chip mesh').
@@ -607,13 +621,23 @@ def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
     layout (before device_put), sharded like the layout. Selects the fused
     mask + segment-top-k fast path; None keeps the scatter reference path.
 
+    method: as in ``eval.recommend.recommend_all`` — "fused"/"fused32" run
+    the Pallas fused scorer on every device shard (requires rated_bits and
+    a catalog large enough for the two-level select; falls back to exact
+    otherwise).
+
     Returns (user_ids, item_ids [m, n], scores [m, n]) as numpy in GLOBAL
     user ids.
     """
     with_bits = rated_bits is not None
+    if method != "exact":
+        from ycnr_tpu.ops.pallas_topn import fused_supported
+
+        if not (with_bits and fused_supported(meta.n_items, n)):
+            method = "exact"
     bits_arg = rated_bits if with_bits else jnp.zeros((), jnp.uint32)
-    ids, sc = _topn_fn(mesh, n, with_bits)(st.U, st.bu, st.V, st.bi, st.mu,
-                                           data.user_layout, bits_arg)
+    ids, sc = _topn_fn(mesh, n, with_bits, method)(
+        st.U, st.bu, st.V, st.bi, st.mu, data.user_layout, bits_arg)
     ids = host_fetch(ids)  # [D, NB, U_B, n]
     sc = host_fetch(sc)
     eids_local = host_fetch(data.user_layout.entity_ids)  # [D, NB, U_B]

@@ -350,15 +350,25 @@ def _log_serving_metric(cfg, ds, state, metrics, **extra):
     'top-10 recs/sec' metric), logged as the run's final record."""
     from ycnr_tpu.eval.recommend import _topn_blocks, build_rated_bits
     from ycnr_tpu.models.base import device_layout
+    from ycnr_tpu.ops.pallas_topn import fused_supported, fused_topn_blocks
 
     dlay = device_layout(ds.user_layout, state.U.dtype)
     bits = jnp.asarray(build_rated_bits(ds.user_layout, ds.n_items))
     n_served = int((np.asarray(ds.user_layout.entity_ids)
                     < ds.n_users).sum())
-    dt = _time_serving(lambda: _topn_blocks(state, dlay, cfg.topn, bits)[1])
+    scorer = cfg.scorer
+    if scorer != "exact" and not fused_supported(ds.n_items, cfg.topn):
+        scorer = "exact"
+    if scorer != "exact":
+        dt = _time_serving(lambda: fused_topn_blocks(
+            state, dlay.entity_ids, bits, cfg.topn,
+            score_bf16=(scorer != "fused32"))[1])
+    else:
+        dt = _time_serving(
+            lambda: _topn_blocks(state, dlay, cfg.topn, bits)[1])
     metrics.log(event="serving", users=n_served, topn=cfg.topn,
-                serve_s=round(dt, 4), recs_per_s=round(n_served / dt, 1),
-                **extra)
+                scorer=scorer, serve_s=round(dt, 4),
+                recs_per_s=round(n_served / dt, 1), **extra)
 
 
 def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
@@ -487,12 +497,17 @@ def _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics):
                           NamedSharding(mesh, P(AXIS)))
     n_served = int((np.asarray(meta.user_layout_host.entity_ids)
                     < meta.upd).sum())
-    fn = _topn_fn(mesh, cfg.topn, True)
+    from ycnr_tpu.ops.pallas_topn import fused_supported
+
+    scorer = cfg.scorer
+    if scorer != "exact" and not fused_supported(ds.n_items, cfg.topn):
+        scorer = "exact"
+    fn = _topn_fn(mesh, cfg.topn, True, scorer)
     dt = _time_serving(lambda: fn(st.U, st.bu, st.V, st.bi, st.mu,
                                   data.user_layout, bits)[1])
     metrics.log(event="serving", users=n_served, topn=cfg.topn,
-                shards=meta.n_shards, mode="mesh", serve_s=round(dt, 4),
-                recs_per_s=round(n_served / dt, 1))
+                shards=meta.n_shards, mode="mesh", scorer=scorer,
+                serve_s=round(dt, 4), recs_per_s=round(n_served / dt, 1))
 
 
 def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
@@ -569,12 +584,18 @@ def _train_dual(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                               NamedSharding(mesh, P(AXIS)))
         n_served = int((np.asarray(meta.user_layout_host.entity_ids)
                         < meta.upd).sum())
-        fn = _dual_topn_fn(mesh, cfg.topn)
+        from ycnr_tpu.ops.pallas_topn import fused_supported
+
+        scorer = cfg.scorer
+        if scorer != "exact" and not fused_supported(
+                bits.shape[-1] * 32 - 1, cfg.topn):  # cat-space width
+            scorer = "exact"
+        fn = _dual_topn_fn(mesh, cfg.topn, scorer)
         dt = _time_serving(lambda: fn(st.U, st.V, st.mu,
                                       data.user_layout, bits)[1])
         metrics.log(event="serving", users=n_served, topn=cfg.topn,
                     shards=meta.n_shards, mode="mesh_item_sharded",
-                    serve_s=round(dt, 4),
+                    scorer=scorer, serve_s=round(dt, 4),
                     recs_per_s=round(n_served / dt, 1))
     return TrainResult(state=gstate, dataset=ds,
                        rmse_history=history, out_dir=out)
