@@ -176,3 +176,42 @@ def test_early_stop_window_spans_resume(tmp_path):
     assert len(res2.rmse_history) < 6 + 14
     assert res2.rmse_history[:6] == [round(x, 6)
                                      for x in res1.rmse_history]
+
+
+def test_precompute_all_fills_cache():
+    """precompute_all: one bulk pass caches every rated user's list; a
+    subsequent recommend() serves from cache (no scorer call), respects
+    pending updates folded in by the pre-pass compact, and a state swap
+    invalidates the lot."""
+    n_users, n_items = 40, 2000  # catalog large enough for the fused path
+    u, i, r = synthetic_ratings(n_users, n_items, 800, true_rank=3, seed=4)
+    state = init_state(n_users, n_items, 5, seed=0)
+    rec = Recommender(state, u, i, train_r=r, compact_threshold=10**9)
+    # a pending (uncompacted) online update must be honored by precompute
+    pre = np.asarray(rec.recommend(7, 5))
+    rec.add_ratings(7, pre[:1], [5.0], lam=0.05)
+    assert rec.pending_count() > 0
+
+    count = rec.precompute_all(n=5)
+    assert count == len(np.unique(u))
+    assert rec.pending_count() == 0  # compacted first
+
+    # recommend() must now be a pure cache hit: poison the scorer
+    import ycnr_tpu.serve.engine as eng
+
+    def boom(*a, **kw):
+        raise AssertionError("scorer called despite precompute")
+
+    orig = eng.recommend_users
+    eng.recommend_users = boom
+    try:
+        got = np.asarray(rec.recommend(7, 5))
+        assert int(pre[0]) not in got.tolist()  # pending update respected
+        for uid in np.unique(u)[:10]:
+            rec.recommend(int(uid), 5)
+    finally:
+        eng.recommend_users = orig
+
+    # a factor swap flushes the precomputed entries
+    rec.update_state(init_state(n_users, n_items, 5, seed=1))
+    assert rec.cache.get((7, 5)) is None

