@@ -1,0 +1,94 @@
+"""Hyperparameter sweep (train/tune.py + CLI `tune`): the whole grid runs
+inside ONE compiled device program, so each config's trajectory must match a
+standalone train() run of the same (lam, seed) — same ops, same order."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from ycnr_tpu import get_preset
+from ycnr_tpu.cli import main
+from ycnr_tpu.train.loop import train
+from ycnr_tpu.train.tune import tune
+
+
+def _cfg(algo="als", **data_kw):
+    base = {"als": "ml100k-als", "ials": "ml20m-ials"}[algo]
+    cfg = get_preset(base)
+    dkw = dict(source="synthetic", n_users=150, n_items=300,
+               n_ratings=6000, chunk_len=16)
+    dkw.update(data_kw)
+    return dataclasses.replace(
+        cfg, out_dir=None,
+        data=dataclasses.replace(cfg.data, **dkw))
+
+
+def test_tune_matches_standalone_train():
+    cfg = _cfg("als")
+    res = tune(cfg, lams=[0.02, 0.05, 0.2], seeds=[0, 1], epochs=3)
+    assert len(res.leaderboard) == 6
+    # sorted ascending by final RMSE, best == min
+    finals = [e["rmse_final"] for e in res.leaderboard]
+    assert finals == sorted(finals)
+    assert res.best == res.leaderboard[0]
+
+    # every config's trajectory must reproduce a standalone train() run
+    for entry in (res.leaderboard[0], res.leaderboard[-1]):
+        solo = train(dataclasses.replace(
+            cfg, seed=entry["seed"],
+            als=dataclasses.replace(cfg.als, lam=entry["lam"], epochs=3)),
+            dataset=res.dataset)
+        np.testing.assert_allclose(entry["rmse"],
+                                   [round(x, 6) for x in solo.rmse_history],
+                                   rtol=0, atol=2e-5)
+
+
+def test_tune_ials_ranks_by_hit_rate():
+    cfg = dataclasses.replace(_cfg("ials"), topn=5)
+    res = tune(cfg, lams=[0.05, 0.5], alphas=[10.0, 40.0], seeds=[0],
+               epochs=2)
+    assert len(res.leaderboard) == 4
+    hits = [e["hit_rate"] for e in res.leaderboard]
+    assert hits == sorted(hits, reverse=True)
+    assert all("alpha" in e and len(e["rmse"]) == 2
+               for e in res.leaderboard)
+    assert res.best_state.U.shape[0] == cfg.data.n_users + 1
+
+
+def test_tune_rejects_sgd_and_empty_grid():
+    cfg = dataclasses.replace(_cfg("als"), algorithm="sgd")
+    with pytest.raises(ValueError, match="sweeps als/ials"):
+        tune(cfg, lams=[0.05])
+    with pytest.raises(ValueError, match="at least one lambda"):
+        tune(_cfg("als"), lams=[])
+
+
+def test_cli_tune_saves_best_checkpoint(tmp_path, capsys):
+    main(["tune", "--source", "synthetic", "--users", "100", "--items",
+          "200", "--ratings", "4000", "--epochs", "2", "--rank", "6",
+          "--lams", "0.05,0.3", "--seeds", "0", "--out", str(tmp_path)])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    best = lines[-1]
+    assert best["event"] == "best"
+    assert best["rmse_final"] == min(x["rmse_final"] for x in lines[:-1])
+
+    # the winner is a normal checkpoint: manifest carries its hyperparams,
+    # and the sweep artifacts sit next to it
+    man = json.load(open(f"{best['out_dir']}/ckpt/manifest.json"))
+    assert man["config"]["als"]["lam"] == best["lam"]
+    assert man["config"]["seed"] == best["seed"]
+    board = [json.loads(x)
+             for x in open(f"{best['out_dir']}/tune.jsonl")]
+    assert len(board) == 2
+
+    # and recommend can serve straight from it
+    main(["prepare", "--source", "synthetic", "--store",
+          str(tmp_path / "s"), "--users", "100", "--items", "200",
+          "--ratings", "4000"])
+    main(["recommend", "--ckpt", f"{best['out_dir']}/ckpt", "--store",
+          str(tmp_path / "s"), "--user", "3", "-n", "4"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rec["items"]) == 4

@@ -231,21 +231,44 @@ def _build_cfg(args):
     return cfg
 
 
-def cmd_train(args):
+def _store_dataset(args, cfg):
+    """Dataset from a RatingsStore dir (--store), or None to let the
+    train/tune path load cfg.data itself."""
+    if not getattr(args, "store", None):
+        return None
+    from ycnr_tpu.data.dataset import Dataset as DS
+    from ycnr_tpu.data.split import train_test_split
+
+    st, u, i, r = _open_store(args.store)
+    n_users, n_items = st.meta["n_users"], st.meta["n_items"]
+    (tu, ti, tr), (su, si, sr) = train_test_split(
+        u, i, r, cfg.data.test_fraction, cfg.data.seed)
+    params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
+    return DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
+              train_r=tr, test_u=su, test_i=si, test_r=sr,
+              mu=float(tr.mean()), chunk_len=cfg.data.chunk_len,
+              rank_hint=params.rank)
+
+
+def _jax_setup(args):
+    """Platform override + persistent XLA compile cache: repeat runs with
+    unchanged program shapes skip the minutes-long first-epoch compile (the
+    remote-TPU upload still happens once per process — docs/KERNELS.md
+    "first-epoch wall"). Opt out with YCNR_COMPILE_CACHE=""."""
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # persistent XLA compile cache: repeat runs with unchanged program
-    # shapes skip the minutes-long first-epoch compile (the remote-TPU
-    # upload still happens once per process — docs/KERNELS.md
-    # "first-epoch wall"). Opt out with YCNR_COMPILE_CACHE=""
     cache_dir = os.environ.get(
         "YCNR_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "ycnr_xla"))
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def cmd_train(args):
+    _jax_setup(args)
     if args.distributed or args.coordinator:
         from ycnr_tpu.parallel import init_distributed
 
@@ -255,20 +278,7 @@ def cmd_train(args):
     cfg = _build_cfg(args)
     from ycnr_tpu.train.loop import train
 
-    ds = None
-    if args.store:
-        from ycnr_tpu.data.dataset import Dataset as DS
-        from ycnr_tpu.data.split import train_test_split
-
-        st, u, i, r = _open_store(args.store)
-        n_users, n_items = st.meta["n_users"], st.meta["n_items"]
-        (tu, ti, tr), (su, si, sr) = train_test_split(
-            u, i, r, cfg.data.test_fraction, cfg.data.seed)
-        params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
-        ds = DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
-                train_r=tr, test_u=su, test_i=si, test_r=sr,
-                mu=float(tr.mean()), chunk_len=cfg.data.chunk_len,
-                rank_hint=params.rank)
+    ds = _store_dataset(args, cfg)
 
     if args.profile:
         from ycnr_tpu.utils.profiling import trace
@@ -285,6 +295,57 @@ def cmd_train(args):
         "final_rmse": result.rmse_history[-1] if result.rmse_history else None,
         "out_dir": result.out_dir,
     }))
+
+
+def cmd_tune(args):
+    """Hyperparameter sweep in ONE compiled device program (train/tune.py):
+    lambda (x alpha for iALS) x seed grid as a stacked model axis — no
+    per-config recompiles. Prints one JSON line per config (best first) and
+    saves the winner's trained factors as a normal checkpoint."""
+    _jax_setup(args)
+    cfg = _build_cfg(args)
+    if cfg.mesh.n_shards > 1:
+        raise SystemExit("tune runs the single-chip bucketed path; drop "
+                         "--shards (sweep first, then scale the winner)")
+
+    def _floats(s):
+        return [float(x) for x in s.split(",") if x.strip()]
+
+    lams = _floats(args.lams)
+    alphas = _floats(args.alphas) if args.alphas else None
+    if alphas and cfg.algorithm != "ials":
+        raise SystemExit("--alphas only applies to --algorithm ials")
+    seeds = [int(x) for x in args.seeds.split(",")] if args.seeds else [cfg.seed]
+    from ycnr_tpu.train.tune import tune
+
+    ds = _store_dataset(args, cfg)
+    res = tune(cfg, lams, alphas=alphas, seeds=seeds, epochs=args.epochs,
+               dataset=ds)
+    for entry in res.leaderboard:
+        print(json.dumps(entry))
+    out = {"event": "best", **res.best}
+    if cfg.out_dir:
+        import dataclasses as dc
+
+        from ycnr_tpu.train.checkpoint import config_dict, save_checkpoint
+
+        best_cfg = cfg.replace(seed=res.best["seed"])
+        field = cfg.algorithm
+        pkw = {"lam": res.best["lam"]}
+        if "alpha" in res.best:
+            pkw["alpha"] = res.best["alpha"]
+        best_cfg = best_cfg.replace(**{field: dc.replace(
+            getattr(best_cfg, field), **pkw)})
+        out_dir = os.path.join(cfg.out_dir, f"{cfg.name}-tune")
+        os.makedirs(out_dir, exist_ok=True)
+        epochs_run = len(res.best["rmse"])
+        save_checkpoint(os.path.join(out_dir, "ckpt"), res.best_state,
+                        epochs_run, config=config_dict(best_cfg))
+        with open(os.path.join(out_dir, "tune.jsonl"), "w") as f:
+            for entry in res.leaderboard:
+                f.write(json.dumps(entry) + "\n")
+        out["out_dir"] = out_dir
+    print(json.dumps(out))
 
 
 def cmd_prepare(args):
@@ -590,6 +651,22 @@ def main(argv=None):
     p = sub.add_parser("train", help="train a model from a preset")
     _add_train_overrides(p)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "tune",
+        help="hyperparameter sweep in one compiled device program")
+    _add_train_overrides(p)
+    p.add_argument("--lams", required=True,
+                   help="comma-separated lambda grid, e.g. 0.02,0.05,0.1 "
+                        "(traced per-model data: the whole grid shares ONE "
+                        "compiled program)")
+    p.add_argument("--alphas",
+                   help="comma-separated iALS confidence-alpha grid "
+                        "(ials only; crossed with --lams)")
+    p.add_argument("--seeds",
+                   help="comma-separated init seeds to cross with the grid "
+                        "(default: the config seed)")
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("prepare", help="import ratings into a store")
     p.add_argument("--source", required=True,
