@@ -1,0 +1,139 @@
+"""Item-item similarity serving (eval/similar.py, engine.similar, the
+`similar:` request, `recommend --similar`)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.eval.recommend import NEG_INF
+from ycnr_tpu.eval.similar import similar_items
+from ycnr_tpu.models.base import init_state
+from ycnr_tpu.serve.engine import Recommender
+
+
+def _state_with_cold(n_items=40, rank=6, cold=(7, 20)):
+    st = init_state(30, n_items, rank, seed=3)
+    V = np.array(st.V)  # writable copy
+    V[list(cold)] = 0.0  # cold items: zero factor rows
+    import jax.numpy as jnp
+
+    return st._replace(V=jnp.asarray(V))
+
+
+def _oracle_cosine(V, q, n):
+    norms = np.linalg.norm(V, axis=1)
+    live = norms > 0
+    Vn = np.where(live[:, None], V / np.maximum(norms, 1e-12)[:, None], 0)
+    s = Vn @ Vn[q]
+    s[~live] = -np.inf
+    s[q] = -np.inf
+    order = np.argsort(-s, kind="stable")
+    return order[:n], s
+
+
+def test_similar_matches_oracle_and_masks():
+    st = _state_with_cold()
+    V = np.asarray(st.V, np.float64)
+    for q in (0, 5, 33):
+        items, scores = similar_items(st, [q], n=8)
+        oi, os_ = _oracle_cosine(V, q, 8)
+        # same similarity values in the same order (ties can swap ids)
+        np.testing.assert_allclose(scores[0], os_[oi], atol=1e-5)
+        assert q not in items[0]
+        assert 7 not in items[0] and 20 not in items[0]  # cold masked
+        assert st.n_items not in items[0]  # trash row masked
+
+
+def test_similar_dot_vs_cosine_differ():
+    st = init_state(10, 30, 4, seed=1)
+    a, _ = similar_items(st, [3], n=10, metric="cosine")
+    b, _ = similar_items(st, [3], n=10, metric="dot")
+    assert not np.array_equal(a, b)  # random factors: orders disagree
+    with pytest.raises(ValueError, match="metric"):
+        similar_items(st, [3], n=5, metric="euclid")
+
+
+def test_engine_similar_caches_and_survives_user_updates():
+    u, i, r = synthetic_ratings(30, 40, 500, seed=0)
+    st = _state_with_cold()
+    rec = Recommender(st, u, i, train_r=r)
+    first = rec.similar(2, n=5)
+    assert rec.cache.get(("sim", 2, 5, "cosine")) is not None
+    # an online rating update refits only the user's U row: similarity
+    # entries must survive the per-user invalidation
+    rec.add_ratings(4, [1], [5.0])
+    assert rec.cache.get(("sim", 2, 5, "cosine")) is not None
+    np.testing.assert_array_equal(rec.similar(2, n=5), first)
+    # a factor republish flushes them
+    rec.update_state(_state_with_cold(cold=(3,)))
+    assert rec.cache.get(("sim", 2, 5, "cosine")) is None
+    out_of_range = st.n_items + 5
+    with pytest.raises(IndexError):
+        rec.similar(out_of_range)
+
+
+def test_serving_app_similar_request(tmp_path):
+    from ycnr_tpu.serve.server import ServingApp
+
+    u, i, r = synthetic_ratings(30, 40, 500, seed=0)
+    st = _state_with_cold()
+    rec = Recommender(st, u, i, train_r=r)
+    app = ServingApp(rec, store_meta={"n_users": 30, "n_items": 40},
+                     n=5, max_batch=0)
+    try:
+        out = json.loads(app.handle("similar:2"))
+        assert out["item"] == 2 and len(out["similar"]) == 5
+        assert json.loads(app.handle("similar:2:dot"))["similar"]
+        assert "error" in json.loads(app.handle("similar:999"))
+    finally:
+        app.close()
+
+
+def test_cli_recommend_similar(tmp_path, capsys):
+    from ycnr_tpu.cli import main
+
+    store = str(tmp_path / "s")
+    main(["prepare", "--source", "synthetic", "--store", store,
+          "--users", "60", "--items", "40", "--ratings", "1500"])
+    main(["train", "--preset", "ml100k-als", "--store", store,
+          "--epochs", "2", "--rank", "5", "--out", str(tmp_path / "r")])
+    capsys.readouterr()
+    ckpt = str(tmp_path / "r" / "ml100k-als" / "ckpt")
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--similar", "3", "8", "-n", "6"])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [x["item"] for x in lines] == [3, 8]
+    assert all(len(x["similar"]) == 6 for x in lines)
+    assert 3 not in lines[0]["similar"]
+
+
+@pytest.mark.skipif(
+    not __import__("ycnr_tpu.serve.cache", fromlist=["x"]
+                   ).shm_cache_available(),
+    reason="native shm cache unavailable")
+def test_shm_cache_sim_namespace():
+    """("sim", item, n, metric) keys must round-trip through the shared
+    cache without colliding with (user, n) keys."""
+    from ycnr_tpu.serve.cache import ShmRecCache
+
+    name = f"/ycnr_test_sim_{np.random.randint(1 << 30)}"
+    c = ShmRecCache(name, capacity=1 << 10)
+    try:
+        c.put((7, 5), np.arange(5, dtype=np.int32))
+        c.put(("sim", 7, 5, "cosine"), np.arange(10, 15, dtype=np.int32))
+        c.put(("sim", 7, 5, "dot"), np.arange(20, 25, dtype=np.int32))
+        np.testing.assert_array_equal(c.get((7, 5)), np.arange(5))
+        np.testing.assert_array_equal(c.get(("sim", 7, 5, "cosine")),
+                                      np.arange(10, 15))
+        np.testing.assert_array_equal(c.get(("sim", 7, 5, "dot")),
+                                      np.arange(20, 25))
+        # per-user tombstones must not touch the similarity namespace
+        c.invalidate(7)
+        assert c.get((7, 5)) is None
+        assert c.get(("sim", 7, 5, "cosine")) is not None
+    finally:
+        c.unlink()
+        c.close()

@@ -452,6 +452,31 @@ def cmd_recommend(args):
                                   "save": args.save}))
         return
 
+    if getattr(args, "similar", None) is not None:
+        # item-item "more like this": factor-row similarity over V
+        # (eval/similar.py; needs only the factor state)
+        from ycnr_tpu.eval.recommend import NEG_INF
+        from ycnr_tpu.eval.similar import similar_items
+
+        state, _ = _load_state()
+        for iid in args.similar:
+            dense = iid
+            if maps is not None:
+                pos = np.searchsorted(maps[1], iid)
+                if pos >= len(maps[1]) or maps[1][pos] != iid:
+                    print(json.dumps({"item": iid, "error":
+                                      "unknown item id in this dataset"}))
+                    continue
+                dense = int(pos)
+            top_i, top_s = similar_items(state, [dense], args.n,
+                                         metric=args.metric)
+            items = top_i[0][top_s[0] > NEG_INF / 2]
+            if maps is not None:
+                items = maps[1][np.asarray(items)]
+            print(json.dumps({"item": iid,
+                              "similar": [int(x) for x in items]}))
+        return
+
     if args.rated:
         # ad-hoc cold user: "--rated item:rating,..." -> fold-in serving
         # (needs only the factor state, not the full rated-mask index)
@@ -512,7 +537,8 @@ def cmd_recommend(args):
 def cmd_serve(args):
     """Long-running serving loop: one request per stdin line, one JSON
     response per stdout line. Requests: a user id ("42"), an ad-hoc
-    cold-user rating list ("cold:318:5.0,296:4.5"), or "stats" (epoch,
+    cold-user rating list ("cold:318:5.0,296:4.5"), an item-similarity
+    query ("similar:318" / "similar:318:dot"), or "stats" (epoch,
     catalog dims, latency histogram). With --shm the factors hot-reload
     whenever the trainer republishes (reference pattern: workers serving
     from live shm while the master retrains). With --listen the same
@@ -691,6 +717,13 @@ def main(argv=None):
     p.add_argument("--rated", metavar="ITEM:RATING,...",
                    help="serve a cold user by fold-in from this ad-hoc "
                         "rating list instead of a trained user id")
+    p.add_argument("--similar", type=int, nargs="*", default=None,
+                   metavar="ITEM",
+                   help="item-item mode: top-N most similar catalog items "
+                        "per given item id (factor-row similarity over V)")
+    p.add_argument("--metric", choices=["cosine", "dot"], default="cosine",
+                   help="similarity metric for --similar (dot weighs "
+                        "popularity: factor norms grow with rating count)")
     p.add_argument("--all", action="store_true",
                    help="batch mode: top-N for EVERY rated user as JSONL "
                         "(stdout, or --save FILE)")

@@ -148,13 +148,21 @@ class ShmRecCache:
 
     @staticmethod
     def _key(key) -> int:
+        if key[0] == "sim":  # ("sim", item, n, metric) — engine.similar
+            _, item, n, metric = key
+            ns = 1 if metric == "cosine" else 2
+            return (ns << 56) | (int(item) << 16) | (int(n) & 0xFFFF)
         user, n = key
         return (int(user) << 16) | (int(n) & 0xFFFF)
+
+    @staticmethod
+    def _n_of(key) -> int:
+        return int(key[2] if key[0] == "sim" else key[1])
 
     def get(self, key):
         if not self._h:
             raise ValueError(f"shm cache {self.name!r} is closed")
-        if int(key[1]) > self.N_MAX:  # wider requests are never cached
+        if self._n_of(key) > self.N_MAX:  # wider requests are never cached
             self.misses += 1
             return None
         out = np.empty(self.N_MAX, np.int32)
@@ -170,7 +178,7 @@ class ShmRecCache:
     def put(self, key, value):
         if not self._h:
             raise ValueError(f"shm cache {self.name!r} is closed")
-        if int(key[1]) > self.N_MAX:  # a truncated list would silently
+        if self._n_of(key) > self.N_MAX:  # a truncated list would silently
             return  # serve fewer items than the request asked for
         items = np.ascontiguousarray(np.asarray(value, np.int32))
         self._lib.ycnr_cache_put(

@@ -221,6 +221,27 @@ class Recommender:
                 count += 1
         return count
 
+    def similar(self, item_id: int, n: int = 10, metric: str = "cosine"):
+        """Top-n most similar catalog items to item_id by factor-row
+        similarity (eval/similar.py) — "more like this" serving off the
+        same trained V the user scorer uses. Cached under a ("sim", ...)
+        key namespace; online updates (add_ratings) leave V untouched so
+        similarity entries survive per-user invalidation, while a factor
+        republish (update_state) flushes them with everything else."""
+        item_id = int(item_id)
+        self._check_items(np.asarray([item_id]))
+        key = ("sim", item_id, int(n), metric)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        v0 = self._version
+        from ycnr_tpu.eval.similar import similar_items
+
+        items, scores = similar_items(self.state, [item_id], n, metric)
+        result = items[0][scores[0] > NEG_INF / 2]
+        self.cache.put_if(key, result, lambda: self._version == v0)
+        return result
+
     def update_state(self, state: MFState):
         """Swap in retrained factors; cached recs are stale -> flush. The
         pending online-update log also flushes: a retrain supersedes it.

@@ -238,6 +238,24 @@ class ServingApp:
                                               alpha=self.fold_alpha)
         return self._emit("cold", items)
 
+    def _similar(self, line: str) -> str:
+        """similar:ITEM[:METRIC] — top-n most similar catalog items
+        (engine.similar; metric cosine|dot, default cosine)."""
+        parts = line[8:].split(":")
+        iid = int(parts[0])
+        metric = parts[1] if len(parts) > 1 else "cosine"
+        dense = iid
+        if self.maps is not None:
+            pos = np.searchsorted(self.maps[1], iid)
+            if pos >= len(self.maps[1]) or self.maps[1][pos] != iid:
+                raise KeyError(f"unknown item {iid}")
+            dense = int(pos)
+        items = self._engine().similar(dense, self.n, metric=metric)
+        if self.maps is not None:
+            items = self.maps[1][np.asarray(items)]
+        return json.dumps({"item": iid,
+                           "similar": [int(x) for x in items]})
+
     # bound per scoring call: [chunk, n_items] score rows stay ~a few
     # hundred MB at any catalog size instead of scaling with the batch
     BATCH_CHUNK = 1024
@@ -312,6 +330,8 @@ class ServingApp:
                 return self._stats()
             if line.startswith("cold:"):
                 return self._cold(line)
+            if line.startswith("similar:"):
+                return self._similar(line)
             if line.startswith("batch:"):
                 return self._batch(line)
             return self._user(line)
