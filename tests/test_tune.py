@@ -57,12 +57,37 @@ def test_tune_ials_ranks_by_hit_rate():
     assert res.best_state.U.shape[0] == cfg.data.n_users + 1
 
 
-def test_tune_rejects_sgd_and_empty_grid():
-    cfg = dataclasses.replace(_cfg("als"), algorithm="sgd")
-    with pytest.raises(ValueError, match="sweeps als/ials"):
-        tune(cfg, lams=[0.05])
+def test_tune_sgd_matches_standalone_stream_train():
+    cfg = get_preset("ml1m-sgd")
+    cfg = dataclasses.replace(
+        cfg, out_dir=None,
+        data=dataclasses.replace(cfg.data, source="synthetic", n_users=150,
+                                 n_items=300, n_ratings=6000),
+        sgd=dataclasses.replace(cfg.sgd, batch_size=512, method="stream"))
+    res = tune(cfg, lams=[0.02, 0.1], lrs=[0.005, 0.02],
+               seeds=[cfg.seed], epochs=3)
+    assert len(res.leaderboard) == 4
+    assert all("lr" in e for e in res.leaderboard)
+    finals = [e["rmse_final"] for e in res.leaderboard]
+    assert finals == sorted(finals)
+
+    best = res.best
+    solo = train(dataclasses.replace(
+        cfg, sgd=dataclasses.replace(cfg.sgd, lam=best["lam"],
+                                     lr=best["lr"], epochs=3)),
+        dataset=res.dataset)
+    np.testing.assert_allclose(best["rmse"],
+                               [round(x, 6) for x in solo.rmse_history],
+                               rtol=0, atol=2e-5)
+
+
+def test_tune_rejects_bad_grids():
     with pytest.raises(ValueError, match="at least one lambda"):
         tune(_cfg("als"), lams=[])
+    with pytest.raises(ValueError, match="alphas only"):
+        tune(_cfg("als"), lams=[0.05], alphas=[10.0])
+    with pytest.raises(ValueError, match="lrs only"):
+        tune(_cfg("als"), lams=[0.05], lrs=[0.01])
 
 
 def test_cli_tune_saves_best_checkpoint(tmp_path, capsys):

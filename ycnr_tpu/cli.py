@@ -315,12 +315,15 @@ def cmd_tune(args):
     alphas = _floats(args.alphas) if args.alphas else None
     if alphas and cfg.algorithm != "ials":
         raise SystemExit("--alphas only applies to --algorithm ials")
+    lrs = _floats(args.lrs) if args.lrs else None
+    if lrs and cfg.algorithm != "sgd":
+        raise SystemExit("--lrs only applies to --algorithm sgd")
     seeds = [int(x) for x in args.seeds.split(",")] if args.seeds else [cfg.seed]
     from ycnr_tpu.train.tune import tune
 
     ds = _store_dataset(args, cfg)
-    res = tune(cfg, lams, alphas=alphas, seeds=seeds, epochs=args.epochs,
-               dataset=ds)
+    res = tune(cfg, lams, alphas=alphas, lrs=lrs, seeds=seeds,
+               epochs=args.epochs, dataset=ds)
     for entry in res.leaderboard:
         print(json.dumps(entry))
     out = {"event": "best", **res.best}
@@ -334,6 +337,9 @@ def cmd_tune(args):
         pkw = {"lam": res.best["lam"]}
         if "alpha" in res.best:
             pkw["alpha"] = res.best["alpha"]
+        if "lr" in res.best:
+            pkw["lr"] = res.best["lr"]
+            pkw["method"] = "stream"  # the sweep ran the stream trainer
         best_cfg = best_cfg.replace(**{field: dc.replace(
             getattr(best_cfg, field), **pkw)})
         out_dir = os.path.join(cfg.out_dir, f"{cfg.name}-tune")
@@ -689,6 +695,10 @@ def main(argv=None):
     p.add_argument("--alphas",
                    help="comma-separated iALS confidence-alpha grid "
                         "(ials only; crossed with --lams)")
+    p.add_argument("--lrs",
+                   help="comma-separated SGD learning-rate grid (sgd only; "
+                        "crossed with --lams; sweeps run the stream "
+                        "trainer)")
     p.add_argument("--seeds",
                    help="comma-separated init seeds to cross with the grid "
                         "(default: the config seed)")

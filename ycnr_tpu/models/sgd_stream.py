@@ -224,15 +224,19 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     return data, order
 
 
-@partial(jax.jit, static_argnames=("lam", "tile"), donate_argnums=(0,))
-def sgd_stream_epoch(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
-                     lam: float, lr, tile: int) -> MFState:
+def stream_epoch_core(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
+                      lam, lr, tile: int) -> MFState:
     """One epoch over the stream in batch order ``order`` ([NB] int32
     permutation — reshuffled per epoch for stochasticity).
 
     Per rating, exactly 4 per-row ops: tile gather, V gather, tile
     segment-sum, item segment-sum (sorted). Biases ride as column k of
     the extended factor tables, built once per epoch.
+
+    Unjitted core: ``lam``/``lr`` are plain arithmetic inputs, so callers
+    may pass them TRACED (the tune sweep runs many (lam, lr) models inside
+    one program) — the jitted wrapper below keeps lam static for the
+    single-model path.
     """
     n_items = state.n_items
     k = state.U.shape[1]
@@ -274,6 +278,13 @@ def sgd_stream_epoch(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
     (Ue, Ve), _ = lax.scan(body, (Ue, Ve), xs)
     return state._replace(U=Ue[:, :k], V=Ve[:, :k],
                           bu=Ue[:, k], bi=Ve[:, k])
+
+
+@partial(jax.jit, static_argnames=("lam", "tile"), donate_argnums=(0,))
+def sgd_stream_epoch(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
+                     lam: float, lr, tile: int) -> MFState:
+    return stream_epoch_core(state, ul, ib, rb, wu, wi, u_lo, order,
+                             lam, lr, tile)
 
 
 class StreamSGD:

@@ -15,8 +15,10 @@ are shared, traced once). Every config then trains at steady-state epoch
 speed with zero per-config compiles, and the per-epoch held-out RMSE
 trajectories come back as one [S, E] array.
 
-SGD is excluded: its trainer bakes lr/lam/schedule into a stateful scan and
-a sweep there is better served by the stream trainer's cheap epochs.
+SGD sweeps run the stream trainer (models/sgd_stream.py): its epoch core
+takes lam/lr as plain arithmetic inputs, so (lambda, lr) become per-model
+traced vectors exactly like the ALS path; the batched SGD trainer is not
+swept (its batch schedule is baked per config).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ from ycnr_tpu.models.bucketed_phase import (
     phase_bucketed,
 )
 from ycnr_tpu.ops.bucketed import build_bucketed
+from ycnr_tpu.train.loop import _algo_params
 
 
 @dataclass
@@ -86,6 +89,36 @@ def _sweep_program(states: MFState, lams, alphas, user_groups, item_groups,
     return lax.map(one, (states, lams, alphas))
 
 
+@partial(jax.jit, static_argnames=("n_epochs", "tile", "seed"),
+         donate_argnums=(0,))
+def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
+                       test_coo, n_epochs: int, tile: int, seed: int):
+    """Stream-SGD sweep: (lam, lr) are traced per-model data; the per-epoch
+    batch order reproduces StreamSGD.epoch's shuffle (same key formula) and
+    is shared by every model, so a config's trajectory matches a standalone
+    `--sgd-method stream` run (up to the in-program f32 lr-decay power vs
+    the host's f64 — a last-ulp difference)."""
+    from ycnr_tpu.models.base import rmse_padded
+    from ycnr_tpu.models.sgd_stream import stream_epoch_core
+
+    ul, ib, rb, wu, wi, u_lo = data_arrays
+    nb = ul.shape[0]
+
+    def one(args):
+        st, lam, lr0 = args
+
+        def body(s, ep):
+            key = jax.random.key(seed + 7919 * ep)
+            order = jax.random.permutation(key, nb)
+            s = stream_epoch_core(s, ul, ib, rb, wu, wi, u_lo, order,
+                                  lam, lr0 * decay**ep, tile)
+            return s, rmse_padded(s, *test_coo)
+
+        return lax.scan(body, st, jnp.arange(n_epochs))
+
+    return lax.map(one, (states, lams, lrs))
+
+
 def _stack_states(states: Sequence[MFState]) -> MFState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -96,32 +129,41 @@ def _pick_state(stacked: MFState, idx: int) -> MFState:
 
 def tune(cfg: RunConfig, lams: Sequence[float],
          alphas: Optional[Sequence[float]] = None,
+         lrs: Optional[Sequence[float]] = None,
          seeds: Sequence[int] = (0,), epochs: Optional[int] = None,
          dataset: Optional[Dataset] = None) -> TuneResult:
-    """Grid sweep over lambda (x alpha for iALS) x init seed in one device
-    program. Returns a leaderboard sorted by the selection metric:
+    """Grid sweep in one device program. Axes: lambda, x alpha (iALS),
+    x lr (SGD), x init seed. Leaderboard sorted by the selection metric:
 
-    * als: final held-out RMSE, ascending;
+    * als / sgd: final held-out RMSE, ascending;
     * ials: hit_rate@cfg.topn (host pass on up to 512 sampled test users,
       the same per-epoch metric train() logs), descending — RMSE against raw
       ratings is not meaningful for preference scores; rmse_test is still
       reported per config.
 
-    Leaderboard entries: {lam, alpha?, seed, rmse: [E], rmse_final,
+    SGD sweeps run the stream trainer (models/sgd_stream.py — the TPU-fast
+    epoch; the batched path bakes its batch schedule per config). The seed
+    axis varies factor INIT only; the data seed (synthetic gen, stream
+    striping, epoch shuffles) stays cfg.seed so every model sees identical
+    data order.
+
+    Leaderboard entries: {lam, alpha?, lr?, seed, rmse: [E], rmse_final,
     best_epoch, hit_rate?}. The best config's trained state is returned
     (ready to checkpoint/serve). Memory: all S states stay in HBM —
     S * (n_users + n_items) * rank floats; at ML-20M rank 64 that is
     ~42 MB/model, so double-digit sweeps fit comfortably.
     """
-    if cfg.algorithm not in ("als", "ials"):
-        raise ValueError(
-            f"tune() sweeps als/ials; got algorithm={cfg.algorithm!r} "
-            "(SGD epochs bake lr into a stateful scan — sweep it by "
-            "looping train() with --sgd-method stream)")
     implicit = cfg.algorithm == "ials"
-    params = cfg.ials if implicit else cfg.als
+    is_sgd = cfg.algorithm == "sgd"
+    params = _algo_params(cfg)
     if implicit and not alphas:
         alphas = [params.alpha]
+    if alphas and not implicit:
+        raise ValueError("alphas only applies to algorithm='ials'")
+    if is_sgd and not lrs:
+        lrs = [params.lr]
+    if lrs and not is_sgd:
+        raise ValueError("lrs only applies to algorithm='sgd'")
     if not lams:
         raise ValueError("tune() needs at least one lambda value")
     n_epochs = int(epochs if epochs is not None else params.epochs)
@@ -130,46 +172,62 @@ def tune(cfg: RunConfig, lams: Sequence[float],
 
     ds = dataset or load_dataset(cfg.data, rank_hint=params.rank)
     dtype = jnp.dtype(params.dtype)
-    dul = device_bucketed(build_bucketed(
-        ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
-        cfg.data.chunk_len, params.rank, max_groups=cfg.data.max_groups),
-        dtype)
-    dil = device_bucketed(build_bucketed(
-        ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
-        cfg.data.chunk_len, params.rank, max_groups=cfg.data.max_groups),
-        dtype)
     pu, pi, pr, n_test = ds.padded_test()
     test_coo = (jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr),
                 jnp.asarray(n_test))
 
+    aux = ([float(a) for a in alphas] if implicit
+           else [float(x) for x in lrs] if is_sgd else [0.0])
     grid = list(itertools.product(
-        [float(x) for x in lams],
-        [float(a) for a in alphas] if implicit else [0.0],
-        [int(s) for s in seeds]))
+        [float(x) for x in lams], aux, [int(s) for s in seeds]))
+    mu = ds.mu if is_sgd else 0.0
     states = _stack_states([
         zero_cold_entities(
             init_state(ds.n_users, ds.n_items, params.rank, seed=seed,
-                       dtype=dtype),
+                       mu=mu, dtype=dtype),
             ds.train_u, ds.train_i)
         for _, _, seed in grid])
     lam_v = jnp.asarray([g[0] for g in grid], dtype)
-    alpha_v = jnp.asarray([g[1] for g in grid], dtype)
+    aux_v = jnp.asarray([g[1] for g in grid], dtype)
 
-    finals, rmse = _sweep_program(states, lam_v, alpha_v, dul, dil,
-                                  test_coo, n_epochs, implicit,
-                                  params.gather_dtype == "bfloat16")
+    if is_sgd:
+        from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
+
+        gm = "capped" if params.grad_mode == "sum" else params.grad_mode
+        data, _ = prepare_stream_sgd(
+            ds.train_u, ds.train_i, ds.train_r, params.batch_size,
+            ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype,
+            grad_mode=gm)
+        finals, rmse = _sweep_sgd_program(
+            states, lam_v, aux_v, jnp.asarray(params.lr_decay, dtype),
+            (data.ul, data.ib, data.rb, data.wu, data.wi, data.u_lo),
+            test_coo, n_epochs, data.tile, cfg.seed)
+    else:
+        dul = device_bucketed(build_bucketed(
+            ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
+            cfg.data.chunk_len, params.rank,
+            max_groups=cfg.data.max_groups), dtype)
+        dil = device_bucketed(build_bucketed(
+            ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
+            cfg.data.chunk_len, params.rank,
+            max_groups=cfg.data.max_groups), dtype)
+        finals, rmse = _sweep_program(states, lam_v, aux_v, dul, dil,
+                                      test_coo, n_epochs, implicit,
+                                      params.gather_dtype == "bfloat16")
     rmse = np.asarray(rmse, np.float64)  # [S, E]
 
     board = []
-    for s, (lam, alpha, seed) in enumerate(grid):
+    for s, (lam, aux_val, seed) in enumerate(grid):
         entry = {"lam": lam, "seed": seed,
                  "rmse": [round(float(x), 6) for x in rmse[s]],
                  "rmse_final": round(float(rmse[s, -1]), 6),
                  "best_epoch": int(np.argmin(rmse[s])) + 1}
+        if is_sgd:
+            entry["lr"] = aux_val
         if implicit:
             from ycnr_tpu.eval.ranking import hit_rate_at_n
 
-            entry["alpha"] = alpha
+            entry["alpha"] = aux_val
             entry["hit_rate"] = round(hit_rate_at_n(
                 _pick_state(finals, s), ds.train_u, ds.train_i,
                 ds.test_u, ds.test_i, n=cfg.topn, max_users=512), 4)
@@ -177,8 +235,8 @@ def tune(cfg: RunConfig, lams: Sequence[float],
     board.sort(key=(lambda e: -e["hit_rate"]) if implicit
                else (lambda e: e["rmse_final"]))
     best = board[0]
-    pos = next(s for s, (lam, alpha, seed) in enumerate(grid)
+    pos = next(s for s, (lam, aux_val, seed) in enumerate(grid)
                if lam == best["lam"] and seed == best["seed"]
-               and (not implicit or alpha == best["alpha"]))
+               and aux_val == best.get("alpha", best.get("lr", 0.0)))
     return TuneResult(leaderboard=board, best=best,
                       best_state=_pick_state(finals, pos), dataset=ds)
