@@ -74,6 +74,26 @@ def test_engine_similar_caches_and_survives_user_updates():
         rec.similar(out_of_range)
 
 
+def test_precompute_similar_fills_cache():
+    u, i, r = synthetic_ratings(30, 40, 500, seed=0)
+    st = _state_with_cold(cold=(7, 20))
+    rec = Recommender(st, u, i, train_r=r)
+    count = rec.precompute_similar(n=5, chunk=16)  # forces a padded tail
+    assert count == st.n_items - 2  # cold items skipped
+    assert rec.cache.get(("sim", 7, 5, "cosine")) is None
+    # a subsequent similar() must be a pure cache hit: poison the scorer
+    import ycnr_tpu.eval.similar as sim
+
+    orig = sim.similar_items
+    sim.similar_items = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("scorer called despite precompute"))
+    try:
+        for q in (0, 5, 33):
+            assert len(rec.similar(q, n=5)) == 5
+    finally:
+        sim.similar_items = orig
+
+
 def test_serving_app_similar_request(tmp_path):
     from ycnr_tpu.serve.server import ServingApp
 

@@ -588,9 +588,13 @@ def cmd_serve(args):
 
     ready = {"event": "ready", "users": int(store.meta["n_users"]),
              "items": int(store.meta["n_items"])}
-    if getattr(args, "precompute", False):
+    if getattr(args, "precompute", False) or getattr(
+            args, "precompute_similar", False):
         eng = rec.engine if hasattr(rec, "engine") else rec
-        ready["precomputed"] = eng.precompute_all(args.n)
+        if args.precompute:
+            ready["precomputed"] = eng.precompute_all(args.n)
+        if args.precompute_similar:
+            ready["precomputed_similar"] = eng.precompute_similar(args.n)
     if args.listen:
         from ycnr_tpu.serve.server import serve_tcp
 
@@ -780,6 +784,11 @@ def main(argv=None):
                         "user at startup (one fused-scorer device pass, "
                         "0.13 s for 138k users on v5e) — requests become "
                         "cache hits until the next factor publish")
+    p.add_argument("--precompute-similar", action="store_true",
+                   help="bulk-fill the cache with top-N similar items for "
+                        "EVERY live catalog item at startup (chunked "
+                        "device passes) — similar: requests become cache "
+                        "hits until the next factor publish")
     p.add_argument("--lam", type=float,
                    help="fold-in regularization override (default: the "
                         "checkpoint's training lam)")

@@ -242,6 +242,31 @@ class Recommender:
         self.cache.put_if(key, result, lambda: self._version == v0)
         return result
 
+    def precompute_similar(self, n: int = 10, metric: str = "cosine",
+                           chunk: int = 1024) -> int:
+        """Bulk-fill the similarity cache for EVERY catalog item — the
+        item-side analog of precompute_all. Chunked so the [B, n_items]
+        score tensor stays bounded at any catalog size. Cold items are
+        skipped (their lists would be empty noise). Returns items cached."""
+        from ycnr_tpu.eval.similar import similar_items
+
+        v0 = self._version
+        live = np.flatnonzero(
+            np.asarray((self.state.V[:-1] != 0).any(axis=1)))
+        count = 0
+        for lo in range(0, len(live), chunk):
+            ids = live[lo:lo + chunk]
+            # pad the tail chunk so every call hits ONE compiled program
+            pad = np.concatenate([ids, np.full(chunk - len(ids), ids[0],
+                                               ids.dtype)])
+            items, scores = similar_items(self.state, pad, n, metric)
+            for j, iid in enumerate(ids):
+                res = items[j][scores[j] > NEG_INF / 2]
+                if self.cache.put_if(("sim", int(iid), int(n), metric),
+                                     res, lambda: self._version == v0):
+                    count += 1
+        return count
+
     def update_state(self, state: MFState):
         """Swap in retrained factors; cached recs are stale -> flush. The
         pending online-update log also flushes: a retrain supersedes it.
