@@ -72,6 +72,20 @@ def test_engine_similar_caches_and_survives_user_updates():
     out_of_range = st.n_items + 5
     with pytest.raises(IndexError):
         rec.similar(out_of_range)
+    # invalid metric raises BEFORE the cache probe (the shm cache key
+    # namespaces only cosine/dot — a typo must not alias a dot entry)
+    rec.similar(2, n=5, metric="dot")
+    with pytest.raises(ValueError, match="metric"):
+        rec.similar(2, n=5, metric="euclid")
+
+
+def test_similar_cold_query_returns_empty():
+    u, i, r = synthetic_ratings(30, 40, 500, seed=0)
+    st = _state_with_cold(cold=(7, 20))
+    items, scores = similar_items(st, [7], n=5)
+    assert (scores[0] < NEG_INF / 2).all()  # whole row masked
+    rec = Recommender(st, u, i, train_r=r)
+    assert len(rec.similar(7, n=5)) == 0  # empty list, not zero-score junk
 
 
 def test_precompute_similar_fills_cache():
@@ -154,6 +168,12 @@ def test_shm_cache_sim_namespace():
         c.invalidate(7)
         assert c.get((7, 5)) is None
         assert c.get(("sim", 7, 5, "cosine")) is not None
+        # uncacheable widths report dropped, not stored (precompute counts)
+        assert c.put_if(("sim", 7, c.N_MAX + 1, "cosine"),
+                        np.arange(c.N_MAX + 1, dtype=np.int32),
+                        lambda: True) is False
+        assert c.put((7, c.N_MAX + 1),
+                     np.arange(c.N_MAX + 1, dtype=np.int32)) is False
     finally:
         c.unlink()
         c.close()

@@ -88,6 +88,9 @@ def test_tune_rejects_bad_grids():
         tune(_cfg("als"), lams=[0.05], alphas=[10.0])
     with pytest.raises(ValueError, match="lrs only"):
         tune(_cfg("als"), lams=[0.05], lrs=[0.01])
+    sgd = dataclasses.replace(_cfg("als"), algorithm="sgd")
+    with pytest.raises(ValueError, match="seed axis"):
+        tune(sgd, lams=[0.05], seeds=[1, 2])
 
 
 def test_cli_tune_saves_best_checkpoint(tmp_path, capsys):

@@ -474,6 +474,13 @@ def cmd_recommend(args):
                                       "unknown item id in this dataset"}))
                     continue
                 dense = int(pos)
+            elif not 0 <= iid < state.n_items:
+                # dense-id store: an out-of-range id would clamp-gather
+                # the zero trash row and print a junk list
+                print(json.dumps({"item": iid, "error":
+                                  f"item id not in the catalog "
+                                  f"(0..{state.n_items - 1})"}))
+                continue
             top_i, top_s = similar_items(state, [dense], args.n,
                                          metric=args.metric)
             items = top_i[0][top_s[0] > NEG_INF / 2]

@@ -36,6 +36,10 @@ def _similar_program(V, item_ids, n: int, metric: str):
     Q = Vq[item_ids]  # [B, k]
     scores = Q @ Vq.T  # [B, n_items + 1]
     scores = jnp.where(live[None, :], scores, NEG_INF)
+    # a cold QUERY row (zero factors) carries no signal: mask its whole row
+    # so callers' `> NEG_INF/2` filter yields an empty list, matching
+    # precompute_similar's skip — not an arbitrary zero-score ranking
+    scores = jnp.where(live[item_ids][:, None], scores, NEG_INF)
     rows = jnp.arange(item_ids.shape[0])
     scores = scores.at[rows, item_ids].set(NEG_INF)  # self
     return lax.top_k(scores, n)
@@ -43,8 +47,9 @@ def _similar_program(V, item_ids, n: int, metric: str):
 
 def similar_items(state: MFState, item_ids, n: int = 10,
                   metric: str = "cosine"):
-    """(scores [B, n], items [B, n]) of the most similar catalog items for
-    each query item; self and cold items masked to NEG_INF. metric:
+    """(items [B, n], scores [B, n]) of the most similar catalog items for
+    each query item; self and cold items masked to NEG_INF (a cold QUERY
+    masks its whole row — filter `scores > NEG_INF / 2` to drop). metric:
     "cosine" (scale-free; default) or "dot" (popularity-weighted — factor
     row norms grow with rating count)."""
     if metric not in ("cosine", "dot"):

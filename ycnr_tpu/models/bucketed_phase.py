@@ -71,15 +71,44 @@ def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
     return E
 
 
+def als_epoch_fn(user_groups: BucketedCSR, item_groups: BucketedCSR, lam,
+                 gather_bf16: bool = False):
+    """state -> state one-epoch closure. ``lam`` may be a Python float or a
+    TRACED scalar (phase_bucketed uses it arithmetically) — the single
+    source of the ALS epoch body for the jitted wrappers, the fused
+    multi-epoch programs, and the tune sweep."""
+    def one(st: MFState) -> MFState:
+        U = phase_bucketed(st.U, st.V, user_groups, lam,
+                           gather_bf16=gather_bf16)
+        V = phase_bucketed(st.V, U, item_groups, lam,
+                           gather_bf16=gather_bf16)
+        return st._replace(U=U, V=V)
+
+    return one
+
+
+def ials_epoch_fn(user_groups: BucketedCSR, item_groups: BucketedCSR, lam,
+                  alpha, gather_bf16: bool = False):
+    """iALS analog of als_epoch_fn (global base Gram per sweep side)."""
+    def one(st: MFState) -> MFState:
+        GV = jnp.einsum("nk,nm->km", st.V, st.V,
+                        preferred_element_type=st.V.dtype)
+        U = phase_bucketed(st.U, st.V, user_groups, lam, alpha, GV,
+                           gather_bf16=gather_bf16)
+        GU = jnp.einsum("nk,nm->km", U, U, preferred_element_type=U.dtype)
+        V = phase_bucketed(st.V, U, item_groups, lam, alpha, GU,
+                           gather_bf16=gather_bf16)
+        return st._replace(U=U, V=V)
+
+    return one
+
+
 @partial(jax.jit, static_argnames=("lam", "gather_bf16"),
          donate_argnums=(0,))
 def als_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
                        item_groups: BucketedCSR, lam: float,
                        gather_bf16: bool = False) -> MFState:
-    U = phase_bucketed(state.U, state.V, user_groups, lam,
-                       gather_bf16=gather_bf16)
-    V = phase_bucketed(state.V, U, item_groups, lam, gather_bf16=gather_bf16)
-    return state._replace(U=U, V=V)
+    return als_epoch_fn(user_groups, item_groups, lam, gather_bf16)(state)
 
 
 @partial(jax.jit, static_argnames=("lam", "alpha", "gather_bf16"),
@@ -87,14 +116,8 @@ def als_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
 def ials_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
                         item_groups: BucketedCSR, lam: float, alpha: float,
                         gather_bf16: bool = False) -> MFState:
-    GV = jnp.einsum("nk,nm->km", state.V, state.V,
-                    preferred_element_type=state.V.dtype)
-    U = phase_bucketed(state.U, state.V, user_groups, lam, alpha, GV,
-                       gather_bf16=gather_bf16)
-    GU = jnp.einsum("nk,nm->km", U, U, preferred_element_type=U.dtype)
-    V = phase_bucketed(state.V, U, item_groups, lam, alpha, GU,
-                       gather_bf16=gather_bf16)
-    return state._replace(U=U, V=V)
+    return ials_epoch_fn(user_groups, item_groups, lam, alpha,
+                         gather_bf16)(state)
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +163,9 @@ def als_epochs_bucketed(state: MFState, user_groups: BucketedCSR,
     (pad_coo-padded COO on device). Returns
     (final_state, (rmse_test[n_epochs], rmse_train[n_epochs] | ())).
     """
-    def one(st):
-        U = phase_bucketed(st.U, st.V, user_groups, lam,
-                           gather_bf16=gather_bf16)
-        V = phase_bucketed(st.V, U, item_groups, lam,
-                           gather_bf16=gather_bf16)
-        return st._replace(U=U, V=V)
-
-    return _epochs_fused(state, n_epochs, one, test_coo, train_coo)
+    return _epochs_fused(state, n_epochs,
+                         als_epoch_fn(user_groups, item_groups, lam,
+                                      gather_bf16), test_coo, train_coo)
 
 
 @partial(jax.jit, static_argnames=("lam", "alpha", "n_epochs", "gather_bf16"),
@@ -157,14 +175,7 @@ def ials_epochs_bucketed(state: MFState, user_groups: BucketedCSR,
                          n_epochs: int, test_coo, train_coo=None,
                          gather_bf16: bool = False):
     """n_epochs iALS sweeps + per-epoch held-out RMSE in ONE program."""
-    def one(st):
-        GV = jnp.einsum("nk,nm->km", st.V, st.V,
-                        preferred_element_type=st.V.dtype)
-        U = phase_bucketed(st.U, st.V, user_groups, lam, alpha, GV,
-                           gather_bf16=gather_bf16)
-        GU = jnp.einsum("nk,nm->km", U, U, preferred_element_type=U.dtype)
-        V = phase_bucketed(st.V, U, item_groups, lam, alpha, GU,
-                           gather_bf16=gather_bf16)
-        return st._replace(U=U, V=V)
-
-    return _epochs_fused(state, n_epochs, one, test_coo, train_coo)
+    return _epochs_fused(state, n_epochs,
+                         ials_epoch_fn(user_groups, item_groups, lam,
+                                       alpha, gather_bf16),
+                         test_coo, train_coo)

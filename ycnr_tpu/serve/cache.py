@@ -51,12 +51,13 @@ class RecCache:
             self.hits += 1
             return value
 
-    def put(self, key, value):
+    def put(self, key, value) -> bool:
         with self._lock:
             self._d[key] = (value, time.time())
             self._d.move_to_end(key)
             while len(self._d) > self.capacity:
                 self._d.popitem(last=False)
+            return True
 
     def put_if(self, key, value, cond) -> bool:
         """Insert only if ``cond()`` still holds, atomically with respect
@@ -175,25 +176,30 @@ class ShmRecCache:
         self.hits += 1
         return out[:got].copy()
 
-    def put(self, key, value):
+    def put(self, key, value) -> bool:
+        """True if stored; False when the entry is uncacheable
+        (n > N_MAX — a truncated list would silently serve fewer items
+        than the request asked for)."""
         if not self._h:
             raise ValueError(f"shm cache {self.name!r} is closed")
-        if self._n_of(key) > self.N_MAX:  # a truncated list would silently
-            return  # serve fewer items than the request asked for
+        if self._n_of(key) > self.N_MAX:
+            return False
         items = np.ascontiguousarray(np.asarray(value, np.int32))
         self._lib.ycnr_cache_put(
             self._h, self._key(key), self.epoch,
             items.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(items))
+        return True
 
     def put_if(self, key, value, cond) -> bool:
         # the shared cache is (key, epoch)-exact, so a stale put is
         # harmless (it can only be read by same-epoch readers); still
-        # honor the caller's condition for interface parity
+        # honor the caller's condition for interface parity. Propagate
+        # put()'s stored/dropped verdict so precompute counts stay honest
+        # (an n > N_MAX sweep would otherwise report a full cache).
         if not cond():
             return False
-        self.put(key, value)
-        return True
+        return self.put(key, value)
 
     def invalidate(self, key=None):
         """key=None: bump the local epoch view — every existing entry

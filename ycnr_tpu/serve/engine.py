@@ -230,6 +230,12 @@ class Recommender:
         republish (update_state) flushes them with everything else."""
         item_id = int(item_id)
         self._check_items(np.asarray([item_id]))
+        if metric not in ("cosine", "dot"):
+            # validate BEFORE the cache probe: the shm cache's packed key
+            # namespaces only cosine/dot, so an unknown metric could
+            # otherwise alias a cached 'dot' entry instead of raising
+            raise ValueError(
+                f"metric must be 'cosine' or 'dot', got {metric!r}")
         key = ("sim", item_id, int(n), metric)
         hit = self.cache.get(key)
         if hit is not None:

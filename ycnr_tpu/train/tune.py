@@ -38,8 +38,9 @@ from ycnr_tpu.data.dataset import Dataset, load_dataset
 from ycnr_tpu.models.base import MFState, init_state, zero_cold_entities
 from ycnr_tpu.models.bucketed_phase import (
     _epochs_fused,
+    als_epoch_fn,
     device_bucketed,
-    phase_bucketed,
+    ials_epoch_fn,
 )
 from ycnr_tpu.ops.bucketed import build_bucketed
 from ycnr_tpu.train.loop import _algo_params
@@ -63,25 +64,12 @@ def _sweep_program(states: MFState, lams, alphas, user_groups, item_groups,
 
     def one(args):
         st, lam, alpha = args
-        if implicit:
-            def epoch(s):
-                GV = jnp.einsum("nk,nm->km", s.V, s.V,
-                                preferred_element_type=s.V.dtype)
-                U = phase_bucketed(s.U, s.V, user_groups, lam, alpha, GV,
-                                   gather_bf16=gather_bf16)
-                GU = jnp.einsum("nk,nm->km", U, U,
-                                preferred_element_type=U.dtype)
-                V = phase_bucketed(s.V, U, item_groups, lam, alpha, GU,
-                                   gather_bf16=gather_bf16)
-                return s._replace(U=U, V=V)
-        else:
-            def epoch(s):
-                U = phase_bucketed(s.U, s.V, user_groups, lam,
-                                   gather_bf16=gather_bf16)
-                V = phase_bucketed(s.V, U, item_groups, lam,
-                                   gather_bf16=gather_bf16)
-                return s._replace(U=U, V=V)
-
+        # the SAME epoch bodies the single-model train paths run — lam and
+        # alpha are traced scalars here, plain floats there
+        epoch = (ials_epoch_fn(user_groups, item_groups, lam, alpha,
+                               gather_bf16) if implicit
+                 else als_epoch_fn(user_groups, item_groups, lam,
+                                   gather_bf16))
         final, (rmse_t, _) = _epochs_fused(st, n_epochs, epoch, test_coo,
                                            None)
         return final, rmse_t
@@ -142,10 +130,11 @@ def tune(cfg: RunConfig, lams: Sequence[float],
       reported per config.
 
     SGD sweeps run the stream trainer (models/sgd_stream.py — the TPU-fast
-    epoch; the batched path bakes its batch schedule per config). The seed
-    axis varies factor INIT only; the data seed (synthetic gen, stream
-    striping, epoch shuffles) stays cfg.seed so every model sees identical
-    data order.
+    epoch; the batched path bakes its batch schedule per config). For
+    ALS/iALS the seed axis varies factor INIT only (the data seed stays
+    cfg.seed); for SGD a seed axis is refused — stream order is pinned to
+    cfg.seed, so a winner at another init seed would save a config that
+    cannot reproduce its sweep trajectory.
 
     Leaderboard entries: {lam, alpha?, lr?, seed, rmse: [E], rmse_final,
     best_epoch, hit_rate?}. The best config's trained state is returned
@@ -162,6 +151,15 @@ def tune(cfg: RunConfig, lams: Sequence[float],
         raise ValueError("alphas only applies to algorithm='ials'")
     if is_sgd and not lrs:
         lrs = [params.lr]
+    if is_sgd and any(int(s) != cfg.seed for s in seeds):
+        # the sweep shares cfg.seed for stream striping + epoch shuffles;
+        # a differing init-seed axis would win with a trajectory that the
+        # saved {seed: s} config could NOT reproduce (train() uses cfg.seed
+        # for BOTH init and shuffles). Vary cfg.seed across tune() calls
+        # instead.
+        raise ValueError(
+            "SGD sweeps do not take a seed axis: stream order is pinned "
+            f"to cfg.seed ({cfg.seed}); vary cfg.seed per sweep instead")
     if lrs and not is_sgd:
         raise ValueError("lrs only applies to algorithm='sgd'")
     if not lams:
