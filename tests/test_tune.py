@@ -93,6 +93,21 @@ def test_tune_rejects_bad_grids():
         tune(sgd, lams=[0.05], seeds=[1, 2])
 
 
+def test_cli_tune_rank_axis(tmp_path, capsys):
+    main(["tune", "--source", "synthetic", "--users", "80", "--items",
+          "160", "--ratings", "3000", "--epochs", "2", "--lams", "0.05",
+          "--ranks", "4,6", "--out", str(tmp_path)])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    best = lines[-1]
+    assert best["event"] == "best" and best["rank"] in (4, 6)
+    assert {e["rank"] for e in lines[:-1]} == {4, 6}
+    assert best["rmse_final"] == min(e["rmse_final"] for e in lines[:-1])
+    man = json.load(open(f"{best['out_dir']}/ckpt/manifest.json"))
+    assert man["rank"] == best["rank"]
+    assert man["config"]["als"]["rank"] == best["rank"]
+
+
 def test_cli_tune_saves_best_checkpoint(tmp_path, capsys):
     main(["tune", "--source", "synthetic", "--users", "100", "--items",
           "200", "--ratings", "4000", "--epochs", "2", "--rank", "6",

@@ -298,10 +298,15 @@ def cmd_train(args):
 
 
 def cmd_tune(args):
-    """Hyperparameter sweep in ONE compiled device program (train/tune.py):
-    lambda (x alpha for iALS) x seed grid as a stacked model axis — no
-    per-config recompiles. Prints one JSON line per config (best first) and
-    saves the winner's trained factors as a normal checkpoint."""
+    """Hyperparameter sweep in ONE compiled device program per rank
+    (train/tune.py): the lambda (x alpha for iALS, x lr for SGD) x seed
+    grid is a stacked model axis — no per-config recompiles; a --ranks
+    axis compiles once per rank (rank changes array shapes, so that cost
+    is inherent) and sweeps the whole grid inside each. Prints one JSON
+    line per config (best first) and saves the winner's trained factors
+    as a normal checkpoint."""
+    import dataclasses as dc
+
     _jax_setup(args)
     cfg = _build_cfg(args)
     if cfg.mesh.n_shards > 1:
@@ -319,36 +324,53 @@ def cmd_tune(args):
     if lrs and cfg.algorithm != "sgd":
         raise SystemExit("--lrs only applies to --algorithm sgd")
     seeds = [int(x) for x in args.seeds.split(",")] if args.seeds else [cfg.seed]
+    ranks = ([int(x) for x in args.ranks.split(",")] if args.ranks
+             else [None])
     from ycnr_tpu.train.tune import tune
 
-    ds = _store_dataset(args, cfg)
-    res = tune(cfg, lams, alphas=alphas, lrs=lrs, seeds=seeds,
-               epochs=args.epochs, dataset=ds)
-    for entry in res.leaderboard:
+    field = cfg.algorithm
+    implicit = cfg.algorithm == "ials"
+    metric = (lambda e: -e["hit_rate"]) if implicit \
+        else (lambda e: e["rmse_final"])
+    board = []  # merged entries across ranks
+    results = []  # (rank, TuneResult) per rank
+    for rk in ranks:
+        cfg_r = cfg if rk is None else cfg.replace(**{field: dc.replace(
+            getattr(cfg, field), rank=rk)})
+        res = tune(cfg_r, lams, alphas=alphas, lrs=lrs, seeds=seeds,
+                   epochs=args.epochs, dataset=_store_dataset(args, cfg_r))
+        results.append((rk, res))
+        board += ([{"rank": rk, **e} for e in res.leaderboard]
+                  if rk is not None else res.leaderboard)
+    board.sort(key=metric)
+    for entry in board:
         print(json.dumps(entry))
-    out = {"event": "best", **res.best}
+    # the global winner is its own rank's grid-best (same metric), so its
+    # trained state is that rank's best_state
+    best_entry = board[0]
+    best_res = min(results, key=lambda t: metric(t[1].best))[1]
+    out = {"event": "best", **best_entry}
     if cfg.out_dir:
-        import dataclasses as dc
-
         from ycnr_tpu.train.checkpoint import config_dict, save_checkpoint
 
-        best_cfg = cfg.replace(seed=res.best["seed"])
-        field = cfg.algorithm
-        pkw = {"lam": res.best["lam"]}
-        if "alpha" in res.best:
-            pkw["alpha"] = res.best["alpha"]
-        if "lr" in res.best:
-            pkw["lr"] = res.best["lr"]
+        best_cfg = cfg.replace(seed=best_entry["seed"])
+        pkw = {"lam": best_entry["lam"]}
+        if "rank" in best_entry:
+            pkw["rank"] = best_entry["rank"]
+        if "alpha" in best_entry:
+            pkw["alpha"] = best_entry["alpha"]
+        if "lr" in best_entry:
+            pkw["lr"] = best_entry["lr"]
             pkw["method"] = "stream"  # the sweep ran the stream trainer
         best_cfg = best_cfg.replace(**{field: dc.replace(
             getattr(best_cfg, field), **pkw)})
         out_dir = os.path.join(cfg.out_dir, f"{cfg.name}-tune")
         os.makedirs(out_dir, exist_ok=True)
-        epochs_run = len(res.best["rmse"])
-        save_checkpoint(os.path.join(out_dir, "ckpt"), res.best_state,
+        epochs_run = len(best_entry["rmse"])
+        save_checkpoint(os.path.join(out_dir, "ckpt"), best_res.best_state,
                         epochs_run, config=config_dict(best_cfg))
         with open(os.path.join(out_dir, "tune.jsonl"), "w") as f:
-            for entry in res.leaderboard:
+            for entry in board:
                 f.write(json.dumps(entry) + "\n")
         out["out_dir"] = out_dir
     print(json.dumps(out))
@@ -710,6 +732,10 @@ def main(argv=None):
                    help="comma-separated SGD learning-rate grid (sgd only; "
                         "crossed with --lams; sweeps run the stream "
                         "trainer)")
+    p.add_argument("--ranks",
+                   help="comma-separated factor-rank grid; rank changes "
+                        "array shapes so each rank compiles its own sweep "
+                        "program (the inner grid still shares it)")
     p.add_argument("--seeds",
                    help="comma-separated init seeds to cross with the grid "
                         "(default: the config seed)")
