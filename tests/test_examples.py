@@ -24,6 +24,7 @@ def _run(script, *args):
     ("sharded_train.py", (), "gathered factors"),
     ("stream_sgd_and_serving.py", ("--cpu",), "p99"),
     ("model_lifecycle.py", ("--cpu",), "served grown-catalog cohort OK"),
+    ("tune_and_similar.py", ("--cpu",), "cache hits OK"),
 ])
 def test_example_runs(script, args, marker):
     p = _run(script, *args)
