@@ -81,6 +81,39 @@ def test_tune_sgd_matches_standalone_stream_train():
                                rtol=0, atol=2e-5)
 
 
+def test_tune_sharded_matches_single_chip():
+    """Mesh-parallel sweep (configs sharded over devices) must reproduce
+    the single-chip sweep exactly — including a grid that does not divide
+    the mesh (pad rows recompute the last config and are dropped)."""
+    cfg = _cfg("als")
+    r1 = tune(cfg, lams=[0.02, 0.05, 0.2], seeds=[0], epochs=3)
+    cfg4 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, n_shards=4))
+    r2 = tune(cfg4, lams=[0.02, 0.05, 0.2], seeds=[0], epochs=3,
+              dataset=r1.dataset)
+    assert [e["rmse"] for e in r1.leaderboard] == \
+        [e["rmse"] for e in r2.leaderboard]
+    np.testing.assert_allclose(np.asarray(r1.best_state.U),
+                               np.asarray(r2.best_state.U), atol=1e-6)
+
+
+def test_tune_sharded_sgd_matches_single_chip():
+    cfg = get_preset("ml1m-sgd")
+    cfg = dataclasses.replace(
+        cfg, out_dir=None,
+        data=dataclasses.replace(cfg.data, source="synthetic", n_users=120,
+                                 n_items=240, n_ratings=5000),
+        sgd=dataclasses.replace(cfg.sgd, batch_size=512, method="stream"))
+    r1 = tune(cfg, lams=[0.02, 0.1], lrs=[0.005, 0.02],
+              seeds=[cfg.seed], epochs=2)
+    cfg2 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, n_shards=2))
+    r2 = tune(cfg2, lams=[0.02, 0.1], lrs=[0.005, 0.02],
+              seeds=[cfg.seed], epochs=2, dataset=r1.dataset)
+    assert [e["rmse"] for e in r1.leaderboard] == \
+        [e["rmse"] for e in r2.leaderboard]
+
+
 def test_tune_rejects_bad_grids():
     with pytest.raises(ValueError, match="at least one lambda"):
         tune(_cfg("als"), lams=[])

@@ -309,9 +309,6 @@ def cmd_tune(args):
 
     _jax_setup(args)
     cfg = _build_cfg(args)
-    if cfg.mesh.n_shards > 1:
-        raise SystemExit("tune runs the single-chip bucketed path; drop "
-                         "--shards (sweep first, then scale the winner)")
 
     def _floats(s):
         return [float(x) for x in s.split(",") if x.strip()]

@@ -19,6 +19,14 @@ SGD sweeps run the stream trainer (models/sgd_stream.py): its epoch core
 takes lam/lr as plain arithmetic inputs, so (lambda, lr) become per-model
 traced vectors exactly like the ALS path; the batched SGD trainer is not
 swept (its batch schedule is baked per config).
+
+With cfg.mesh.n_shards > 1 the MODEL axis shards over the 1-D device mesh
+(`_sweep_sharded`): each chip trains its own slice of the config grid
+against replicated data — embarrassingly parallel, zero collectives, a
+D-fold sweep wall-time cut on D chips. Note the axis choice: sharded
+TRAINING (parallel/shard.py) splits one model's users across chips; the
+sweep splits MODELS across chips, which is the right mapping when the
+single-chip epoch already fits — no collective traffic at all.
 """
 
 from __future__ import annotations
@@ -54,13 +62,10 @@ class TuneResult:
     dataset: Dataset
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "implicit", "gather_bf16"),
-         donate_argnums=(0,))
-def _sweep_program(states: MFState, lams, alphas, user_groups, item_groups,
-                   test_coo, n_epochs: int, implicit: bool,
-                   gather_bf16: bool = False):
-    """states: MFState pytree with a leading model axis [S, ...]; lams /
-    alphas: [S]. Returns (final stacked states, rmse_test [S, n_epochs])."""
+def _als_runner(user_groups, item_groups, test_coo, n_epochs: int,
+                implicit: bool, gather_bf16: bool):
+    """(state, lam, alpha) -> (final state, rmse[n_epochs]) for one model —
+    shared by the single-chip lax.map and the sharded shard_map sweep."""
 
     def one(args):
         st, lam, alpha = args
@@ -74,16 +79,14 @@ def _sweep_program(states: MFState, lams, alphas, user_groups, item_groups,
                                            None)
         return final, rmse_t
 
-    return lax.map(one, (states, lams, alphas))
+    return one
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "tile", "seed"),
-         donate_argnums=(0,))
-def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
-                       test_coo, n_epochs: int, tile: int, seed: int):
-    """Stream-SGD sweep: (lam, lr) are traced per-model data; the per-epoch
-    batch order reproduces StreamSGD.epoch's shuffle (same key formula) and
-    is shared by every model, so a config's trajectory matches a standalone
+def _sgd_runner(data_arrays, decay, test_coo, n_epochs: int, tile: int,
+                seed: int):
+    """SGD analog of _als_runner. The per-epoch batch order reproduces
+    StreamSGD.epoch's shuffle (same key formula) and is shared by every
+    model, so a config's trajectory matches a standalone
     `--sgd-method stream` run (up to the in-program f32 lr-decay power vs
     the host's f64 — a last-ulp difference)."""
     from ycnr_tpu.models.base import rmse_padded
@@ -104,7 +107,62 @@ def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
 
         return lax.scan(body, st, jnp.arange(n_epochs))
 
+    return one
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "implicit", "gather_bf16"),
+         donate_argnums=(0,))
+def _sweep_program(states: MFState, lams, alphas, user_groups, item_groups,
+                   test_coo, n_epochs: int, implicit: bool,
+                   gather_bf16: bool = False):
+    """states: MFState pytree with a leading model axis [S, ...]; lams /
+    alphas: [S]. Returns (final stacked states, rmse_test [S, n_epochs])."""
+    one = _als_runner(user_groups, item_groups, test_coo, n_epochs,
+                      implicit, gather_bf16)
+    return lax.map(one, (states, lams, alphas))
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "tile", "seed"),
+         donate_argnums=(0,))
+def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
+                       test_coo, n_epochs: int, tile: int, seed: int):
+    one = _sgd_runner(data_arrays, decay, test_coo, n_epochs, tile, seed)
     return lax.map(one, (states, lams, lrs))
+
+
+def _sweep_sharded(mesh, is_sgd: bool, states, v1, v2, shared, n_epochs,
+                   **kw):
+    """Mesh-parallel sweep: the MODEL axis shards over the 1-D mesh — each
+    device trains its own slice of the config grid against replicated data
+    (embarrassingly parallel: zero collectives; D devices give a D-fold
+    sweep wall-time cut). Same runner bodies as the single-chip programs,
+    so per-config results are identical.
+
+    v1/v2 = per-model hyperparam vectors (lam + alpha|lr); shared = the
+    replicated operands tuple (layouts/test for ALS; data+decay+test for
+    SGD). The model count must divide the mesh — tune() pads the grid."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ycnr_tpu.parallel.mesh import AXIS
+
+    def local(states_l, v1_l, v2_l, *shared_ops):
+        one = (_sgd_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                           n_epochs, kw["tile"], kw["seed"]) if is_sgd
+               else _als_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                                n_epochs, kw["implicit"],
+                                kw["gather_bf16"]))
+        return lax.map(one, (states_l, v1_l, v2_l))
+
+    shard = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+    states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+    v1, v2 = jax.device_put(v1, shard), jax.device_put(v2, shard)
+    shared = jax.tree.map(lambda x: jax.device_put(x, repl), shared)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * len(shared),
+        out_specs=(P(AXIS), P(AXIS))), donate_argnums=(0,))
+    return fn(states, v1, v2, *shared)
 
 
 def _stack_states(states: Sequence[MFState]) -> MFState:
@@ -178,15 +236,25 @@ def tune(cfg: RunConfig, lams: Sequence[float],
            else [float(x) for x in lrs] if is_sgd else [0.0])
     grid = list(itertools.product(
         [float(x) for x in lams], aux, [int(s) for s in seeds]))
+    mesh = None
+    grid_run = grid
+    if cfg.mesh.n_shards > 1:
+        # mesh-parallel sweep: configs shard over devices (D-fold sweep
+        # speedup, zero collectives); pad the grid to divide the mesh —
+        # pad rows recompute the last config and are dropped below
+        from ycnr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh.n_shards)
+        grid_run = grid + [grid[-1]] * ((-len(grid)) % cfg.mesh.n_shards)
     mu = ds.mu if is_sgd else 0.0
     states = _stack_states([
         zero_cold_entities(
             init_state(ds.n_users, ds.n_items, params.rank, seed=seed,
                        mu=mu, dtype=dtype),
             ds.train_u, ds.train_i)
-        for _, _, seed in grid])
-    lam_v = jnp.asarray([g[0] for g in grid], dtype)
-    aux_v = jnp.asarray([g[1] for g in grid], dtype)
+        for _, _, seed in grid_run])
+    lam_v = jnp.asarray([g[0] for g in grid_run], dtype)
+    aux_v = jnp.asarray([g[1] for g in grid_run], dtype)
 
     if is_sgd:
         from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
@@ -196,10 +264,17 @@ def tune(cfg: RunConfig, lams: Sequence[float],
             ds.train_u, ds.train_i, ds.train_r, params.batch_size,
             ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype,
             grad_mode=gm)
-        finals, rmse = _sweep_sgd_program(
-            states, lam_v, aux_v, jnp.asarray(params.lr_decay, dtype),
-            (data.ul, data.ib, data.rb, data.wu, data.wi, data.u_lo),
-            test_coo, n_epochs, data.tile, cfg.seed)
+        arrays = (data.ul, data.ib, data.rb, data.wu, data.wi, data.u_lo)
+        decay = jnp.asarray(params.lr_decay, dtype)
+        if mesh is not None:
+            finals, rmse = _sweep_sharded(
+                mesh, True, states, lam_v, aux_v,
+                (arrays, decay, test_coo), n_epochs,
+                tile=data.tile, seed=cfg.seed)
+        else:
+            finals, rmse = _sweep_sgd_program(
+                states, lam_v, aux_v, decay, arrays, test_coo, n_epochs,
+                data.tile, cfg.seed)
     else:
         dul = device_bucketed(build_bucketed(
             ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
@@ -209,10 +284,16 @@ def tune(cfg: RunConfig, lams: Sequence[float],
             ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
             cfg.data.chunk_len, params.rank,
             max_groups=cfg.data.max_groups), dtype)
-        finals, rmse = _sweep_program(states, lam_v, aux_v, dul, dil,
-                                      test_coo, n_epochs, implicit,
-                                      params.gather_dtype == "bfloat16")
-    rmse = np.asarray(rmse, np.float64)  # [S, E]
+        bf16 = params.gather_dtype == "bfloat16"
+        if mesh is not None:
+            finals, rmse = _sweep_sharded(
+                mesh, False, states, lam_v, aux_v, (dul, dil, test_coo),
+                n_epochs, implicit=implicit, gather_bf16=bf16)
+        else:
+            finals, rmse = _sweep_program(states, lam_v, aux_v, dul, dil,
+                                          test_coo, n_epochs, implicit,
+                                          bf16)
+    rmse = np.asarray(rmse, np.float64)[:len(grid)]  # [S, E], pads dropped
 
     board = []
     for s, (lam, aux_val, seed) in enumerate(grid):
