@@ -126,6 +126,21 @@ def test_tune_rejects_bad_grids():
         tune(sgd, lams=[0.05], seeds=[1, 2])
 
 
+def test_cli_tune_ials_alphas(tmp_path, capsys):
+    main(["tune", "--algorithm", "ials", "--source", "synthetic",
+          "--users", "80", "--items", "160", "--ratings", "3000",
+          "--epochs", "2", "--rank", "5", "--lams", "0.1",
+          "--alphas", "10,40", "--out", str(tmp_path)])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    best = lines[-1]
+    assert best["event"] == "best" and best["alpha"] in (10.0, 40.0)
+    hits = [e["hit_rate"] for e in lines[:-1]]
+    assert hits == sorted(hits, reverse=True)
+    man = json.load(open(f"{best['out_dir']}/ckpt/manifest.json"))
+    assert man["config"]["ials"]["alpha"] == best["alpha"]
+
+
 def test_cli_tune_rank_axis(tmp_path, capsys):
     main(["tune", "--source", "synthetic", "--users", "80", "--items",
           "160", "--ratings", "3000", "--epochs", "2", "--lams", "0.05",
