@@ -111,6 +111,13 @@ def _add_train_overrides(p):
                    help="bucketed-layout group cap (default 16; 8 roughly "
                         "halves first-epoch program-upload wall at ~17% "
                         "steady-epoch cost — docs/KERNELS.md)")
+    p.add_argument("--split", choices=["random", "time", "last-out"],
+                   help="held-out protocol: random holdout (default), "
+                        "temporal global holdout by timestamp, or per-user "
+                        "leave-last-k most recent (data/split.py; time/"
+                        "last-out need a store prepared with timestamps)")
+    p.add_argument("--last-k", type=int, dest="last_k",
+                   help="k for --split last-out (default 1)")
     p.add_argument("--measure-serving", action="store_true",
                    help="time top-N for all users after training and log "
                         "the recs/s metric (BASELINE.json:2)")
@@ -181,7 +188,8 @@ def _build_cfg(args):
                     f"'synthetic')")
             dkw.update(source=kinds[ext], path=args.source)
     for k, a in (("n_users", "users"), ("n_items", "items"),
-                 ("n_ratings", "ratings"), ("max_groups", "max_groups")):
+                 ("n_ratings", "ratings"), ("max_groups", "max_groups"),
+                 ("split", "split"), ("last_k", "last_k")):
         v = getattr(args, a, None)
         if v:
             dkw[k] = v
@@ -237,12 +245,14 @@ def _store_dataset(args, cfg):
     if not getattr(args, "store", None):
         return None
     from ycnr_tpu.data.dataset import Dataset as DS
-    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.data.split import split_coo
 
     st, u, i, r = _open_store(args.store)
     n_users, n_items = st.meta["n_users"], st.meta["n_items"]
-    (tu, ti, tr), (su, si, sr) = train_test_split(
-        u, i, r, cfg.data.test_fraction, cfg.data.seed)
+    (tu, ti, tr), (su, si, sr) = split_coo(
+        u, i, r, st.read_ts(), method=cfg.data.split,
+        test_fraction=cfg.data.test_fraction, seed=cfg.data.seed,
+        last_k=cfg.data.last_k)
     params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
     return DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
               train_r=tr, test_u=su, test_i=si, test_r=sr,
@@ -374,6 +384,8 @@ def cmd_tune(args):
 
 
 def cmd_prepare(args):
+    import numpy as np
+
     from ycnr_tpu.data.movielens import load_movielens
     from ycnr_tpu.data.store import RatingsStore
     from ycnr_tpu.data.synthetic import synthetic_ratings
@@ -382,17 +394,19 @@ def cmd_prepare(args):
     if args.source == "synthetic":
         u, i, r = synthetic_ratings(args.users, args.items, args.ratings,
                                     seed=args.seed)
+        ts = np.arange(len(r), dtype=np.int64)  # stream order as time
     else:
-        u, i, r, _, _, umap, imap = load_movielens(args.source,
-                                                   return_maps=True)
+        u, i, r, _, _, umap, imap, ts = load_movielens(
+            args.source, return_maps=True, return_ts=True)
         store.set_id_maps(umap, imap)  # dense index -> original dataset id
     for s in range(0, len(r), args.portion):
         store.append(u[s:s + args.portion], i[s:s + args.portion],
-                     r[s:s + args.portion])
+                     r[s:s + args.portion], ts=ts[s:s + args.portion])
     print(json.dumps({"store": args.store, "rows": store.n_rows,
                       "n_users": store.meta["n_users"],
                       "n_items": store.meta["n_items"],
-                      "id_maps": bool(store.meta.get("has_id_maps"))}))
+                      "id_maps": bool(store.meta.get("has_id_maps")),
+                      "timestamps": bool(store.meta.get("has_ts"))}))
 
 
 def cmd_recommend(args):
@@ -657,7 +671,7 @@ def cmd_validate(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.data.split import split_coo
     from ycnr_tpu.eval.ranking import hit_rate_at_n
     from ycnr_tpu.models.base import rmse_padded
     from ycnr_tpu.ops.layout import pad_coo
@@ -674,9 +688,10 @@ def cmd_validate(args):
             f"items up to {int(i.max())}, but the checkpoint was trained "
             f"on {state.n_users} users x {state.n_items} items — wrong "
             "store for this checkpoint?")
-    (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r,
-                                                  args.test_fraction,
-                                                  args.seed)
+    (tu, ti, tr), (su, si, sr) = split_coo(
+        u, i, r, store.read_ts(), method=args.split,
+        test_fraction=args.test_fraction, seed=args.seed,
+        last_k=args.last_k)
     pu, pi, pr, n = pad_coo(su, si, sr, state.n_users, state.n_items)
     rmse = float(rmse_padded(state, jnp.asarray(pu), jnp.asarray(pi),
                              jnp.asarray(pr), n))
@@ -840,6 +855,12 @@ def main(argv=None):
     p.add_argument("--store", required=True)
     p.add_argument("--test-fraction", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--split", choices=["random", "time", "last-out"],
+                   default="random",
+                   help="held-out protocol (match the training --split so "
+                        "train and validate see the same test rows)")
+    p.add_argument("--last-k", type=int, dest="last_k", default=1,
+                   help="k for --split last-out")
     p.add_argument("--hit-rate", action="store_true")
     p.add_argument("--ranking", action="store_true",
                    help="full top-N suite: hit-rate, precision, recall, "

@@ -27,6 +27,11 @@ class DataConfig:
     noise: float = 0.25  # synthetic rating noise sigma
     seed: int = 0
     test_fraction: float = 0.1  # held-out split (reference train/test split)
+    # split protocol: "random" holdout, "time" (temporal global holdout by
+    # the stored timestamp column), or "last-out" (per-user leave-last-k
+    # most recent; the classic top-N protocol) — data/split.py
+    split: str = "random"
+    last_k: int = 1  # k for split="last-out"
     chunk_len: int = 32  # L: ratings per chunk in the blocked-CSR layout
     # bucket-group cap for the single-chip bucketed layout: each group is
     # one program segment, so fewer groups = smaller executable = faster

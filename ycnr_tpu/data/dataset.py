@@ -17,7 +17,7 @@ import numpy as np
 
 from ycnr_tpu.config import DataConfig
 from ycnr_tpu.data.movielens import load_movielens
-from ycnr_tpu.data.split import train_test_split
+from ycnr_tpu.data.split import split_coo
 from ycnr_tpu.data.synthetic import synthetic_ratings
 from ycnr_tpu.ops.layout import BlockedCSR, build_blocked_csr, pad_coo
 
@@ -72,25 +72,33 @@ class Dataset:
                        self.n_users, self.n_items, multiple)
 
 
-def _load_source(cfg: DataConfig):
+def _load_source(cfg: DataConfig, want_ts: bool = False):
     if cfg.source == "synthetic":
         u, i, r = synthetic_ratings(cfg.n_users, cfg.n_items, cfg.n_ratings,
                                     cfg.true_rank, cfg.noise, cfg.seed)
-        return u, i, r, cfg.n_users, cfg.n_items
+        # synthetic "time" = stream order (deterministic, monotone)
+        ts = np.arange(len(r), dtype=np.int64) if want_ts else None
+        return u, i, r, cfg.n_users, cfg.n_items, ts
     if cfg.path is None:
         raise ValueError(
             f"source {cfg.source!r} needs data.path (no network in this "
             "environment; see SURVEY.md §7)")
-    return load_movielens(cfg.path)
+    out = load_movielens(cfg.path, return_ts=want_ts)
+    if want_ts:
+        u, i, r, n_users, n_items, ts = out
+        return u, i, r, n_users, n_items, ts
+    return out + (None,)
 
 
 def load_dataset(cfg: DataConfig, rank_hint: int = 64,
                  block_chunks: Optional[int] = None) -> Dataset:
-    u, i, r, n_users, n_items = _load_source(cfg)
+    want_ts = cfg.split != "random"
+    u, i, r, n_users, n_items, ts = _load_source(cfg, want_ts=want_ts)
     # iALS consumes raw r as confidence (c = 1 + alpha*r) and binarizes
     # preferences internally (p = 1 on observed pairs) - no flag needed.
-    (tu, ti, tr), (su, si, sr) = train_test_split(
-        u, i, r, cfg.test_fraction, cfg.seed)
+    (tu, ti, tr), (su, si, sr) = split_coo(
+        u, i, r, ts, method=cfg.split, test_fraction=cfg.test_fraction,
+        seed=cfg.seed, last_k=cfg.last_k)
     return Dataset(
         n_users=n_users, n_items=n_items,
         train_u=tu, train_i=ti, train_r=tr,

@@ -27,8 +27,8 @@ def _sep_for(path: str) -> str:
     return _FORMATS[ext]
 
 
-def _parse_python(path: str, sep: str):
-    users, items, ratings = [], [], []
+def _parse_python(path: str, sep: str, want_ts: bool = False):
+    users, items, ratings, ts = [], [], [], []
     with open(path, "r", encoding="utf-8") as f:
         first = True
         for line in f:
@@ -43,8 +43,12 @@ def _parse_python(path: str, sep: str):
             users.append(int(parts[0]))
             items.append(int(parts[1]))
             ratings.append(float(parts[2]))
-    return (np.asarray(users, np.int64), np.asarray(items, np.int64),
-            np.asarray(ratings, np.float32))
+            if want_ts:
+                # some exports drop the timestamp column; 0 keeps the row
+                ts.append(int(float(parts[3])) if len(parts) > 3 else 0)
+    out = (np.asarray(users, np.int64), np.asarray(items, np.int64),
+           np.asarray(ratings, np.float32))
+    return out + (np.asarray(ts, np.int64),) if want_ts else out
 
 
 def _densify(x: np.ndarray):
@@ -69,7 +73,8 @@ def _densify(x: np.ndarray):
     return ids.astype(np.int64), remap[x]
 
 
-def load_movielens(path: str, densify: bool = True, return_maps: bool = False):
+def load_movielens(path: str, densify: bool = True, return_maps: bool = False,
+                   return_ts: bool = False):
     """Parse a MovieLens ratings file.
 
     Returns (user_idx, item_idx, rating, n_users, n_items). With
@@ -77,16 +82,27 @@ def load_movielens(path: str, densify: bool = True, return_maps: bool = False):
     pass ``return_maps=True`` to also get (user_ids, item_ids) arrays
     mapping dense index -> original dataset id (needed to serve results in
     the dataset's id space — the reference reads ids straight from its DB).
+    ``return_ts=True`` appends the int64 timestamp column (reference call
+    stack 3.1 parses it; 0 where the file has no 4th field) — the input
+    for time-ordered splits (data/split.py time_split).
     """
     sep = _sep_for(path)
+    ts = None
     try:
-        from ycnr_tpu.native import parse_ratings_native
+        if return_ts:
+            from ycnr_tpu.native import parse_ratings_ts_native
 
-        parsed = parse_ratings_native(path, sep)
+            parsed = parse_ratings_ts_native(path, sep)
+        else:
+            from ycnr_tpu.native import parse_ratings_native
+
+            parsed = parse_ratings_native(path, sep)
     except Exception:
         parsed = None
     if parsed is None:
-        u, i, r = _parse_python(path, sep)
+        parsed = _parse_python(path, sep, want_ts=return_ts)
+    if return_ts:
+        u, i, r, ts = parsed
     else:
         u, i, r = parsed
 
@@ -101,5 +117,7 @@ def load_movielens(path: str, densify: bool = True, return_maps: bool = False):
     out = (u.astype(np.int32, copy=False), i.astype(np.int32, copy=False),
            r.astype(np.float32, copy=False), n_users, n_items)
     if return_maps:
-        return out + (uu.astype(np.int64), ii.astype(np.int64))
+        out = out + (uu.astype(np.int64), ii.astype(np.int64))
+    if return_ts:
+        out = out + (ts.astype(np.int64, copy=False),)
     return out

@@ -39,18 +39,34 @@ class RatingsStore:
             json.dump(self.meta, f)
         os.replace(tmp, self._meta_path)
 
-    def append(self, user_idx, item_idx, rating):
-        """Append one batch (the reference's batched INSERT, call stack 3.1)."""
+    def append(self, user_idx, item_idx, rating, ts=None):
+        """Append one batch (the reference's batched INSERT, call stack 3.1).
+
+        ``ts`` (optional int64 timestamps — the reference keeps them in its
+        DB rows) must be given either for every append or for none: a store
+        with a partial timestamp column could not honor a time split."""
         u = np.asarray(user_idx, np.int32)
         i = np.asarray(item_idx, np.int32)
         r = np.asarray(rating, np.float32)
         if not (len(u) == len(i) == len(r)):
             raise ValueError("batch arrays must share length")
+        if self.meta["segments"]:
+            if bool(self.meta.get("has_ts")) != (ts is not None):
+                raise ValueError(
+                    "timestamp column must be given for every append or "
+                    "for none (store has_ts="
+                    f"{bool(self.meta.get('has_ts'))})")
         seg = len(self.meta["segments"])
         base = os.path.join(self.path, f"seg{seg:05d}")
         np.save(base + ".u.npy", u)
         np.save(base + ".i.npy", i)
         np.save(base + ".r.npy", r)
+        if ts is not None:
+            t = np.asarray(ts, np.int64)
+            if len(t) != len(u):
+                raise ValueError("batch arrays must share length")
+            np.save(base + ".t.npy", t)
+            self.meta["has_ts"] = True
         self.meta["segments"].append({"name": f"seg{seg:05d}", "rows": len(u)})
         self.meta["n_rows"] += len(u)
         if len(u):
@@ -108,6 +124,16 @@ class RatingsStore:
             return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                     np.zeros(0, np.float32))
         return tuple(np.concatenate(x) for x in zip(*parts))
+
+    def read_ts(self):
+        """The full timestamp column (int64), or None if the import didn't
+        store one. Segment order matches read_all()."""
+        if not self.meta.get("has_ts"):
+            return None
+        return np.concatenate([
+            np.load(os.path.join(self.path, seg["name"] + ".t.npy"))
+            for seg in self.meta["segments"]]) if self.meta["segments"] \
+            else np.zeros(0, np.int64)
 
     @property
     def n_rows(self) -> int:

@@ -69,6 +69,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float)]
+    lib.ycnr_parse_ratings_ts.restype = ctypes.c_longlong
+    lib.ycnr_parse_ratings_ts.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
     lib.ycnr_pack_chunks.restype = ctypes.c_int
     lib.ycnr_pack_chunks.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -178,6 +183,32 @@ def parse_ratings_native(path: str, sep: str):
     if got == -2:
         return None  # nothing parseable: defer to the tolerant Python parser
     return (u[:got], i[:got], r[:got])
+
+
+def parse_ratings_ts_native(path: str, sep: str):
+    """4-column variant of parse_ratings_native: also returns the
+    timestamp column as int64 (0 where the file has no 4th field)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.ycnr_count_rows(path.encode())
+    if n < 0:
+        raise FileNotFoundError(path)
+    u = np.empty(n, np.int32)
+    i = np.empty(n, np.int32)
+    r = np.empty(n, np.float32)
+    t = np.empty(n, np.int64)
+    sep_mode = 1 if sep == "::" else 0
+    got = lib.ycnr_parse_ratings_ts(path.encode(), sep.encode(), sep_mode, n,
+                                    _ptr(u, ctypes.c_int32),
+                                    _ptr(i, ctypes.c_int32),
+                                    _ptr(r, ctypes.c_float),
+                                    _ptr(t, ctypes.c_int64))
+    if got == -1:
+        raise FileNotFoundError(path)
+    if got == -2:
+        return None
+    return (u[:got], i[:got], r[:got], t[:got])
 
 
 def pack_rows_native(src_start, src_cnt, o_sorted, r_sorted, out_oi,

@@ -121,10 +121,13 @@ static inline float ycnr_parse_float(char** pp, char* end, bool* ok) {
 // MB of fresh first-touch pages before parsing starts, which on ballooned
 // VMs (docs/KERNELS.md "host-side build notes") costs far more than the
 // parse itself.
-long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
-                             int64_t cap, int32_t* users, int32_t* items,
-                             float* ratings) {
-  (void)sep;  // separator bytes are skipped positionally (as before)
+// Core loop shared by the with/without-timestamp entry points: `ts` may be
+// null (skip the 4th column) or an int64 output array (parse it; a missing
+// or malformed 4th field stores 0 but keeps the row — some exports drop the
+// timestamp column and that must not reject the dataset).
+static long long ycnr_parse_impl(const char* path, int sep_mode, int64_t cap,
+                                 int32_t* users, int32_t* items,
+                                 float* ratings, int64_t* ts) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   const size_t BUF = (size_t)4 << 20;
@@ -195,6 +198,16 @@ long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
         users[row] = (int32_t)u;
         items[row] = (int32_t)it;
         ratings[row] = r;
+        if (ts) {
+          long long t = 0;
+          if (p + sw <= line_end) {
+            p += sw;
+            bool tok;
+            long tv = ycnr_parse_long(&p, line_end, &tok);
+            if (tok) t = tv;
+          }
+          ts[row] = (int64_t)t;
+        }
         row++;
       } else {
         bad++;  // malformed row: skip the LINE, keep parsing (the Python
@@ -212,6 +225,25 @@ long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
   // signal failure so the caller falls back to the tolerant Python parser
   if (row == 0 && bad > 0) return -2;
   return row;
+}
+
+long long ycnr_parse_ratings(const char* path, const char* sep, int sep_mode,
+                             int64_t cap, int32_t* users, int32_t* items,
+                             float* ratings) {
+  (void)sep;  // separator bytes are skipped positionally (as before)
+  return ycnr_parse_impl(path, sep_mode, cap, users, items, ratings,
+                         nullptr);
+}
+
+// 4-column variant: also extracts the timestamp column (reference call
+// stack 3.1 parses (userId, movieId, rating, ts); the reference keeps ts
+// in its DB rows, which enables time-ordered splits).
+long long ycnr_parse_ratings_ts(const char* path, const char* sep,
+                                int sep_mode, int64_t cap, int32_t* users,
+                                int32_t* items, float* ratings,
+                                int64_t* ts) {
+  (void)sep;
+  return ycnr_parse_impl(path, sep_mode, cap, users, items, ratings, ts);
 }
 
 // Chunk-pack pre-sorted COO (sorted by entity; see build_blocked_csr).
