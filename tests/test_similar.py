@@ -108,6 +108,22 @@ def test_precompute_similar_fills_cache():
         sim.similar_items = orig
 
 
+def test_popular_fallback():
+    u = np.asarray([0, 1, 2, 3, 0, 1, 2, 0, 1, 0], np.int32)
+    i = np.asarray([5, 5, 5, 5, 3, 3, 3, 7, 7, 9], np.int32)
+    r = np.ones(10, np.float32)
+    st = init_state(4, 12, 3, seed=0)
+    rec = Recommender(st, u, i, train_r=r)
+    top = rec.popular(3)
+    assert top.tolist() == [5, 3, 7]  # by rating count, ties stable
+    # never-rated items are excluded even when n exceeds the rated set
+    assert rec.popular(12).tolist() == [5, 3, 7, 9]
+    # cached; flushed by a state swap
+    assert rec.cache.get(("pop", 0, 3, "count")) is not None
+    rec.update_state(init_state(4, 12, 3, seed=1))
+    assert rec.cache.get(("pop", 0, 3, "count")) is None
+
+
 def test_serving_app_similar_request(tmp_path):
     from ycnr_tpu.serve.server import ServingApp
 
@@ -121,6 +137,7 @@ def test_serving_app_similar_request(tmp_path):
         assert out["item"] == 2 and len(out["similar"]) == 5
         assert json.loads(app.handle("similar:2:dot"))["similar"]
         assert "error" in json.loads(app.handle("similar:999"))
+        assert len(json.loads(app.handle("popular"))["popular"]) == 5
     finally:
         app.close()
 

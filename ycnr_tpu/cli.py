@@ -491,6 +491,19 @@ def cmd_recommend(args):
                                   "save": args.save}))
         return
 
+    if getattr(args, "popular", False):
+        # zero-history fallback: top-N by training rating count
+        u, i, r = _read_rows(store)
+        counts = np.bincount(i, minlength=int(store.meta["n_items"]))
+        n_eff = min(args.n, len(counts))
+        top = np.argpartition(-counts, n_eff - 1)[:n_eff]
+        top = top[np.argsort(-counts[top], kind="stable")]
+        top = top[counts[top] > 0]
+        if maps is not None:
+            top = maps[1][top]
+        print(json.dumps({"popular": [int(x) for x in top]}))
+        return
+
     if getattr(args, "similar", None) is not None:
         # item-item "more like this": factor-row similarity over V
         # (eval/similar.py; needs only the factor state)
@@ -584,8 +597,8 @@ def cmd_serve(args):
     """Long-running serving loop: one request per stdin line, one JSON
     response per stdout line. Requests: a user id ("42"), an ad-hoc
     cold-user rating list ("cold:318:5.0,296:4.5"), an item-similarity
-    query ("similar:318" / "similar:318:dot"), or "stats" (epoch,
-    catalog dims, latency histogram). With --shm the factors hot-reload
+    query ("similar:318" / "similar:318:dot"), "popular" (zero-history
+    fallback), or "stats" (epoch, catalog dims, latency histogram). With --shm the factors hot-reload
     whenever the trainer republishes (reference pattern: workers serving
     from live shm while the master retrains). With --listen the same
     protocol runs behind a thread-per-connection TCP server
@@ -776,6 +789,10 @@ def main(argv=None):
     p.add_argument("--rated", metavar="ITEM:RATING,...",
                    help="serve a cold user by fold-in from this ad-hoc "
                         "rating list instead of a trained user id")
+    p.add_argument("--popular", action="store_true",
+                   help="zero-history fallback: top-N items by training "
+                        "rating count (what to serve a brand-new user "
+                        "before any fold-in ratings exist)")
     p.add_argument("--similar", type=int, nargs="*", default=None,
                    metavar="ITEM",
                    help="item-item mode: top-N most similar catalog items "

@@ -147,18 +147,22 @@ class ShmRecCache:
         self._base = int(epoch)
         self._bump = 0
 
-    @staticmethod
-    def _key(key) -> int:
-        if key[0] == "sim":  # ("sim", item, n, metric) — engine.similar
-            _, item, n, metric = key
-            ns = 1 if metric == "cosine" else 2
-            return (ns << 56) | (int(item) << 16) | (int(n) & 0xFFFF)
+    # key-space namespaces above the (user << 16 | n) plane: (tag, id, n,
+    # variant) tuples from engine.similar / engine.popular
+    _NS = {("sim", "cosine"): 1, ("sim", "dot"): 2, ("pop", "count"): 3}
+
+    @classmethod
+    def _key(cls, key) -> int:
+        if isinstance(key[0], str):  # ("sim"|"pop", id, n, variant)
+            tag, ident, n, variant = key
+            ns = cls._NS[(tag, variant)]
+            return (ns << 56) | (int(ident) << 16) | (int(n) & 0xFFFF)
         user, n = key
         return (int(user) << 16) | (int(n) & 0xFFFF)
 
     @staticmethod
     def _n_of(key) -> int:
-        return int(key[2] if key[0] == "sim" else key[1])
+        return int(key[2] if isinstance(key[0], str) else key[1])
 
     def get(self, key):
         if not self._h:

@@ -221,6 +221,27 @@ class Recommender:
                 count += 1
         return count
 
+    def popular(self, n: int = 10):
+        """Top-n items by training rating count — the zero-history
+        fallback (a brand-new user has nothing to fold in; the reference's
+        analog is a popularity query on its ratings table). Computed from
+        the CURRENT index (base + compacted online updates) and cached
+        per call count; update_state flushes with everything else."""
+        key = ("pop", 0, int(n), "count")
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        v0 = self._version
+        (_, si, _), _ = self._index
+        counts = np.bincount(si, minlength=self.state.n_items)
+        n_eff = min(int(n), self.state.n_items)
+        top = np.argpartition(-counts, n_eff - 1)[:n_eff]
+        result = top[np.argsort(-counts[top], kind="stable")].astype(
+            np.int64)
+        result = result[counts[result] > 0]  # never-rated items excluded
+        self.cache.put_if(key, result, lambda: self._version == v0)
+        return result
+
     def similar(self, item_id: int, n: int = 10, metric: str = "cosine"):
         """Top-n most similar catalog items to item_id by factor-row
         similarity (eval/similar.py) — "more like this" serving off the

@@ -330,6 +330,12 @@ class ServingApp:
                 return self._stats()
             if line.startswith("cold:"):
                 return self._cold(line)
+            if line == "popular":
+                items = self._engine().popular(self.n)
+                if self.maps is not None:
+                    items = self.maps[1][np.asarray(items)]
+                return json.dumps({"popular":
+                                   [int(x) for x in items]})
             if line.startswith("similar:"):
                 return self._similar(line)
             if line.startswith("batch:"):
