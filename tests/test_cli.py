@@ -88,6 +88,14 @@ def test_recommend_requires_source(trained):
         main(["recommend", "--store", store, "--user", "0"])
 
 
+def test_recommend_popular_needs_no_factors(trained, capsys):
+    # the popularity fallback only counts store rows — no --ckpt/--shm
+    store, _ = trained
+    main(["recommend", "--store", store, "--popular", "-n", "5"])
+    out = _out_lines(capsys)[-1]
+    assert len(out["popular"]) == 5
+
+
 @pytest.mark.skipif(not shm_available(), reason="no native shm library")
 def test_publish_and_shm_serving(trained, capsys):
     import uuid

@@ -58,6 +58,21 @@ def test_per_user_tombstone_is_fleet_wide(cache_name):
         assert b.get((5, 10)) is None  # other processes miss too
 
 
+def test_popular_tombstone_is_fleet_wide(cache_name):
+    with ShmRecCache(cache_name, 1 << 10, epoch=2) as a, \
+            ShmRecCache(cache_name, 1 << 10, epoch=2) as b:
+        a.put(("pop", 0, 10, "count"), [3, 1, 2])
+        np.testing.assert_array_equal(b.get(("pop", 0, 10, "count")),
+                                      [3, 1, 2])
+        a.invalidate_popular()  # after a compaction changed base counts
+        assert a.get(("pop", 0, 10, "count")) is None
+        assert b.get(("pop", 0, 10, "count")) is None
+        # user entries survive the namespace flush
+        a.put((5, 10), [9])
+        a.invalidate_popular()
+        np.testing.assert_array_equal(a.get((5, 10)), [9])
+
+
 def test_wide_requests_bypass(cache_name):
     with ShmRecCache(cache_name, 1 << 10) as c:
         c.put((1, ShmRecCache.N_MAX + 10), np.arange(70))

@@ -124,6 +124,24 @@ def test_popular_fallback():
     assert rec.cache.get(("pop", 0, 3, "count")) is None
 
 
+def test_popular_invalidated_by_compaction():
+    """Compaction changes the base item counts, which per-user cache
+    invalidation cannot reach — compact() must flush the pop namespace."""
+    u = np.asarray([0, 1, 2, 3, 0, 1, 2, 0, 1, 0], np.int32)
+    i = np.asarray([5, 5, 5, 5, 3, 3, 3, 7, 7, 9], np.int32)
+    r = np.ones(10, np.float32)
+    st = init_state(4, 12, 3, seed=0)
+    rec = Recommender(st, u, i, train_r=r, compact_threshold=1)
+    assert rec.popular(3).tolist() == [5, 3, 7]
+    # three more ratings of item 9 (compacted immediately: threshold 1)
+    # lift its count to 4, above item 3's 3 and item 7's 2
+    for uid in (1, 2, 3):
+        rec.add_ratings(uid, [9], [5.0])
+    assert rec.pending_count() == 0  # compaction actually ran
+    top = rec.popular(3).tolist()  # ties (5 vs 9, both 4) order-free
+    assert 9 in top and 7 not in top
+
+
 def test_serving_app_similar_request(tmp_path):
     from ycnr_tpu.serve.server import ServingApp
 

@@ -98,6 +98,48 @@ def test_parsers_return_ts(tmp_path):
     assert len(u3) == 2 and (np.asarray(ts3) == 0).all()
 
 
+def test_python_parser_tolerates_malformed_ts(tmp_path):
+    """A non-numeric 4th field stores ts=0 and keeps the row — matching
+    the native parser, so the same file imports on every host."""
+    from ycnr_tpu.data.movielens import _parse_python
+
+    path = str(tmp_path / "u.data")
+    with open(path, "w") as f:
+        f.write("1\t10\t4.0\tabc\n2\t20\t3.5\t881250950\n")
+    u, i, r, ts = _parse_python(path, "\t", want_ts=True)
+    assert len(u) == 2
+    np.testing.assert_array_equal(ts, [0, 881250950])
+
+
+def test_prepare_appends_match_store_ts_schema(tmp_path, capsys):
+    """prepare onto a pre-timestamp store drops ts (with a warning) rather
+    than hard-failing the incremental import; re-preparing a synthetic
+    store continues ts from the existing row count so later batches stay
+    strictly later in time."""
+    from ycnr_tpu.cli import main
+    from ycnr_tpu.data.store import RatingsStore
+
+    # (a) legacy store without a ts column accepts more appends
+    legacy = str(tmp_path / "legacy")
+    st = RatingsStore(legacy)
+    u, i, r, _ = _coo(50)
+    st.append(u, i, r)  # no ts -> has_ts stays False
+    main(["prepare", "--source", "synthetic", "--store", legacy,
+          "--users", "20", "--items", "50", "--ratings", "100"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 150 and rec["timestamps"] is False
+
+    # (b) synthetic re-prepare: second batch's ts continue after the first
+    fresh = str(tmp_path / "fresh")
+    main(["prepare", "--source", "synthetic", "--store", fresh,
+          "--users", "20", "--items", "50", "--ratings", "100"])
+    main(["prepare", "--source", "synthetic", "--store", fresh,
+          "--users", "20", "--items", "50", "--ratings", "80",
+          "--seed", "7"])
+    ts = RatingsStore(fresh).read_ts()
+    np.testing.assert_array_equal(ts, np.arange(180))
+
+
 def test_cli_time_split_e2e(tmp_path, capsys):
     from ycnr_tpu.cli import main
 

@@ -22,11 +22,15 @@ import threading
 import time
 
 
-def client_loop(host, port, cid, reqs, n_users, errors):
+def client_loop(host, port, cid, reqs, n_users, umap, errors):
     s = socket.create_connection((host, port))
     f = s.makefile("rw")
     for k in range(reqs):
-        f.write(f"{(cid * 7919 + k) % n_users}\n")
+        dense = (cid * 7919 + k) % n_users
+        # MovieLens-prepared stores carry id maps and the server expects
+        # ORIGINAL dataset ids; dense 0-based ids only work map-free
+        uid = int(umap[dense]) if umap is not None else dense
+        f.write(f"{uid}\n")
         f.flush()
         r = json.loads(f.readline())
         if "items" not in r:
@@ -65,14 +69,19 @@ def main():
         host, port = ready["listen"].rsplit(":", 1)
         port = int(port)
         n_users = int(ready["users"])
+        from ycnr_tpu.data.store import RatingsStore
+
+        maps = RatingsStore(args.store).id_maps()
+        umap = maps[0] if maps is not None else None
 
         errors: list = []
         # one warmup pass compiles the scorer out of the measurement
-        client_loop(host, port, 0, min(8, args.requests), n_users, errors)
+        client_loop(host, port, 0, min(8, args.requests), n_users, umap,
+                    errors)
         t0 = time.time()
         threads = [threading.Thread(target=client_loop,
                                     args=(host, port, c, args.requests,
-                                          n_users, errors))
+                                          n_users, umap, errors))
                    for c in range(args.clients)]
         for t in threads:
             t.start()

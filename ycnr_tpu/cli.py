@@ -12,6 +12,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 
 from ycnr_tpu.config import get_preset, list_presets
 
@@ -249,8 +250,10 @@ def _store_dataset(args, cfg):
 
     st, u, i, r = _open_store(args.store)
     n_users, n_items = st.meta["n_users"], st.meta["n_items"]
+    # the ts column (~8 bytes/row on disk) only matters to temporal splits
+    ts = st.read_ts() if cfg.data.split != "random" else None
     (tu, ti, tr), (su, si, sr) = split_coo(
-        u, i, r, st.read_ts(), method=cfg.data.split,
+        u, i, r, ts, method=cfg.data.split,
         test_fraction=cfg.data.test_fraction, seed=cfg.data.seed,
         last_k=cfg.data.last_k)
     params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
@@ -341,11 +344,15 @@ def cmd_tune(args):
         else (lambda e: e["rmse_final"])
     board = []  # merged entries across ranks
     results = []  # (rank, TuneResult) per rank
+    # one store read + split serves every rank: the split depends only on
+    # cfg.data (rank replacement doesn't touch it) and tune() rebuilds the
+    # rank-dependent layouts from the COO itself
+    ds = _store_dataset(args, cfg)
     for rk in ranks:
         cfg_r = cfg if rk is None else cfg.replace(**{field: dc.replace(
             getattr(cfg, field), rank=rk)})
         res = tune(cfg_r, lams, alphas=alphas, lrs=lrs, seeds=seeds,
-                   epochs=args.epochs, dataset=_store_dataset(args, cfg_r))
+                   epochs=args.epochs, dataset=ds)
         results.append((rk, res))
         board += ([{"rank": rk, **e} for e in res.leaderboard]
                   if rk is not None else res.leaderboard)
@@ -394,14 +401,26 @@ def cmd_prepare(args):
     if args.source == "synthetic":
         u, i, r = synthetic_ratings(args.users, args.items, args.ratings,
                                     seed=args.seed)
-        ts = np.arange(len(r), dtype=np.int64)  # stream order as time
+        # stream order as time — continued from the store's existing rows
+        # so re-running prepare keeps "later batch = later time" true
+        ts = store.n_rows + np.arange(len(r), dtype=np.int64)
     else:
         u, i, r, _, _, umap, imap, ts = load_movielens(
             args.source, return_maps=True, return_ts=True)
         store.set_id_maps(umap, imap)  # dense index -> original dataset id
+    if store.n_rows > 0 and not store.meta.get("has_ts"):
+        # appending to a pre-timestamp store: columns are all-or-none, so
+        # match its schema rather than hard-failing the incremental import
+        print(json.dumps({"event": "warn", "msg":
+                          "store has no timestamp column; dropping ts "
+                          "from this batch (re-prepare into a fresh store "
+                          "to enable --split time/last-out)"}),
+              file=sys.stderr)
+        ts = None
     for s in range(0, len(r), args.portion):
         store.append(u[s:s + args.portion], i[s:s + args.portion],
-                     r[s:s + args.portion], ts=ts[s:s + args.portion])
+                     r[s:s + args.portion],
+                     ts=None if ts is None else ts[s:s + args.portion])
     print(json.dumps({"store": args.store, "rows": store.n_rows,
                       "n_users": store.meta["n_users"],
                       "n_items": store.meta["n_items"],
@@ -410,7 +429,9 @@ def cmd_prepare(args):
 
 
 def cmd_recommend(args):
-    if not args.ckpt and not args.shm:
+    if not args.ckpt and not args.shm and not getattr(args, "popular",
+                                                      False):
+        # --popular only counts store rows; it never loads factor state
         raise SystemExit("recommend: one of --ckpt / --shm is required")
     if args.platform:
         import jax
@@ -446,8 +467,6 @@ def cmd_recommend(args):
         # batch offline serving: top-N for EVERY rated user through the
         # rated-bits fast path (the reference's precompute-recs-to-store
         # role, C8/C13), written as JSONL
-        import sys
-
         from ycnr_tpu.eval.recommend import recommend_all
         from ycnr_tpu.ops.layout import build_blocked_csr
 
@@ -492,13 +511,12 @@ def cmd_recommend(args):
         return
 
     if getattr(args, "popular", False):
-        # zero-history fallback: top-N by training rating count
+        # zero-history fallback: top-N by training rating count (shared
+        # implementation with engine.popular — eval/recommend.top_popular)
+        from ycnr_tpu.eval.recommend import top_popular
+
         u, i, r = _read_rows(store)
-        counts = np.bincount(i, minlength=int(store.meta["n_items"]))
-        n_eff = min(args.n, len(counts))
-        top = np.argpartition(-counts, n_eff - 1)[:n_eff]
-        top = top[np.argsort(-counts[top], kind="stable")]
-        top = top[counts[top] > 0]
+        top = top_popular(i, int(store.meta["n_items"]), args.n)
         if maps is not None:
             top = maps[1][top]
         print(json.dumps({"popular": [int(x) for x in top]}))
@@ -604,8 +622,6 @@ def cmd_serve(args):
     protocol runs behind a thread-per-connection TCP server
     (serve/server.py): concurrent clients are safe — engine calls are
     serialized behind the app lock."""
-    import sys
-
     if not args.ckpt and not args.shm:
         raise SystemExit("serve: one of --ckpt / --shm is required")
     if args.platform:
@@ -702,9 +718,9 @@ def cmd_validate(args):
             f"on {state.n_users} users x {state.n_items} items — wrong "
             "store for this checkpoint?")
     (tu, ti, tr), (su, si, sr) = split_coo(
-        u, i, r, store.read_ts(), method=args.split,
-        test_fraction=args.test_fraction, seed=args.seed,
-        last_k=args.last_k)
+        u, i, r, store.read_ts() if args.split != "random" else None,
+        method=args.split, test_fraction=args.test_fraction,
+        seed=args.seed, last_k=args.last_k)
     pu, pi, pr, n = pad_coo(su, si, sr, state.n_users, state.n_items)
     rmse = float(rmse_padded(state, jnp.asarray(pu), jnp.asarray(pi),
                              jnp.asarray(pr), n))

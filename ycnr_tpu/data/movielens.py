@@ -44,8 +44,12 @@ def _parse_python(path: str, sep: str, want_ts: bool = False):
             items.append(int(parts[1]))
             ratings.append(float(parts[2]))
             if want_ts:
-                # some exports drop the timestamp column; 0 keeps the row
-                ts.append(int(float(parts[3])) if len(parts) > 3 else 0)
+                # some exports drop or mangle the timestamp column; ts=0
+                # keeps the row either way (matches the native parser)
+                try:
+                    ts.append(int(float(parts[3])) if len(parts) > 3 else 0)
+                except ValueError:
+                    ts.append(0)
     out = (np.asarray(users, np.int64), np.asarray(items, np.int64),
            np.asarray(ratings, np.float32))
     return out + (np.asarray(ts, np.int64),) if want_ts else out

@@ -26,6 +26,21 @@ from ycnr_tpu.ops.layout import BlockedCSR
 NEG_INF = -3.0e38  # large-negative fill (safe in fp32, avoids inf-inf NaNs)
 
 
+def top_popular(item_idx, n_items: int, n: int) -> np.ndarray:
+    """Top-n item ids by rating count — the zero-history fallback shared by
+    ``serve.engine.Recommender.popular`` and ``recommend --popular`` (one
+    implementation so tie order / zero-count filtering cannot drift).
+    Host-side: a bincount over nnz beats shipping it to the device.
+    Never-rated items are excluded, so fewer than n ids may return."""
+    counts = np.bincount(np.asarray(item_idx), minlength=int(n_items))
+    n_eff = min(int(n), len(counts))
+    if n_eff <= 0:
+        return np.empty(0, np.int64)
+    top = np.argpartition(-counts, n_eff - 1)[:n_eff]
+    top = top[np.argsort(-counts[top], kind="stable")].astype(np.int64)
+    return top[counts[top] > 0]
+
+
 def build_rated_bits(layout: BlockedCSR, n_items: int) -> np.ndarray:
     """Precompute the rated-items mask as a packed bitfield, host-side.
 

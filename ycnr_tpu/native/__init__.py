@@ -69,11 +69,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float)]
-    lib.ycnr_parse_ratings_ts.restype = ctypes.c_longlong
-    lib.ycnr_parse_ratings_ts.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
+    if hasattr(lib, "ycnr_parse_ratings_ts"):
+        # a shipped pre-ts .so (no .cc to rebuild from) lacks the symbol;
+        # keep the older entry points usable and let the ts path fall back
+        lib.ycnr_parse_ratings_ts.restype = ctypes.c_longlong
+        lib.ycnr_parse_ratings_ts.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
     lib.ycnr_pack_chunks.restype = ctypes.c_int
     lib.ycnr_pack_chunks.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -189,8 +192,8 @@ def parse_ratings_ts_native(path: str, sep: str):
     """4-column variant of parse_ratings_native: also returns the
     timestamp column as int64 (0 where the file has no 4th field)."""
     lib = get_lib()
-    if lib is None:
-        return None
+    if lib is None or not hasattr(lib, "ycnr_parse_ratings_ts"):
+        return None  # no toolchain, or a pre-ts shipped .so
     n = lib.ycnr_count_rows(path.encode())
     if n < 0:
         raise FileNotFoundError(path)

@@ -86,6 +86,15 @@ class RecCache:
                       if isinstance(k, tuple) and k and k[0] == key]:
                 del self._d[k]
 
+    def invalidate_popular(self):
+        """Drop every ("pop", ...) entry — the engine calls this when the
+        base item counts change (online-update compaction), which per-user
+        invalidation cannot reach."""
+        with self._lock:
+            for k in [k for k in self._d
+                      if isinstance(k, tuple) and k and k[0] == "pop"]:
+                del self._d[k]
+
     def __len__(self):
         return len(self._d)
 
@@ -222,6 +231,17 @@ class ShmRecCache:
         for n in range(self.N_MAX + 1):
             self._lib.ycnr_cache_put(self._h, self._key((user, n)), 0,
                                      ptr, 0)
+
+    def invalidate_popular(self):
+        """Tombstone every possible ("pop", 0, n, "count") slot — fleet-
+        wide, like per-user invalidation (epoch-0 entries never match)."""
+        if not self._h:
+            raise ValueError(f"shm cache {self.name!r} is closed")
+        dead = np.empty(0, np.int32)
+        ptr = dead.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        for n in range(self.N_MAX + 1):
+            self._lib.ycnr_cache_put(
+                self._h, self._key(("pop", 0, n, "count")), 0, ptr, 0)
 
     def stats(self) -> dict:
         out = (ctypes.c_int64 * 3)()

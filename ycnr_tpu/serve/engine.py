@@ -132,6 +132,8 @@ class Recommender:
                         self.train_r[order] if self.train_r is not None
                         else None), {})
         self._pending_n = 0
+        # base item counts just changed; cached popularity lists are stale
+        self.cache.invalidate_popular()
 
     def _maybe_compact(self):
         thresh = self._compact_threshold
@@ -232,13 +234,10 @@ class Recommender:
         if hit is not None:
             return hit
         v0 = self._version
+        from ycnr_tpu.eval.recommend import top_popular
+
         (_, si, _), _ = self._index
-        counts = np.bincount(si, minlength=self.state.n_items)
-        n_eff = min(int(n), self.state.n_items)
-        top = np.argpartition(-counts, n_eff - 1)[:n_eff]
-        result = top[np.argsort(-counts[top], kind="stable")].astype(
-            np.int64)
-        result = result[counts[result] > 0]  # never-rated items excluded
+        result = top_popular(si, self.state.n_items, n)
         self.cache.put_if(key, result, lambda: self._version == v0)
         return result
 
