@@ -88,6 +88,20 @@ def test_recommend_requires_source(trained):
         main(["recommend", "--store", store, "--user", "0"])
 
 
+def test_recommend_predict(trained, capsys):
+    store, ckpt = trained
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--user", "3", "7", "--predict", "1,2,5", "--platform", "cpu"])
+    outs = _out_lines(capsys)
+    assert [o["user"] for o in outs] == [3, 7]
+    for o in outs:
+        assert o["items"] == [1, 2, 5] and len(o["scores"]) == 3
+        assert all(np.isfinite(s) for s in o["scores"])
+    with pytest.raises(SystemExit):  # --predict needs --user
+        main(["recommend", "--ckpt", ckpt, "--store", store,
+              "--predict", "1,2", "--platform", "cpu"])
+
+
 def test_recommend_popular_needs_no_factors(trained, capsys):
     # the popularity fallback only counts store rows — no --ckpt/--shm
     store, _ = trained

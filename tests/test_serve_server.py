@@ -201,6 +201,46 @@ def test_batch_request_matches_single(app):
     assert "error" in json.loads(app.handle("batch:"))
 
 
+def test_predict_request(app):
+    out = json.loads(app.handle("predict:3:1,2,7"))
+    assert out["user"] == 3 and out["items"] == [1, 2, 7]
+    assert len(out["scores"]) == 3
+    # matches the library predict on the same state
+    from ycnr_tpu.models.base import predict
+
+    eng = app.rec
+    want = np.asarray(predict(eng.state, np.asarray([3, 3, 3]),
+                              np.asarray([1, 2, 7])))
+    np.testing.assert_allclose(out["scores"], np.round(want, 4), atol=1e-4)
+    assert "error" in json.loads(app.handle("predict:3:"))
+    assert "error" in json.loads(app.handle("predict:9999:1"))
+    assert "error" in json.loads(app.handle("predict:3:9999"))
+
+
+def test_predict_request_id_maps():
+    n_users, n_items = 30, 20
+    u, i, r = synthetic_ratings(n_users, n_items, 300, true_rank=2, seed=9)
+    state = init_state(n_users, n_items, 4, seed=2)
+    uu = np.arange(n_users, dtype=np.int64) * 7 + 5
+    ii = np.arange(n_items, dtype=np.int64) * 3 + 2
+    app = ServingApp(Recommender(state, u, i, train_r=r), maps=(uu, ii),
+                     n=4, store_meta={"n_users": n_users,
+                                      "n_items": n_items})
+    try:
+        out = json.loads(app.handle(f"predict:{uu[3]}:{ii[1]},{ii[7]}"))
+        assert out["items"] == [int(ii[1]), int(ii[7])]
+        from ycnr_tpu.models.base import predict
+
+        want = np.asarray(predict(state, np.asarray([3, 3]),
+                                  np.asarray([1, 7])))
+        np.testing.assert_allclose(out["scores"], np.round(want, 4),
+                                   atol=1e-4)
+        # dense ids are NOT raw ids here
+        assert "error" in json.loads(app.handle("predict:3:1"))
+    finally:
+        app.close()
+
+
 def test_batch_request_id_maps():
     """Raw-id round trip: request users by dataset id, items come back in
     dataset item-id space — identical to the mapped single-user path."""

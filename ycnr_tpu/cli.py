@@ -596,6 +596,23 @@ def cmd_recommend(args):
         from ycnr_tpu.serve.engine import Recommender
 
         rec = Recommender(_load_state()[0], u, i)
+    pred_items = None
+    if getattr(args, "predict", None):
+        # point prediction r_hat(u, i) instead of top-N (call stack 3.4)
+        if not args.user:
+            raise SystemExit("recommend --predict needs --user")
+        ii = np.asarray([int(x) for x in args.predict.split(",")
+                         if x.strip()], np.int64)
+        if maps is not None:
+            pos = np.searchsorted(maps[1], ii)
+            bad = (pos >= len(maps[1])) | (maps[1][np.minimum(
+                pos, len(maps[1]) - 1)] != ii)
+            if bad.any():
+                raise SystemExit(f"--predict: unknown item ids "
+                                 f"{ii[bad].tolist()} in this dataset")
+            pred_items = (ii, pos)
+        else:
+            pred_items = (ii, ii)
     for uid in args.user:
         dense = uid
         if maps is not None:
@@ -605,6 +622,13 @@ def cmd_recommend(args):
                                   "error": "unknown user id in this dataset"}))
                 continue
             dense = int(pos)
+        if pred_items is not None:
+            scores = rec.predict(dense, pred_items[1])
+            print(json.dumps({"user": uid,
+                              "items": [int(x) for x in pred_items[0]],
+                              "scores": [round(float(s), 4)
+                                         for s in scores]}))
+            continue
         items = rec.recommend(dense, args.n)
         if maps is not None:
             items = maps[1][np.asarray(items)]
@@ -809,6 +833,9 @@ def main(argv=None):
                    help="zero-history fallback: top-N items by training "
                         "rating count (what to serve a brand-new user "
                         "before any fold-in ratings exist)")
+    p.add_argument("--predict", metavar="ITEM,ITEM,...",
+                   help="point prediction mode: print r_hat(user, item) "
+                        "for each --user x given item instead of top-N")
     p.add_argument("--similar", type=int, nargs="*", default=None,
                    metavar="ITEM",
                    help="item-item mode: top-N most similar catalog items "

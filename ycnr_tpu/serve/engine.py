@@ -223,6 +223,24 @@ class Recommender:
                 count += 1
         return count
 
+    def predict(self, user_id: int, item_ids) -> np.ndarray:
+        """Predicted ratings r_hat = mu + b_u + b_i + U[u].V[i] for one
+        trained user against a list of catalog items — the reference's
+        point predict(u, i) (SURVEY.md call stack 3.4), exposed as a
+        serving query. Reflects online updates: add_ratings re-solves
+        U[user] in place before this reads it. Uncached — an ad-hoc float
+        vector isn't reusable the way top-N lists are."""
+        user_id = int(user_id)
+        self._check_users(np.asarray([user_id]))
+        item_ids = np.asarray(item_ids).reshape(-1)
+        if len(item_ids) == 0:
+            return np.empty(0, np.float32)
+        self._check_items(item_ids)
+        from ycnr_tpu.models.base import predict as _predict
+
+        return np.asarray(_predict(
+            self.state, np.full(len(item_ids), user_id), item_ids))
+
     def popular(self, n: int = 10):
         """Top-n items by training rating count — the zero-history
         fallback (a brand-new user has nothing to fold in; the reference's

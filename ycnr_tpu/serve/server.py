@@ -15,6 +15,7 @@ Protocol (one request per line, one JSON object per line back):
     42                  -> {"user": 42, "items": [...]}
     batch:42,17,99      -> {"users": [42, 17, 99], "items": [[...], ...]}
     cold:318:5.0,296:4  -> {"user": "cold", "items": [...]}
+    predict:42:10,20    -> {"user": 42, "items": [...], "scores": [...]}
     stats               -> {"event": "stats", ..., "latency": {...}}
 
 `batch:` amortizes scoring AND round-trips: a request-per-line client is
@@ -238,6 +239,32 @@ class ServingApp:
                                               alpha=self.fold_alpha)
         return self._emit("cold", items)
 
+    def _predict(self, line: str) -> str:
+        """predict:USER:ITEM[,ITEM...] — predicted ratings for (user, item)
+        pairs through the current serving state (engine.predict)."""
+        head, _, rest = line[8:].partition(":")
+        uid = int(head)
+        ii = np.asarray([int(x) for x in rest.split(",") if x.strip()],
+                        np.int64)
+        if len(ii) == 0:
+            raise ValueError("predict: empty item list")
+        dense_u = uid
+        dense_i = ii
+        if self.maps is not None:
+            pos = np.searchsorted(self.maps[0], uid)
+            if pos >= len(self.maps[0]) or self.maps[0][pos] != uid:
+                raise KeyError(f"unknown user {uid}")
+            dense_u = int(pos)
+            ipos = np.searchsorted(self.maps[1], ii)
+            ok = (ipos < len(self.maps[1])) & (self.maps[1][np.minimum(
+                ipos, len(self.maps[1]) - 1)] == ii)
+            if not ok.all():
+                raise KeyError(f"unknown items {ii[~ok].tolist()}")
+            dense_i = ipos
+        scores = self._engine().predict(dense_u, dense_i)
+        return json.dumps({"user": uid, "items": [int(x) for x in ii],
+                           "scores": [round(float(s), 4) for s in scores]})
+
     def _similar(self, line: str) -> str:
         """similar:ITEM[:METRIC] — top-n most similar catalog items
         (engine.similar; metric cosine|dot, default cosine)."""
@@ -338,6 +365,8 @@ class ServingApp:
                                    [int(x) for x in items]})
             if line.startswith("similar:"):
                 return self._similar(line)
+            if line.startswith("predict:"):
+                return self._predict(line)
             if line.startswith("batch:"):
                 return self._batch(line)
             return self._user(line)

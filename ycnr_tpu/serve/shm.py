@@ -197,6 +197,10 @@ class ShmRecommender:
         self._refresh()
         return self._rec.recommend_batch(user_ids, n)
 
+    def predict(self, user_id: int, item_ids):
+        self._refresh()
+        return self._rec.predict(user_id, item_ids)
+
     def close(self):
         self.reader.close()
 
