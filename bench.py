@@ -157,7 +157,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     blocked_lpath = _cache_path(
         f"lay_{data_tag[4:]}_c{chunk_len}_r{rank}_blocked"
         f"_{_code_hash(_layout_mod)}")
-    if algo != "sgd":
+    if algo not in ("sgd", "bpr"):
         if layout == "bucketed":
             lpath = _cache_path(
                 f"lay_{data_tag[4:]}_c{chunk_len}_r{rank}_bucketed"
@@ -165,7 +165,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         else:
             lpath = blocked_lpath
         lz = _load_npz(lpath)
-    if layout == "bucketed" and algo != "sgd":
+    if layout == "bucketed" and algo not in ("sgd", "bpr"):
         from ycnr_tpu.models.bucketed_phase import (
             als_epoch_bucketed,
             device_bucketed,
@@ -204,7 +204,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             def step(state, ep):
                 return als_epoch_bucketed(state, dul, dil, lam,
                                           gather_bf16=bf16)
-    elif algo != "sgd":
+    elif algo not in ("sgd", "bpr"):
         from ycnr_tpu.models.als import als_epoch
         from ycnr_tpu.models.base import device_layout
         from ycnr_tpu.models.ials import ials_epoch
@@ -279,6 +279,22 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
                 "n_real": sgd_data.n_real, "tile": sgd_data.tile})
         trainer = StreamSGD(lam=0.02, lr=0.008, lr_decay=0.95, seed=seed,
                             grad_mode="capped")
+
+        def step(state, ep):
+            return trainer.epoch(state, sgd_data, ep)
+    elif algo == "bpr":
+        # pairwise ranking (models/bpr.py): padded positives + rated-bits
+        # table; negatives re-drawn on device per epoch — no layouts
+        from ycnr_tpu.models.bpr import BPRTrainer, prepare_bpr_data
+
+        bpr_batch = 4096 if len(tr) < 10**6 else 65536
+        t0 = time.time()
+        sgd_data = prepare_bpr_data(tu, ti, bpr_batch, n_users, n_items)
+        log(f"bpr prep: {time.time() - t0:.1f}s "
+            f"({sgd_data.u.shape[0] // bpr_batch} batches of {bpr_batch})")
+        trainer = BPRTrainer(lam=0.01, lr=0.05, lr_decay=0.98,
+                             batch_size=bpr_batch, seed=seed,
+                             grad_mode="mean")
 
         def step(state, ep):
             return trainer.epoch(state, sgd_data, ep)
@@ -378,7 +394,8 @@ def main():
     ap.add_argument("--scale", choices=["ml20m", "netflix"], default="ml20m",
                     help="netflix = 480k users x 17.8k items, 100M ratings "
                          "(BASELINE config 5 shape, single chip)")
-    ap.add_argument("--algo", choices=["als", "ials", "sgd"], default="als")
+    ap.add_argument("--algo", choices=["als", "ials", "sgd", "bpr"],
+                    default="als")
     ap.add_argument("--sgd-method", choices=["batched", "stream"],
                     default="batched",
                     help="SGD epoch structure (stream = scatter-free "
@@ -428,10 +445,12 @@ def main():
         # and `train --preset ml20m-als` cannot drift apart
         from ycnr_tpu.config import get_preset
 
-        p = get_preset("ml20m-als" if args.algo != "ials" else "ml20m-ials")
+        p = get_preset({"ials": "ml20m-ials", "bpr": "ml20m-bpr"}.get(
+            args.algo, "ml20m-als"))
         shapes = (p.data.n_users, p.data.n_items, p.data.n_ratings)
-        rank = args.rank if args.rank != 64 else (
-            p.als.rank if args.algo != "ials" else p.ials.rank)
+        rank = args.rank if args.rank != 64 else {
+            "ials": p.ials.rank, "bpr": p.bpr.rank}.get(args.algo,
+                                                        p.als.rank)
         epochs, chunk = args.epochs, p.data.chunk_len
         metric = f"ml20m_{args.algo}_epoch_s_rank{rank}_1chip"
         # the <10 s/epoch target (BASELINE.json:5) is defined for ALS;

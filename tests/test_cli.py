@@ -88,6 +88,30 @@ def test_recommend_requires_source(trained):
         main(["recommend", "--store", store, "--user", "0"])
 
 
+def test_train_bpr_e2e(tmp_path, capsys):
+    """BPR end-to-end: train logs hit_rate (not rmse), the final ranking
+    suite runs, and the checkpoint serves top-N."""
+    store = str(tmp_path / "s")
+    main(["prepare", "--source", "synthetic", "--store", store,
+          "--users", "80", "--items", "50", "--ratings", "2000"])
+    capsys.readouterr()
+    main(["train", "--preset", "ml100k-als", "--algorithm", "bpr",
+          "--store", store, "--epochs", "4", "--rank", "6",
+          "--platform", "cpu", "--out", str(tmp_path / "runs")])
+    assert "final_hit_rate" in _out_lines(capsys)[-1]
+    recs = [json.loads(line) for line in
+            open(tmp_path / "runs" / "ml100k-als" / "metrics.jsonl")]
+    epochs = [o for o in recs if "hit_rate" in o and "epoch" in o]
+    assert len(epochs) == 4 and all("rmse_test" not in o for o in epochs)
+    assert any(o.get("event") == "ranking" for o in recs)
+    ckpt = str(tmp_path / "runs" / "ml100k-als" / "ckpt")
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--user", "1", "-n", "4", "--platform", "cpu"])
+    rec = _out_lines(capsys)[-1]
+    # a hot user on the small synthetic catalog can have <4 unrated items
+    assert 1 <= len(rec["items"]) <= 4
+
+
 def test_recommend_predict(trained, capsys):
     store, ckpt = trained
     main(["recommend", "--ckpt", ckpt, "--store", store,

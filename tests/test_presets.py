@@ -30,7 +30,7 @@ def test_preset_trains(name):
         data=dataclasses.replace(cfg.data, source="synthetic", n_users=96,
                                  n_items=48, n_ratings=1800, chunk_len=8),
         out_dir=tempfile.mkdtemp(), measure_serving=True)
-    for field in ("als", "sgd", "ials"):
+    for field in ("als", "sgd", "ials", "bpr"):
         cfg = cfg.replace(**{field: dataclasses.replace(
             getattr(cfg, field), epochs=2, rank=6)})
     res = train(cfg)

@@ -49,7 +49,9 @@ def _fold_params(manifest, args):
     if algo == "ials":
         lam = cfg.get("ials", {}).get("lam", 0.1)
         alpha = cfg.get("ials", {}).get("alpha", 40.0)
-    elif algo in ("als", "sgd"):
+    elif algo in ("als", "sgd", "bpr"):
+        # bpr fold-in approximates with the explicit normal equations at
+        # the model's own lam (no closed-form pairwise fold-in exists)
         lam = cfg.get(algo, {}).get("lam", lam)
     if getattr(args, "lam", None) is not None:
         lam = args.lam
@@ -78,7 +80,7 @@ def _add_train_overrides(p):
     p.add_argument("--store", help="RatingsStore dir to read instead of source")
     p.add_argument("--epochs", type=int)
     p.add_argument("--rank", type=int)
-    p.add_argument("--algorithm", choices=["als", "sgd", "ials"])
+    p.add_argument("--algorithm", choices=["als", "sgd", "ials", "bpr"])
     p.add_argument("--shards", type=int)
     p.add_argument("--vstep-mode", choices=["gram_psum", "item_sharded"],
                    help="sharded V-step collective strategy")
@@ -197,11 +199,11 @@ def _build_cfg(args):
     if dkw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **dkw))
     if args.epochs is not None:
-        for field in ("als", "sgd", "ials"):
+        for field in ("als", "sgd", "ials", "bpr"):
             cfg = cfg.replace(**{field: dataclasses.replace(
                 getattr(cfg, field), epochs=args.epochs)})
     if args.rank:
-        for field in ("als", "sgd", "ials"):
+        for field in ("als", "sgd", "ials", "bpr"):
             cfg = cfg.replace(**{field: dataclasses.replace(
                 getattr(cfg, field), rank=args.rank)})
     if getattr(args, "sgd_method", None):
@@ -256,7 +258,8 @@ def _store_dataset(args, cfg):
         u, i, r, ts, method=cfg.data.split,
         test_fraction=cfg.data.test_fraction, seed=cfg.data.seed,
         last_k=cfg.data.last_k)
-    params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
+    params = {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials,
+              "bpr": cfg.bpr}[cfg.algorithm]
     return DS(n_users=n_users, n_items=n_items, train_u=tu, train_i=ti,
               train_r=tr, test_u=su, test_i=si, test_r=sr,
               mu=float(tr.mean()), chunk_len=cfg.data.chunk_len,
@@ -302,10 +305,16 @@ def cmd_train(args):
     else:
         result = train(cfg, dataset=ds, resume=args.resume,
                        warm_start=args.warm_start)
+    last = result.rmse_history[-1] if result.rmse_history else None
+    # bpr's history tracks 1 - hit-rate (ranking logits have no RMSE);
+    # surface the metric under its real name
+    metric = ("final_hit_rate", round(1.0 - last, 6)) \
+        if cfg.algorithm == "bpr" and last is not None \
+        else ("final_rmse", last)
     print(json.dumps({
         "run": cfg.name, "algorithm": cfg.algorithm,
         "epochs": len(result.rmse_history),
-        "final_rmse": result.rmse_history[-1] if result.rmse_history else None,
+        metric[0]: metric[1],
         "out_dir": result.out_dir,
     }))
 
@@ -770,8 +779,8 @@ def cmd_presets(args):
 
 
 def _rank(cfg):
-    return {"als": cfg.als.rank, "sgd": cfg.sgd.rank,
-            "ials": cfg.ials.rank}[cfg.algorithm]
+    return {"als": cfg.als.rank, "sgd": cfg.sgd.rank, "ials": cfg.ials.rank,
+            "bpr": cfg.bpr.rank}[cfg.algorithm]
 
 
 def main(argv=None):

@@ -92,6 +92,28 @@ class IALSConfig:
 
 
 @dataclass(frozen=True)
+class BPRConfig:
+    """BPR-MF pairwise ranking (Rendle 2009; models/bpr.py).
+
+    Beyond-parity: the reference has no ranking trainer. Deterministic
+    mini-batched updates over (user, pos-item, sampled-neg-item) triples;
+    one uniform negative per observed pair per epoch, collisions with the
+    rated set zero-weighted via the packed rated-bits table."""
+
+    rank: int = 32
+    lam: float = 0.01
+    lr: float = 0.05
+    lr_decay: float = 0.98
+    epochs: int = 30
+    batch_size: int = 8192
+    dtype: str = "float32"
+    # "sum" = per-sample accumulation (oracle-exact); "mean" divides each
+    # entity's update by its batch multiplicity (hot-entity stability —
+    # same trade as SGDConfig.grad_mode)
+    grad_mode: str = "mean"
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh / parallelism config.
 
@@ -122,11 +144,12 @@ class MeshConfig:
 @dataclass(frozen=True)
 class RunConfig:
     name: str = "run"
-    algorithm: str = "als"  # als | sgd | ials
+    algorithm: str = "als"  # als | sgd | ials | bpr
     data: DataConfig = field(default_factory=DataConfig)
     als: ALSConfig = field(default_factory=ALSConfig)
     sgd: SGDConfig = field(default_factory=SGDConfig)
     ials: IALSConfig = field(default_factory=IALSConfig)
+    bpr: BPRConfig = field(default_factory=BPRConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     topn: int = 10
     seed: int = 0
@@ -204,6 +227,16 @@ _PRESETS = {
         ials=IALSConfig(rank=64, lam=0.1, alpha=40.0, epochs=10,
                         gather_dtype="bfloat16"),
     ),
+    # Beyond parity: pairwise ranking on binarized ML-20M (the implicit
+    # config's shape), models/bpr.py
+    "ml20m-bpr": RunConfig(
+        name="ml20m-bpr",
+        algorithm="bpr",
+        data=DataConfig(source="ml-20m", n_users=138_493, n_items=26_744,
+                        n_ratings=20_000_263, chunk_len=32),
+        bpr=BPRConfig(rank=32, lam=0.01, lr=0.05, epochs=30,
+                      batch_size=65_536),
+    ),
     # BASELINE.json:11 — "Sharded ALS + full top-N recommendation serving over
     # 8-chip mesh (Netflix-scale synthetic)"
     "netflix-sharded": RunConfig(
@@ -228,7 +261,7 @@ def config_from_dict(d: dict, base: Optional[RunConfig] = None) -> RunConfig:
     cfg = base if base is not None else (
         get_preset(d["preset"]) if "preset" in d else RunConfig())
     sub = {"data": DataConfig, "als": ALSConfig, "sgd": SGDConfig,
-           "ials": IALSConfig, "mesh": MeshConfig}
+           "ials": IALSConfig, "bpr": BPRConfig, "mesh": MeshConfig}
     top = {f.name for f in dataclasses.fields(RunConfig)}
     kw = {}
     for k, v in d.items():

@@ -1,0 +1,155 @@
+"""BPR-MF on device: pairwise ranking for implicit feedback (Rendle 2009).
+
+Beyond-parity capability: the reference engine (SURVEY.md C9-C11) trains
+pointwise models only (ALS-WR / biased SGD / iALS). Users coming from the
+wider MF ecosystem expect a pairwise ranking trainer for implicit data, so
+this adds BPR on the same deterministic mini-batch machinery as
+models/sgd.py: per batch, gradients are computed at batch-start parameters
+and scatter-added (duplicates accumulate — `np.add.at` semantics, matching
+oracle/numpy_mf.bpr_epoch_batched exactly).
+
+TPU-idiomatic negative sampling: per epoch, one uniformly-drawn negative
+item per observed (user, item) positive — drawn ON DEVICE with
+`jax.random`, validated against a packed rated-bits table ([n_users+1,
+ceil(n_items/32)] uint32, the same bitfield trick as the serving mask,
+eval/recommend.build_rated_bits). A collision (the "negative" is actually
+rated) zero-weights that triple instead of resampling: static shapes, no
+data-dependent control flow, and with power-law catalogs the loss is a few
+percent of samples for the hottest users. Same seed => bitwise-same
+factors (SURVEY.md §5 determinism contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ycnr_tpu.models.base import MFState
+
+
+class BPRData(NamedTuple):
+    """Positive pairs padded to whole batches + the rated-bits table.
+    Padding points at the trash rows (u = n_users, i = n_items) and is
+    masked out of every update."""
+
+    u: jnp.ndarray      # [n_pad] int32
+    i: jnp.ndarray      # [n_pad] int32
+    bits: jnp.ndarray   # [n_users + 1, ceil(n_items/32)] uint32
+    n_real: int
+
+
+def pack_rated_bits(train_u, train_i, n_users: int, n_items: int):
+    """Packed rated-set bitfield (host side, one pass over nnz)."""
+    W = (int(n_items) + 31) // 32
+    bits = np.zeros((int(n_users) + 1, W), np.uint32)
+    u = np.asarray(train_u)
+    i = np.asarray(train_i)
+    np.bitwise_or.at(bits, (u, i // 32),
+                     (np.uint32(1) << (i % 32).astype(np.uint32)))
+    return bits
+
+
+def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
+                     n_items: int) -> BPRData:
+    n = len(train_u)
+    n_pad = int(-(-n // batch_size) * batch_size)
+    u = np.full(n_pad, n_users, np.int32)
+    i = np.full(n_pad, n_items, np.int32)
+    u[:n], i[:n] = train_u, train_i
+    bits = pack_rated_bits(train_u, train_i, n_users, n_items)
+    return BPRData(jnp.asarray(u), jnp.asarray(i), jnp.asarray(bits), n)
+
+
+@partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),
+         donate_argnums=(0,))
+def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
+              negs: jnp.ndarray, lam: float, lr, batch_size: int,
+              grad_mode: str = "sum") -> MFState:
+    """One epoch over all batches in the order given by ``perm`` with the
+    per-triple negatives ``negs`` (same length as the padded positives —
+    pass the same arrays to the oracle for parity runs).
+
+    Math per oracle/numpy_mf.bpr_epoch_batched:
+        x = U[u].(V[i]-V[j]) + bi[i] - bi[j];  s = sigmoid(-x)
+    with collision-masked, grad_mode-weighted scatter-added updates. bu and
+    mu stay untouched (BPR scores are per-user-invariant in them; the item
+    bias captures popularity).
+    """
+    u = data.u[perm].reshape(-1, batch_size)
+    i = data.i[perm].reshape(-1, batch_size)
+    j = negs.reshape(-1, batch_size)
+    n_users = state.n_users
+    lr = jnp.asarray(lr, state.U.dtype)
+    bits = data.bits
+
+    def body(carry, batch):
+        U, V, bi = carry
+        ub, ib, jb = batch
+        pad = ub < n_users
+        # collision test: is j in u's rated set? (padding rows of `bits`
+        # are all-zero, so padded samples read bit 0 — the pad mask below
+        # kills them anyway)
+        word = bits[jnp.minimum(ub, bits.shape[0] - 1), jb // 32]
+        hit = (word >> (jb % 32).astype(jnp.uint32)) & jnp.uint32(1)
+        m = (pad & (hit == 0)).astype(U.dtype)
+        Uu = U[ub]
+        Vi = V[ib]
+        Vj = V[jb]
+        bii = bi[ib]  # batch-start reads: the second scatter below must
+        bij = bi[jb]  # not see the first one's writes (oracle semantics)
+        x = jnp.einsum("nk,nk->n", Uu, Vi - Vj) + bii - bij
+        s = m * jax.nn.sigmoid(-x)
+        if grad_mode == "mean":
+            cu = jnp.zeros(U.shape[0], U.dtype).at[ub].add(m)
+            ci = jnp.zeros(V.shape[0], U.dtype).at[ib].add(m).at[jb].add(m)
+            wu = m / jnp.maximum(cu[ub], 1.0)
+            wi = m / jnp.maximum(ci[ib], 1.0)
+            wj = m / jnp.maximum(ci[jb], 1.0)
+        else:
+            wu = wi = wj = m
+        U = U.at[ub].add(lr * wu[:, None] * (s[:, None] * (Vi - Vj)
+                                             - lam * Uu))
+        V = V.at[ib].add(lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
+        V = V.at[jb].add(lr * wj[:, None] * (-s[:, None] * Uu - lam * Vj))
+        bi = bi.at[ib].add(lr * wi * (s - lam * bii))
+        bi = bi.at[jb].add(lr * wj * (-s - lam * bij))
+        return (U, V, bi), None
+
+    (U, V, bi), _ = lax.scan(body, (state.U, state.V, state.bi), (u, i, j))
+    return state._replace(U=U, V=V, bi=bi)
+
+
+class BPRTrainer:
+    """Engine-facing BPR trainer: per-epoch shuffle + fresh on-device
+    negative draws, lr decay at the epoch barrier (mirrors BiasedSGD)."""
+
+    def __init__(self, lam: float = 0.01, lr: float = 0.05,
+                 lr_decay: float = 0.98, batch_size: int = 8192,
+                 seed: int = 0, grad_mode: str = "sum"):
+        self.lam = float(lam)
+        self.lr0 = float(lr)
+        self.lr_decay = float(lr_decay)
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self.grad_mode = grad_mode
+
+    def lr_at(self, epoch: int) -> float:
+        return self.lr0 * self.lr_decay**epoch
+
+    def epoch(self, state: MFState, data: BPRData, epoch_idx: int,
+              perm=None, negs=None) -> MFState:
+        n_pad = data.u.shape[0]
+        if perm is None:
+            key = jax.random.key(self.seed + 7919 * epoch_idx)
+            kp, kn = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_pad)
+            negs = jax.random.randint(kn, (n_pad,), 0, state.n_items,
+                                      jnp.int32)
+        return bpr_epoch(state, data, perm, negs, self.lam,
+                         self.lr_at(epoch_idx), self.batch_size,
+                         self.grad_mode)

@@ -87,6 +87,71 @@ def sgd_epoch_batched(U, V, bu, bi, mu, user_idx, item_idx, rating,
     return U, V, bu, bi
 
 
+def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
+                      grad_mode="sum"):
+    """One epoch of batched BPR-MF (Rendle et al. 2009) with explicit
+    triples (beyond-parity: the reference has no ranking trainer; this
+    oracle anchors the TPU models/bpr.py implementation).
+
+    pos_u/pos_i are a permutation of the full training COO (every observed
+    pair appears once per epoch); neg_j holds the uniformly-sampled
+    negative per triple. Triples whose negative is actually rated by the
+    user are SKIPPED (zero weight) — the device path masks them via the
+    packed rated-bits table, this oracle via an independent set lookup.
+
+    x = U[u].(V[i] - V[j]) + bi[i] - bi[j];  s = sigmoid(-x)
+      U[u] += lr (s (V[i]-V[j]) - lam U[u])
+      V[i] += lr (s U[u] - lam V[i]);  V[j] += lr (-s U[u] - lam V[j])
+      bi[i] += lr (s - lam bi[i]);     bi[j] += lr (-s - lam bi[j])
+
+    grad_mode "sum": duplicates within a batch accumulate (per-sample
+    semantics). "mean": each entity's update is divided by its batch
+    multiplicity — users by their triple count, items by their total
+    appearances across BOTH the positive and negative columns.
+    """
+    U = np.array(U, np.float64)
+    V = np.array(V, np.float64)
+    bi = np.array(bi, np.float64)
+    pos_u = np.asarray(pos_u)
+    pos_i = np.asarray(pos_i)
+    neg_j = np.asarray(neg_j)
+    rated = set(zip(pos_u.tolist(), pos_i.tolist()))
+    n = len(pos_u)
+    for s0 in range(0, n, batch_size):
+        u = pos_u[s0:s0 + batch_size]
+        i = pos_i[s0:s0 + batch_size]
+        j = neg_j[s0:s0 + batch_size]
+        m = np.asarray([(a, b) not in rated
+                        for a, b in zip(u.tolist(), j.tolist())], np.float64)
+        x = (np.einsum("nk,nk->n", U[u], V[i] - V[j]) + bi[i] - bi[j])
+        s = m / (1.0 + np.exp(x))  # sigmoid(-x), masked
+        if grad_mode == "mean":
+            cu = np.zeros(U.shape[0])
+            np.add.at(cu, u, m)
+            ci = np.zeros(V.shape[0])
+            np.add.at(ci, i, m)
+            np.add.at(ci, j, m)
+            wu = m / np.maximum(cu[u], 1.0)
+            wi = m / np.maximum(ci[i], 1.0)
+            wj = m / np.maximum(ci[j], 1.0)
+        else:
+            wu = wi = wj = m
+        dU = np.zeros_like(U)
+        dV = np.zeros_like(V)
+        dbi = np.zeros_like(bi)
+        np.add.at(dU, u, lr * wu[:, None] * (s[:, None] * (V[i] - V[j])
+                                             - lam * U[u]))
+        np.add.at(dV, i, lr * wi[:, None] * (s[:, None] * U[u] - lam * V[i]))
+        np.add.at(dV, j, lr * wj[:, None] * (-s[:, None] * U[u]
+                                             - lam * V[j]))
+        np.add.at(dbi, i, lr * wi * (s - lam * bi[i]))
+        np.add.at(dbi, j, lr * wj * (-s - lam * bi[j]))
+        U += dU
+        V += dV
+        bi += dbi
+    return U, V, bi
+
+
 def ials_epoch(U, V, user_idx, item_idx, rating, lam, alpha):
     """One implicit-ALS epoch (Hu/Koren/Volinsky) on binarized preferences.
 

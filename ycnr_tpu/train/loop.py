@@ -43,7 +43,8 @@ class TrainResult:
 
 
 def _algo_params(cfg: RunConfig):
-    return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials}[cfg.algorithm]
+    return {"als": cfg.als, "sgd": cfg.sgd, "ials": cfg.ials,
+            "bpr": cfg.bpr}[cfg.algorithm]
 
 
 def _early_stop(cfg: RunConfig, history: list, metrics, epoch: int) -> bool:
@@ -125,6 +126,10 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                             append=bool(resume))
 
     if cfg.mesh.n_shards > 1:
+        if cfg.algorithm == "bpr":
+            raise SystemExit(
+                "bpr: single-chip only for now (ALS/iALS/SGD shard; the "
+                "pairwise sampler has no mesh layout yet)")
         return _train_sharded(cfg, ds, metrics, out, resume, warm_start)
 
     dtype = jnp.dtype(params.dtype)
@@ -156,6 +161,15 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
             cfg.data.chunk_len, params.rank,
             max_groups=cfg.data.max_groups), dtype)
+    elif cfg.algorithm == "bpr":
+        from ycnr_tpu.models.bpr import BPRTrainer, prepare_bpr_data
+
+        trainer = BPRTrainer(cfg.bpr.lam, cfg.bpr.lr, cfg.bpr.lr_decay,
+                             cfg.bpr.batch_size, seed=cfg.seed,
+                             grad_mode=cfg.bpr.grad_mode)
+        sgd_data = prepare_bpr_data(ds.train_u, ds.train_i,
+                                    cfg.bpr.batch_size, ds.n_users,
+                                    ds.n_items)
     elif cfg.sgd.method == "stream":
         from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
 
@@ -215,6 +229,31 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             state = trainer.epoch(state, sgd_data, epoch)
         device_sync(state.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
+        if cfg.algorithm == "bpr":
+            # BPR scores are unscaled ranking logits — RMSE vs ratings is
+            # meaningless; the per-epoch quality metric (and the early-stop
+            # history) is 1 - hit-rate@N (lower = better, like RMSE)
+            from ycnr_tpu.eval.ranking import hit_rate_at_n
+
+            hr = hit_rate_at_n(state, ds.train_u, ds.train_i, ds.test_u,
+                               ds.test_i, n=cfg.topn, max_users=512)
+            history.append(1.0 - hr)
+            record = dict(epoch=epoch + 1, hit_rate=round(hr, 4),
+                          epoch_s=round(epoch_s, 4), algo="bpr")
+            metrics.log(**record)
+            stop = _early_stop(cfg, history, metrics, epoch + 1)
+            if out and cfg.checkpoint_every and (
+                    (epoch + 1) % cfg.checkpoint_every == 0
+                    or epoch + 1 == params.epochs or stop):
+                save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
+                                config=config_dict(cfg),
+                                extra=_ckpt_extra(history),
+                                backend=cfg.checkpoint_backend)
+            if shm_writer is not None:
+                shm_writer.publish(state, epoch + 1)
+            if stop:
+                break
+            continue
         rmse = float(rmse_padded_jit(state, dpu, dpi, dpr, n_test))
         history.append(rmse)
         record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
@@ -245,9 +284,9 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             break
     if shm_writer is not None:
         shm_writer.close()
-    if cfg.algorithm == "ials" and history:
-        # final full ranking suite for the implicit model (per-epoch records
-        # carry only the cheap hit-rate)
+    if cfg.algorithm in ("ials", "bpr") and history:
+        # final full ranking suite for the implicit models (per-epoch
+        # records carry only the cheap hit-rate)
         from ycnr_tpu.eval.ranking import ranking_metrics_at_n
 
         metrics.log(event="ranking", **ranking_metrics_at_n(

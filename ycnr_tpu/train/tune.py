@@ -202,6 +202,9 @@ def tune(cfg: RunConfig, lams: Sequence[float],
     """
     implicit = cfg.algorithm == "ials"
     is_sgd = cfg.algorithm == "sgd"
+    if cfg.algorithm == "bpr":
+        raise ValueError("tune() does not sweep algorithm='bpr' yet — "
+                         "run per-config `train --algorithm bpr` instead")
     params = _algo_params(cfg)
     if implicit and not alphas:
         alphas = [params.alpha]
