@@ -183,9 +183,9 @@ def build_sharded_data(
     ``meta.user_layout_host`` for host-side builders (serving bits); it pins
     nnz-proportional host RAM, so it is opt-in.
 
-    ``algo`` ("als"/"ials"/"sgd"/"all") gates the expensive inputs: the
-    alternating solvers never read the SGD stream and SGD never reads the
-    blocked layouts — building both costs O(nnz) host work and GB-scale
+    ``algo`` ("als"/"ials"/"sgd"/"bpr"/"all") gates the expensive inputs:
+    the alternating solvers never read the SGD/BPR stream and SGD/BPR never
+    read the blocked layouts — building both costs O(nnz) host work and GB-scale
     HBM for nothing. Unused fields become empty placeholders (same pytree
     structure).
     """
@@ -193,7 +193,7 @@ def build_sharded_data(
     # the item layout is only ever read by the alternating solvers
     need_user_layout = algo in ("all", "als", "ials") or host_user_layout
     need_item_layout = algo in ("all", "als", "ials")
-    need_sgd = algo in ("all", "sgd")
+    need_sgd = algo in ("all", "sgd", "bpr")
     D = n_shards
     train_u = np.asarray(train_u)
     train_i = np.asarray(train_i)
@@ -564,6 +564,112 @@ def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
     b_local = max(1, batch_size // mesh.devices.size)
     return _sgd_epoch_fn(mesh, float(lam), b_local)(
         st, data, key, jnp.asarray(lr, st.V.dtype))
+
+
+def build_bpr_bits(train_u, train_i, meta: ShardedMeta,
+                   mesh: Mesh | None = None):
+    """Per-shard packed rated-bits over LOCAL user rows: [D, upd+1, W]
+    uint32 (models/bpr.py's collision table, one slab per device; the
+    trailing trash row stays zero so padded samples never read a set
+    bit)."""
+    from ycnr_tpu.models.bpr import pack_rated_bits
+
+    D, upd = meta.n_shards, meta.upd
+    W = (int(meta.n_items) + 31) // 32
+    out = np.zeros((D, upd + 1, W), np.uint32)
+    u = np.asarray(train_u)
+    i = np.asarray(train_i)
+    shard = meta.user_local[u] // upd
+    local = meta.user_local[u] % upd
+    for d in range(D):
+        m = shard == d
+        out[d] = pack_rated_bits(local[m], i[m], upd, meta.n_items)
+    dev = jnp.asarray(out)
+    if mesh is not None:
+        dev = jax.device_put(dev, NamedSharding(mesh, P(AXIS)))
+    return dev
+
+
+@lru_cache(maxsize=64)
+def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
+    """DP pairwise-ranking epoch (models/bpr.py on the mesh): positives
+    ride the user-sharded SGD stream, negatives are drawn per device, U
+    updates stay local, and V / b_i deltas cross user shards via a psum
+    per batch (P3, like sharded SGD). Semantics delta vs single-chip: each
+    device shuffles and batches ITS OWN rating stream (local batches), and
+    grad_mode="mean" multiplicities are per-device — the same local-batch
+    delta the sharded SGD path documents (docs/SCALING.md)."""
+
+    def local(U, bi, V, u, i, bits, key, lr):
+        Ul, bitsl = U[0], bits[0]
+        upd = Ul.shape[0] - 1
+        n_items = V.shape[0] - 1
+        d = lax.axis_index(AXIS)
+        kp, kn = jax.random.split(jax.random.fold_in(key, d))
+        perm = jax.random.permutation(kp, u.shape[1])
+        ub = u[0][perm].reshape(-1, b_local)
+        ib = i[0][perm].reshape(-1, b_local)
+        jb = jax.random.randint(kn, (u.shape[1],), 0, n_items,
+                                jnp.int32).reshape(-1, b_local)
+
+        def body(carry, batch):
+            Ul, V, bi = carry
+            ubt, ibt, jbt = batch
+            pad = ubt < upd
+            word = bitsl[jnp.minimum(ubt, upd), jbt // 32]
+            hit = (word >> (jbt % 32).astype(jnp.uint32)) & jnp.uint32(1)
+            m = (pad & (hit == 0)).astype(Ul.dtype)
+            Uu = Ul[ubt]
+            Vi = V[ibt]
+            Vj = V[jbt]
+            bii = bi[ibt]
+            bij = bi[jbt]
+            x = jnp.einsum("nk,nk->n", Uu, Vi - Vj) + bii - bij
+            s = m * jax.nn.sigmoid(-x)
+            if grad_mode == "mean":
+                cu = jnp.zeros(upd + 1, Ul.dtype).at[ubt].add(m)
+                ci = jnp.zeros(n_items + 1, Ul.dtype).at[ibt].add(
+                    m).at[jbt].add(m)
+                wu = m / jnp.maximum(cu[ubt], 1.0)
+                wi = m / jnp.maximum(ci[ibt], 1.0)
+                wj = m / jnp.maximum(ci[jbt], 1.0)
+            else:
+                wu = wi = wj = m
+            Ul = Ul.at[ubt].add(lr * wu[:, None] * (s[:, None] * (Vi - Vj)
+                                                    - lam * Uu))
+            dV = jnp.zeros_like(V).at[ibt].add(
+                lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
+            dV = dV.at[jbt].add(lr * wj[:, None] * (-s[:, None] * Uu
+                                                    - lam * Vj))
+            dbi = jnp.zeros_like(bi).at[ibt].add(lr * wi * (s - lam * bii))
+            dbi = dbi.at[jbt].add(lr * wj * (-s - lam * bij))
+            V = V + lax.psum(dV, AXIS)
+            bi = bi + lax.psum(dbi, AXIS)
+            return (Ul, V, bi), None
+
+        (Ul, V, bi), _ = lax.scan(body, (Ul, V, bi), (ub, ib, jb))
+        return Ul[None], V, bi
+
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(), P()))
+
+    def epoch(st: ShardedState, data: ShardedData, bits, key,
+              lr) -> ShardedState:
+        U, V, bi = shmapped(st.U, st.bi, st.V, data.sgd_u, data.sgd_i,
+                            bits, key, lr)
+        return st._replace(U=U, V=V, bi=bi)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def sharded_bpr_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
+                      bits, lam: float, lr, key, batch_size: int,
+                      grad_mode: str = "mean") -> ShardedState:
+    b_local = max(1, batch_size // mesh.devices.size)
+    return _bpr_epoch_fn(mesh, float(lam), b_local, str(grad_mode))(
+        st, data, bits, key, jnp.asarray(lr, st.V.dtype))
 
 
 @lru_cache(maxsize=16)

@@ -126,10 +126,6 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                             append=bool(resume))
 
     if cfg.mesh.n_shards > 1:
-        if cfg.algorithm == "bpr":
-            raise SystemExit(
-                "bpr: single-chip only for now (ALS/iALS/SGD shard; the "
-                "pairwise sampler has no mesh layout yet)")
         return _train_sharded(cfg, ds, metrics, out, resume, warm_start)
 
     dtype = jnp.dtype(params.dtype)
@@ -414,11 +410,13 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                    out: Optional[str], resume: Optional[str],
                    warm_start: Optional[str] = None) -> TrainResult:
     from ycnr_tpu.parallel import (
+        build_bpr_bits,
         build_sharded_data,
         gather_state,
         make_mesh,
         scatter_state,
         sharded_als_epoch,
+        sharded_bpr_epoch,
         sharded_ials_epoch,
         sharded_rmse,
         sharded_sgd_epoch,
@@ -442,11 +440,16 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         chunk_len=cfg.data.chunk_len, block_chunks=cfg.data.block_chunks,
         rank_hint=params.rank, test_u=ds.test_u, test_i=ds.test_i,
         test_r=ds.test_r,
-        sgd_batch=cfg.sgd.batch_size, dtype=dtype, mesh=mesh,
+        sgd_batch=(cfg.bpr.batch_size if cfg.algorithm == "bpr"
+                   else cfg.sgd.batch_size),
+        dtype=dtype, mesh=mesh,
         host_user_layout=cfg.measure_serving,
         # the stream path builds its own rating arrays below; skip the
         # shuffled-SGD stream (algo gate leaves placeholders)
         algo="stream-sgd" if sgd_stream else cfg.algorithm)
+    bpr_bits = None
+    if cfg.algorithm == "bpr":
+        bpr_bits = build_bpr_bits(ds.train_u, ds.train_i, meta, mesh=mesh)
     stream_data = None
     if sgd_stream:
         from ycnr_tpu.parallel.sgd_stream import (
@@ -477,6 +480,12 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             st = sharded_ials_epoch(
                 mesh, st, data, cfg.ials.lam, cfg.ials.alpha,
                 gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+        elif cfg.algorithm == "bpr":
+            lr = cfg.bpr.lr * cfg.bpr.lr_decay**epoch
+            st = sharded_bpr_epoch(mesh, st, data, bpr_bits, cfg.bpr.lam,
+                                   lr, jax.random.fold_in(key, epoch),
+                                   cfg.bpr.batch_size,
+                                   grad_mode=cfg.bpr.grad_mode)
         elif stream_data is not None:
             lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
             st = sharded_sgd_stream_epoch(mesh, st, stream_data,
@@ -489,10 +498,23 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                                    cfg.sgd.batch_size)
         device_sync(st.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
-        rmse = sharded_rmse(mesh, st, data, meta.test_n)
-        history.append(rmse)
-        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
-                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm, shards=D)
+        if cfg.algorithm == "bpr":
+            # ranking logits have no RMSE (single-chip path, same rule):
+            # gather the factors and track 1 - hit-rate@N
+            from ycnr_tpu.eval.ranking import hit_rate_at_n
+
+            hr = hit_rate_at_n(gather_state(st, meta), ds.train_u,
+                               ds.train_i, ds.test_u, ds.test_i,
+                               n=cfg.topn, max_users=512)
+            history.append(1.0 - hr)
+            metrics.log(epoch=epoch + 1, hit_rate=round(hr, 4),
+                        epoch_s=round(epoch_s, 4), algo="bpr", shards=D)
+        else:
+            rmse = sharded_rmse(mesh, st, data, meta.test_n)
+            history.append(rmse)
+            metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                        epoch_s=round(epoch_s, 4), algo=cfg.algorithm,
+                        shards=D)
         stop = _early_stop(cfg, history, metrics, epoch + 1)
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
