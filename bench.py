@@ -239,7 +239,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             def step(state, ep):
                 return als_epoch(state, dul, dil, lam)
         ul_serving = ul
-    elif sgd_method == "stream":
+    elif algo == "sgd" and sgd_method == "stream":
         # scatter-free user-sorted stream epoch (models/sgd_stream.py);
         # the host-side prep (sorts + striping + weights) is cached like
         # the layouts — it is minutes at Netflix scale on this host
@@ -325,8 +325,10 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
     t0 = time.time()
     state = step(state, 0)
     sync(state.U)
-    log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s "
-        f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
+    # bpr emits ranking logits — RMSE vs ratings is meaningless there
+    rmse_note = "" if algo == "bpr" else \
+        f" rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}"
+    log(f"epoch 1 (compile+run): {time.time() - t0:.1f}s{rmse_note}")
 
     times = []
     for ep in range(epochs):
@@ -334,8 +336,9 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         state = step(state, ep + 1)
         sync(state.U)
         times.append(time.time() - t0)
-        log(f"epoch {ep + 2}: {times[-1]:.3f}s "
-            f"rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}")
+        note = "" if algo == "bpr" else \
+            f" rmse={float(rmse_padded(state, dpu, dpi, dpr, n)):.4f}"
+        log(f"epoch {ep + 2}: {times[-1]:.3f}s{note}")
     epoch_s = float(np.median(times))
 
     if topn_users:

@@ -69,6 +69,19 @@ def _read_rows(store):
     return u, i, r
 
 
+def _map_ids(map_col, ids):
+    """(dense_pos, bad_mask): original dataset ids looked up against one
+    sorted id-map column — the searchsorted membership idiom shared by
+    recommend --rated / --similar / --predict (and serve/server.py)."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    pos = np.searchsorted(map_col, ids)
+    bad = (pos >= len(map_col)) | (map_col[np.minimum(
+        pos, len(map_col) - 1)] != ids)
+    return pos, bad
+
+
 def _add_train_overrides(p):
     p.add_argument("--preset", default=None,
                    help="base preset (default ml100k-als; a --config "
@@ -541,12 +554,12 @@ def cmd_recommend(args):
         for iid in args.similar:
             dense = iid
             if maps is not None:
-                pos = np.searchsorted(maps[1], iid)
-                if pos >= len(maps[1]) or maps[1][pos] != iid:
+                pos, bad = _map_ids(maps[1], [iid])
+                if bad[0]:
                     print(json.dumps({"item": iid, "error":
                                       "unknown item id in this dataset"}))
                     continue
-                dense = int(pos)
+                dense = int(pos[0])
             elif not 0 <= iid < state.n_items:
                 # dense-id store: an out-of-range id would clamp-gather
                 # the zero trash row and print a junk list
@@ -572,9 +585,7 @@ def cmd_recommend(args):
         ii = np.asarray([int(a) for a, _ in pairs])
         rr = np.asarray([float(b) for _, b in pairs], np.float32)
         if maps is not None:
-            pos = np.searchsorted(maps[1], ii)
-            bad = (pos >= len(maps[1])) | (maps[1][np.minimum(
-                pos, len(maps[1]) - 1)] != ii)
+            pos, bad = _map_ids(maps[1], ii)
             if bad.any():
                 print(json.dumps({"user": "cold", "error":
                                   "unknown item ids in this dataset",
@@ -613,14 +624,18 @@ def cmd_recommend(args):
         ii = np.asarray([int(x) for x in args.predict.split(",")
                          if x.strip()], np.int64)
         if maps is not None:
-            pos = np.searchsorted(maps[1], ii)
-            bad = (pos >= len(maps[1])) | (maps[1][np.minimum(
-                pos, len(maps[1]) - 1)] != ii)
+            pos, bad = _map_ids(maps[1], ii)
             if bad.any():
                 raise SystemExit(f"--predict: unknown item ids "
                                  f"{ii[bad].tolist()} in this dataset")
             pred_items = (ii, pos)
         else:
+            n_items = int(store.meta["n_items"])
+            bad = (ii < 0) | (ii >= n_items)
+            if bad.any():  # graceful error, not an IndexError traceback
+                raise SystemExit(
+                    f"--predict: item ids {ii[bad].tolist()} not in the "
+                    f"catalog (0..{n_items - 1})")
             pred_items = (ii, ii)
     for uid in args.user:
         dense = uid

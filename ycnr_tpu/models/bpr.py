@@ -144,6 +144,9 @@ class BPRTrainer:
     def epoch(self, state: MFState, data: BPRData, epoch_idx: int,
               perm=None, negs=None) -> MFState:
         n_pad = data.u.shape[0]
+        if (perm is None) != (negs is None):
+            raise ValueError("pass perm AND negs together (parity runs) "
+                             "or neither (fresh per-epoch draws)")
         if perm is None:
             key = jax.random.key(self.seed + 7919 * epoch_idx)
             kp, kn = jax.random.split(key)

@@ -221,17 +221,24 @@ class ServingApp:
             return self.rec.engine
         return self.rec
 
+    def _lookup(self, map_col, ids, what: str):
+        """Original dataset ids -> dense positions against one sorted
+        id-map column; raises KeyError (-> JSON error response) listing
+        the unknown ids. Shared by _cold/_similar/_predict/_batch/_user."""
+        ids = np.asarray(ids)
+        pos = np.searchsorted(map_col, ids)
+        ok = (pos < len(map_col)) & (map_col[np.minimum(
+            pos, len(map_col) - 1)] == ids)
+        if not ok.all():
+            raise KeyError(f"unknown {what} {ids[~ok].tolist()}")
+        return pos
+
     def _cold(self, line: str) -> str:
         pairs = [p.split(":") for p in line[5:].split(",")]
         ii = np.asarray([int(a) for a, _ in pairs])
         rr = np.asarray([float(b) for _, b in pairs], np.float32)
         if self.maps is not None:
-            pos = np.searchsorted(self.maps[1], ii)
-            ok = (pos < len(self.maps[1])) & (self.maps[1][np.minimum(
-                pos, len(self.maps[1]) - 1)] == ii)
-            if not ok.all():
-                raise KeyError(f"unknown items {ii[~ok].tolist()}")
-            ii = pos
+            ii = self._lookup(self.maps[1], ii, "items")
         # the engine path validates dense item ids (a raw negative id
         # would silently wrap in the JAX gather) and drops masked tails
         items = self._engine().recommend_cold(ii, rr, n=self.n,
@@ -251,16 +258,8 @@ class ServingApp:
         dense_u = uid
         dense_i = ii
         if self.maps is not None:
-            pos = np.searchsorted(self.maps[0], uid)
-            if pos >= len(self.maps[0]) or self.maps[0][pos] != uid:
-                raise KeyError(f"unknown user {uid}")
-            dense_u = int(pos)
-            ipos = np.searchsorted(self.maps[1], ii)
-            ok = (ipos < len(self.maps[1])) & (self.maps[1][np.minimum(
-                ipos, len(self.maps[1]) - 1)] == ii)
-            if not ok.all():
-                raise KeyError(f"unknown items {ii[~ok].tolist()}")
-            dense_i = ipos
+            dense_u = int(self._lookup(self.maps[0], [uid], "user")[0])
+            dense_i = self._lookup(self.maps[1], ii, "items")
         scores = self._engine().predict(dense_u, dense_i)
         return json.dumps({"user": uid, "items": [int(x) for x in ii],
                            "scores": [round(float(s), 4) for s in scores]})
@@ -273,10 +272,7 @@ class ServingApp:
         metric = parts[1] if len(parts) > 1 else "cosine"
         dense = iid
         if self.maps is not None:
-            pos = np.searchsorted(self.maps[1], iid)
-            if pos >= len(self.maps[1]) or self.maps[1][pos] != iid:
-                raise KeyError(f"unknown item {iid}")
-            dense = int(pos)
+            dense = int(self._lookup(self.maps[1], [iid], "item")[0])
         items = self._engine().similar(dense, self.n, metric=metric)
         if self.maps is not None:
             items = self.maps[1][np.asarray(items)]
@@ -293,12 +289,7 @@ class ServingApp:
             raise ValueError("empty batch request")
         dense = np.asarray(uids, np.int64)
         if self.maps is not None:
-            pos = np.searchsorted(self.maps[0], dense)
-            ok = (pos < len(self.maps[0])) & (self.maps[0][np.minimum(
-                pos, len(self.maps[0]) - 1)] == dense)
-            if not ok.all():
-                raise KeyError(f"unknown users {dense[~ok].tolist()}")
-            dense = pos
+            dense = self._lookup(self.maps[0], dense, "users")
         eng = self._engine()
         eng._check_users(dense)
         v0 = eng._version
@@ -330,10 +321,7 @@ class ServingApp:
         uid = int(line)
         dense = uid
         if self.maps is not None:
-            pos = np.searchsorted(self.maps[0], uid)
-            if pos >= len(self.maps[0]) or self.maps[0][pos] != uid:
-                raise KeyError(f"unknown user {uid}")
-            dense = int(pos)
+            dense = int(self._lookup(self.maps[0], [uid], "user")[0])
         if self.batcher is not None:
             eng = self._engine()
             # validate BEFORE enqueueing: recommend_batch raises for the

@@ -136,7 +136,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
     pu, pi, pr, n_test = ds.padded_test()
     dpu, dpi, dpr = jnp.asarray(pu), jnp.asarray(pi), jnp.asarray(pr)
-    if cfg.log_train_rmse:
+    if cfg.log_train_rmse and cfg.algorithm != "bpr":
         from ycnr_tpu.ops.layout import pad_coo
 
         qu, qi, qr, n_train = pad_coo(ds.train_u, ds.train_i, ds.train_r,
@@ -236,35 +236,22 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             history.append(1.0 - hr)
             record = dict(epoch=epoch + 1, hit_rate=round(hr, 4),
                           epoch_s=round(epoch_s, 4), algo="bpr")
-            metrics.log(**record)
-            stop = _early_stop(cfg, history, metrics, epoch + 1)
-            if out and cfg.checkpoint_every and (
-                    (epoch + 1) % cfg.checkpoint_every == 0
-                    or epoch + 1 == params.epochs or stop):
-                save_checkpoint(os.path.join(out, "ckpt"), state, epoch + 1,
-                                config=config_dict(cfg),
-                                extra=_ckpt_extra(history),
-                                backend=cfg.checkpoint_backend)
-            if shm_writer is not None:
-                shm_writer.publish(state, epoch + 1)
-            if stop:
-                break
-            continue
-        rmse = float(rmse_padded_jit(state, dpu, dpi, dpr, n_test))
-        history.append(rmse)
-        record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
-                      epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
-        if cfg.log_train_rmse:
-            record["rmse_train"] = round(
-                float(rmse_padded_jit(state, dqu, dqi, dqr, n_train)), 6)
-        if cfg.algorithm == "ials":
-            # RMSE vs raw ratings is not meaningful for preference scores;
-            # report the implicit-feedback ranking metric as well
-            from ycnr_tpu.eval.ranking import hit_rate_at_n
+        else:
+            rmse = float(rmse_padded_jit(state, dpu, dpi, dpr, n_test))
+            history.append(rmse)
+            record = dict(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                          epoch_s=round(epoch_s, 4), algo=cfg.algorithm)
+            if cfg.log_train_rmse:
+                record["rmse_train"] = round(
+                    float(rmse_padded_jit(state, dqu, dqi, dqr, n_train)), 6)
+            if cfg.algorithm == "ials":
+                # RMSE vs raw ratings is not meaningful for preference
+                # scores; report the ranking metric as well
+                from ycnr_tpu.eval.ranking import hit_rate_at_n
 
-            record["hit_rate"] = round(hit_rate_at_n(
-                state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
-                n=cfg.topn, max_users=512), 4)
+                record["hit_rate"] = round(hit_rate_at_n(
+                    state, ds.train_u, ds.train_i, ds.test_u, ds.test_i,
+                    n=cfg.topn, max_users=512), 4)
         metrics.log(**record)
         stop = _early_stop(cfg, history, metrics, epoch + 1)
         if out and cfg.checkpoint_every and (
@@ -498,12 +485,14 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
                                    cfg.sgd.batch_size)
         device_sync(st.U)  # block_until_ready lies on axon
         epoch_s = time.time() - t0
+        gstate = None  # one gather per epoch, reused by metric/ckpt/shm
         if cfg.algorithm == "bpr":
             # ranking logits have no RMSE (single-chip path, same rule):
             # gather the factors and track 1 - hit-rate@N
             from ycnr_tpu.eval.ranking import hit_rate_at_n
 
-            hr = hit_rate_at_n(gather_state(st, meta), ds.train_u,
+            gstate = gather_state(st, meta)
+            hr = hit_rate_at_n(gstate, ds.train_u,
                                ds.train_i, ds.test_u, ds.test_i,
                                n=cfg.topn, max_users=512)
             history.append(1.0 - hr)
@@ -519,13 +508,12 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         if out and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
                 or epoch + 1 == params.epochs or stop):
-            gstate = gather_state(st, meta)  # reused for TrainResult below
+            if gstate is None:  # reused for TrainResult below
+                gstate = gather_state(st, meta)
             save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
                             config=config_dict(cfg),
                             extra=_ckpt_extra(history),
                             backend=cfg.checkpoint_backend)
-        else:
-            gstate = None
         if shm_writer is not None:
             # publishing needs the host-gathered state; reuse the
             # checkpoint gather when it happened this epoch
