@@ -114,6 +114,46 @@ def test_tune_sharded_sgd_matches_single_chip():
         [e["rmse"] for e in r2.leaderboard]
 
 
+def test_tune_bpr_matches_standalone_train():
+    """BPR sweep: trajectories per (lam, lr, seed) must reproduce a
+    standalone `train --algorithm bpr` run (same key formula per epoch),
+    entries carry auc + hit_rate, ranking is by hit_rate descending."""
+    cfg = dataclasses.replace(_cfg("als"), algorithm="bpr", topn=5)
+    cfg = dataclasses.replace(
+        cfg, bpr=dataclasses.replace(cfg.bpr, rank=6, batch_size=512))
+    res = tune(cfg, lams=[0.005, 0.05], lrs=[0.05, 0.15], seeds=[0, 3],
+               epochs=3)
+    assert len(res.leaderboard) == 8
+    hits = [e["hit_rate"] for e in res.leaderboard]
+    assert hits == sorted(hits, reverse=True)
+    assert all(len(e["auc"]) == 3 and 0.0 <= e["auc_final"] <= 1.0
+               for e in res.leaderboard)
+    # the winner's final state equals a standalone train() at its config
+    best = res.best
+    solo = train(dataclasses.replace(
+        cfg, seed=best["seed"],
+        bpr=dataclasses.replace(cfg.bpr, lam=best["lam"], lr=best["lr"],
+                                epochs=3)), dataset=res.dataset)
+    np.testing.assert_allclose(np.asarray(res.best_state.U),
+                               np.asarray(solo.state.U), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.best_state.bi),
+                               np.asarray(solo.state.bi), atol=1e-5)
+
+
+def test_tune_sharded_bpr_matches_single_chip():
+    cfg = dataclasses.replace(_cfg("als"), algorithm="bpr", topn=5)
+    cfg = dataclasses.replace(
+        cfg, bpr=dataclasses.replace(cfg.bpr, rank=6, batch_size=512))
+    r1 = tune(cfg, lams=[0.005, 0.05], lrs=[0.05, 0.15], seeds=[0],
+              epochs=2)
+    cfg2 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, n_shards=4))
+    r2 = tune(cfg2, lams=[0.005, 0.05], lrs=[0.05, 0.15], seeds=[0],
+              epochs=2, dataset=r1.dataset)
+    assert [e["auc"] for e in r1.leaderboard] == \
+        [e["auc"] for e in r2.leaderboard]
+
+
 def test_tune_rejects_bad_grids():
     with pytest.raises(ValueError, match="at least one lambda"):
         tune(_cfg("als"), lams=[])

@@ -353,16 +353,16 @@ def cmd_tune(args):
     if alphas and cfg.algorithm != "ials":
         raise SystemExit("--alphas only applies to --algorithm ials")
     lrs = _floats(args.lrs) if args.lrs else None
-    if lrs and cfg.algorithm != "sgd":
-        raise SystemExit("--lrs only applies to --algorithm sgd")
+    if lrs and cfg.algorithm not in ("sgd", "bpr"):
+        raise SystemExit("--lrs only applies to --algorithm sgd/bpr")
     seeds = [int(x) for x in args.seeds.split(",")] if args.seeds else [cfg.seed]
     ranks = ([int(x) for x in args.ranks.split(",")] if args.ranks
              else [None])
     from ycnr_tpu.train.tune import tune
 
     field = cfg.algorithm
-    implicit = cfg.algorithm == "ials"
-    metric = (lambda e: -e["hit_rate"]) if implicit \
+    ranked = cfg.algorithm in ("ials", "bpr")  # hit-rate metrics
+    metric = (lambda e: -e["hit_rate"]) if ranked \
         else (lambda e: e["rmse_final"])
     board = []  # merged entries across ranks
     results = []  # (rank, TuneResult) per rank
@@ -397,12 +397,14 @@ def cmd_tune(args):
             pkw["alpha"] = best_entry["alpha"]
         if "lr" in best_entry:
             pkw["lr"] = best_entry["lr"]
-            pkw["method"] = "stream"  # the sweep ran the stream trainer
+            if field == "sgd":
+                pkw["method"] = "stream"  # the sgd sweep ran the stream
+                #                           trainer (BPRConfig has no method)
         best_cfg = best_cfg.replace(**{field: dc.replace(
             getattr(best_cfg, field), **pkw)})
         out_dir = os.path.join(cfg.out_dir, f"{cfg.name}-tune")
         os.makedirs(out_dir, exist_ok=True)
-        epochs_run = len(best_entry["rmse"])
+        epochs_run = len(best_entry.get("rmse") or best_entry["auc"])
         save_checkpoint(os.path.join(out_dir, "ckpt"), best_res.best_state,
                         epochs_run, config=config_dict(best_cfg))
         with open(os.path.join(out_dir, "tune.jsonl"), "w") as f:

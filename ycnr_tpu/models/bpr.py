@@ -65,27 +65,12 @@ def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
     return BPRData(jnp.asarray(u), jnp.asarray(i), jnp.asarray(bits), n)
 
 
-@partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),
-         donate_argnums=(0,))
-def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
-              negs: jnp.ndarray, lam: float, lr, batch_size: int,
-              grad_mode: str = "sum") -> MFState:
-    """One epoch over all batches in the order given by ``perm`` with the
-    per-triple negatives ``negs`` (same length as the padded positives —
-    pass the same arrays to the oracle for parity runs).
-
-    Math per oracle/numpy_mf.bpr_epoch_batched:
-        x = U[u].(V[i]-V[j]) + bi[i] - bi[j];  s = sigmoid(-x)
-    with collision-masked, grad_mode-weighted scatter-added updates. bu and
-    mu stay untouched (BPR scores are per-user-invariant in them; the item
-    bias captures popularity).
-    """
-    u = data.u[perm].reshape(-1, batch_size)
-    i = data.i[perm].reshape(-1, batch_size)
-    j = negs.reshape(-1, batch_size)
-    n_users = state.n_users
-    lr = jnp.asarray(lr, state.U.dtype)
-    bits = data.bits
+def bpr_epoch_core(U, V, bi, u, i, j, bits, lam, lr, grad_mode: str):
+    """Batched-triple scan with TRACED lam/lr (so the hyperparameter sweep
+    can map over them as per-model data, train/tune.py). u/i/j are already
+    permuted + reshaped to [n_batches, B]. Returns (U, V, bi)."""
+    n_users = U.shape[0] - 1
+    lr = jnp.asarray(lr, U.dtype)
 
     def body(carry, batch):
         U, V, bi = carry
@@ -120,7 +105,30 @@ def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
         bi = bi.at[jb].add(lr * wj * (-s - lam * bij))
         return (U, V, bi), None
 
-    (U, V, bi), _ = lax.scan(body, (state.U, state.V, state.bi), (u, i, j))
+    (U, V, bi), _ = lax.scan(body, (U, V, bi), (u, i, j))
+    return U, V, bi
+
+
+@partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),
+         donate_argnums=(0,))
+def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
+              negs: jnp.ndarray, lam: float, lr, batch_size: int,
+              grad_mode: str = "sum") -> MFState:
+    """One epoch over all batches in the order given by ``perm`` with the
+    per-triple negatives ``negs`` (same length as the padded positives —
+    pass the same arrays to the oracle for parity runs).
+
+    Math per oracle/numpy_mf.bpr_epoch_batched:
+        x = U[u].(V[i]-V[j]) + bi[i] - bi[j];  s = sigmoid(-x)
+    with collision-masked, grad_mode-weighted scatter-added updates. bu and
+    mu stay untouched (BPR scores are per-user-invariant in them; the item
+    bias captures popularity).
+    """
+    u = data.u[perm].reshape(-1, batch_size)
+    i = data.i[perm].reshape(-1, batch_size)
+    j = negs.reshape(-1, batch_size)
+    U, V, bi = bpr_epoch_core(state.U, state.V, state.bi, u, i, j,
+                              data.bits, lam, lr, grad_mode)
     return state._replace(U=U, V=V, bi=bi)
 
 

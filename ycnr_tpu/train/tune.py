@@ -18,7 +18,9 @@ trajectories come back as one [S, E] array.
 SGD sweeps run the stream trainer (models/sgd_stream.py): its epoch core
 takes lam/lr as plain arithmetic inputs, so (lambda, lr) become per-model
 traced vectors exactly like the ALS path; the batched SGD trainer is not
-swept (its batch schedule is baked per config).
+swept (its batch schedule is baked per config). BPR sweeps ride
+models/bpr.bpr_epoch_core the same way (lambda x lr x init-seed), scored
+per epoch by held-out pairwise AUC and ranked by final hit-rate@topn.
 
 With cfg.mesh.n_shards > 1 the MODEL axis shards over the 1-D device mesh
 (`_sweep_sharded`): each chip trains its own slice of the config grid
@@ -130,7 +132,55 @@ def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
     return lax.map(one, (states, lams, lrs))
 
 
-def _sweep_sharded(mesh, is_sgd: bool, states, v1, v2, shared, n_epochs,
+def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
+                batch_size: int, grad_mode: str, seed: int):
+    """BPR analog of _sgd_runner: per-epoch draws reproduce
+    BPRTrainer.epoch's key formula, so a config's trajectory matches a
+    standalone `--algorithm bpr` run. The per-epoch metric is held-out
+    pairwise AUC over fixed (test-positive, sampled-unrated) triples —
+    ranking logits have no RMSE."""
+    from ycnr_tpu.models.bpr import bpr_epoch_core
+
+    u, i, bits = data_arrays
+    eu, ei, ej = eval_triples
+    n_pad = u.shape[0]
+
+    def one(args):
+        st, lam, lr0 = args
+        n_items = st.V.shape[0] - 1
+
+        def body(s, ep):
+            key = jax.random.key(seed + 7919 * ep)  # BPRTrainer's formula
+            kp, kn = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_pad)
+            negs = jax.random.randint(kn, (n_pad,), 0, n_items, jnp.int32)
+            U, V, bi = bpr_epoch_core(
+                s.U, s.V, s.bi, u[perm].reshape(-1, batch_size),
+                i[perm].reshape(-1, batch_size),
+                negs.reshape(-1, batch_size), bits, lam,
+                lr0 * decay**ep, grad_mode)
+            s = s._replace(U=U, V=V, bi=bi)
+            xi = jnp.einsum("nk,nk->n", s.U[eu], s.V[ei]) + s.bi[ei]
+            xj = jnp.einsum("nk,nk->n", s.U[eu], s.V[ej]) + s.bi[ej]
+            return s, jnp.mean((xi > xj).astype(s.U.dtype))
+
+        return lax.scan(body, st, jnp.arange(n_epochs))
+
+    return one
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "batch_size", "grad_mode",
+                                   "seed"),
+         donate_argnums=(0,))
+def _sweep_bpr_program(states: MFState, lams, lrs, decay, data_arrays,
+                       eval_triples, n_epochs: int, batch_size: int,
+                       grad_mode: str, seed: int):
+    one = _bpr_runner(data_arrays, decay, eval_triples, n_epochs,
+                      batch_size, grad_mode, seed)
+    return lax.map(one, (states, lams, lrs))
+
+
+def _sweep_sharded(mesh, kind: str, states, v1, v2, shared, n_epochs,
                    **kw):
     """Mesh-parallel sweep: the MODEL axis shards over the 1-D mesh — each
     device trains its own slice of the config grid against replicated data
@@ -146,11 +196,16 @@ def _sweep_sharded(mesh, is_sgd: bool, states, v1, v2, shared, n_epochs,
     from ycnr_tpu.parallel.mesh import AXIS
 
     def local(states_l, v1_l, v2_l, *shared_ops):
-        one = (_sgd_runner(shared_ops[0], shared_ops[1], shared_ops[2],
-                           n_epochs, kw["tile"], kw["seed"]) if is_sgd
-               else _als_runner(shared_ops[0], shared_ops[1], shared_ops[2],
-                                n_epochs, kw["implicit"],
-                                kw["gather_bf16"]))
+        if kind == "sgd":
+            one = _sgd_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                              n_epochs, kw["tile"], kw["seed"])
+        elif kind == "bpr":
+            one = _bpr_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                              n_epochs, kw["batch_size"], kw["grad_mode"],
+                              kw["seed"])
+        else:
+            one = _als_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                              n_epochs, kw["implicit"], kw["gather_bf16"])
         return lax.map(one, (states_l, v1_l, v2_l))
 
     shard = NamedSharding(mesh, P(AXIS))
@@ -163,6 +218,35 @@ def _sweep_sharded(mesh, is_sgd: bool, states, v1, v2, shared, n_epochs,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * len(shared),
         out_specs=(P(AXIS), P(AXIS))), donate_argnums=(0,))
     return fn(states, v1, v2, *shared)
+
+
+def _bpr_eval_triples(ds: Dataset, seed: int):
+    """Fixed held-out AUC triples: every test positive paired with one
+    uniformly-drawn item unrated by that user (train OR test). Drawn once
+    per sweep so each epoch's AUC is comparable; the rare user who rated
+    the whole catalog is dropped."""
+    from ycnr_tpu.models.bpr import pack_rated_bits
+
+    bits = pack_rated_bits(
+        np.concatenate([ds.train_u, ds.test_u]),
+        np.concatenate([ds.train_i, ds.test_i]),
+        ds.n_users, ds.n_items)
+    rng = np.random.default_rng(seed)
+    eu = np.asarray(ds.test_u, np.int32)
+    ei = np.asarray(ds.test_i, np.int32)
+    ej = rng.integers(0, ds.n_items, len(eu)).astype(np.int32)
+
+    def _coll(j):
+        return ((bits[eu, j // 32] >> (j % 32).astype(np.uint32)) & 1) == 1
+
+    for _ in range(64):  # vectorized rejection; a few rounds suffice
+        bad = _coll(ej)
+        if not bad.any():
+            break
+        ej[bad] = rng.integers(0, ds.n_items, int(bad.sum()))
+    keep = ~_coll(ej)
+    return (jnp.asarray(eu[keep]), jnp.asarray(ei[keep]),
+            jnp.asarray(ej[keep]))
 
 
 def _stack_states(states: Sequence[MFState]) -> MFState:
@@ -202,15 +286,13 @@ def tune(cfg: RunConfig, lams: Sequence[float],
     """
     implicit = cfg.algorithm == "ials"
     is_sgd = cfg.algorithm == "sgd"
-    if cfg.algorithm == "bpr":
-        raise ValueError("tune() does not sweep algorithm='bpr' yet — "
-                         "run per-config `train --algorithm bpr` instead")
+    is_bpr = cfg.algorithm == "bpr"
     params = _algo_params(cfg)
     if implicit and not alphas:
         alphas = [params.alpha]
     if alphas and not implicit:
         raise ValueError("alphas only applies to algorithm='ials'")
-    if is_sgd and not lrs:
+    if (is_sgd or is_bpr) and not lrs:
         lrs = [params.lr]
     if is_sgd and any(int(s) != cfg.seed for s in seeds):
         # the sweep shares cfg.seed for stream striping + epoch shuffles;
@@ -221,8 +303,8 @@ def tune(cfg: RunConfig, lams: Sequence[float],
         raise ValueError(
             "SGD sweeps do not take a seed axis: stream order is pinned "
             f"to cfg.seed ({cfg.seed}); vary cfg.seed per sweep instead")
-    if lrs and not is_sgd:
-        raise ValueError("lrs only applies to algorithm='sgd'")
+    if lrs and not (is_sgd or is_bpr):
+        raise ValueError("lrs only applies to algorithm='sgd'/'bpr'")
     if not lams:
         raise ValueError("tune() needs at least one lambda value")
     n_epochs = int(epochs if epochs is not None else params.epochs)
@@ -236,7 +318,7 @@ def tune(cfg: RunConfig, lams: Sequence[float],
                 jnp.asarray(n_test))
 
     aux = ([float(a) for a in alphas] if implicit
-           else [float(x) for x in lrs] if is_sgd else [0.0])
+           else [float(x) for x in lrs] if (is_sgd or is_bpr) else [0.0])
     grid = list(itertools.product(
         [float(x) for x in lams], aux, [int(s) for s in seeds]))
     mesh = None
@@ -259,7 +341,25 @@ def tune(cfg: RunConfig, lams: Sequence[float],
     lam_v = jnp.asarray([g[0] for g in grid_run], dtype)
     aux_v = jnp.asarray([g[1] for g in grid_run], dtype)
 
-    if is_sgd:
+    if is_bpr:
+        from ycnr_tpu.models.bpr import prepare_bpr_data
+
+        bdata = prepare_bpr_data(ds.train_u, ds.train_i, params.batch_size,
+                                 ds.n_users, ds.n_items)
+        arrays = (bdata.u, bdata.i, bdata.bits)
+        triples = _bpr_eval_triples(ds, cfg.seed)
+        decay = jnp.asarray(params.lr_decay, dtype)
+        if mesh is not None:
+            finals, traj = _sweep_sharded(
+                mesh, "bpr", states, lam_v, aux_v,
+                (arrays, decay, triples), n_epochs,
+                batch_size=params.batch_size, grad_mode=params.grad_mode,
+                seed=cfg.seed)
+        else:
+            finals, traj = _sweep_bpr_program(
+                states, lam_v, aux_v, decay, arrays, triples, n_epochs,
+                params.batch_size, params.grad_mode, cfg.seed)
+    elif is_sgd:
         from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
 
         gm = "capped" if params.grad_mode == "sum" else params.grad_mode
@@ -270,12 +370,12 @@ def tune(cfg: RunConfig, lams: Sequence[float],
         arrays = (data.ul, data.ib, data.rb, data.wu, data.wi, data.u_lo)
         decay = jnp.asarray(params.lr_decay, dtype)
         if mesh is not None:
-            finals, rmse = _sweep_sharded(
-                mesh, True, states, lam_v, aux_v,
+            finals, traj = _sweep_sharded(
+                mesh, "sgd", states, lam_v, aux_v,
                 (arrays, decay, test_coo), n_epochs,
                 tile=data.tile, seed=cfg.seed)
         else:
-            finals, rmse = _sweep_sgd_program(
+            finals, traj = _sweep_sgd_program(
                 states, lam_v, aux_v, decay, arrays, test_coo, n_epochs,
                 data.tile, cfg.seed)
     else:
@@ -289,32 +389,40 @@ def tune(cfg: RunConfig, lams: Sequence[float],
             max_groups=cfg.data.max_groups), dtype)
         bf16 = params.gather_dtype == "bfloat16"
         if mesh is not None:
-            finals, rmse = _sweep_sharded(
-                mesh, False, states, lam_v, aux_v, (dul, dil, test_coo),
+            finals, traj = _sweep_sharded(
+                mesh, "als", states, lam_v, aux_v, (dul, dil, test_coo),
                 n_epochs, implicit=implicit, gather_bf16=bf16)
         else:
-            finals, rmse = _sweep_program(states, lam_v, aux_v, dul, dil,
+            finals, traj = _sweep_program(states, lam_v, aux_v, dul, dil,
                                           test_coo, n_epochs, implicit,
                                           bf16)
-    rmse = np.asarray(rmse, np.float64)[:len(grid)]  # [S, E], pads dropped
+    traj = np.asarray(traj, np.float64)[:len(grid)]  # [S, E], pads dropped
 
     board = []
     for s, (lam, aux_val, seed) in enumerate(grid):
-        entry = {"lam": lam, "seed": seed,
-                 "rmse": [round(float(x), 6) for x in rmse[s]],
-                 "rmse_final": round(float(rmse[s, -1]), 6),
-                 "best_epoch": int(np.argmin(rmse[s])) + 1}
+        if is_bpr:
+            # the trajectory is held-out pairwise AUC (higher = better)
+            entry = {"lam": lam, "lr": aux_val, "seed": seed,
+                     "auc": [round(float(x), 6) for x in traj[s]],
+                     "auc_final": round(float(traj[s, -1]), 6),
+                     "best_epoch": int(np.argmax(traj[s])) + 1}
+        else:
+            entry = {"lam": lam, "seed": seed,
+                     "rmse": [round(float(x), 6) for x in traj[s]],
+                     "rmse_final": round(float(traj[s, -1]), 6),
+                     "best_epoch": int(np.argmin(traj[s])) + 1}
         if is_sgd:
             entry["lr"] = aux_val
-        if implicit:
+        if implicit or is_bpr:
             from ycnr_tpu.eval.ranking import hit_rate_at_n
 
-            entry["alpha"] = aux_val
+            if implicit:
+                entry["alpha"] = aux_val
             entry["hit_rate"] = round(hit_rate_at_n(
                 _pick_state(finals, s), ds.train_u, ds.train_i,
                 ds.test_u, ds.test_i, n=cfg.topn, max_users=512), 4)
         board.append(entry)
-    board.sort(key=(lambda e: -e["hit_rate"]) if implicit
+    board.sort(key=(lambda e: -e["hit_rate"]) if (implicit or is_bpr)
                else (lambda e: e["rmse_final"]))
     best = board[0]
     pos = next(s for s, (lam, aux_val, seed) in enumerate(grid)
