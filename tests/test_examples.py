@@ -25,6 +25,7 @@ def _run(script, *args):
     ("stream_sgd_and_serving.py", ("--cpu",), "p99"),
     ("model_lifecycle.py", ("--cpu",), "served grown-catalog cohort OK"),
     ("tune_and_similar.py", ("--cpu",), "cache hits OK"),
+    ("bpr_ranking.py", ("--cpu",), "pairwise lift"),
 ])
 def test_example_runs(script, args, marker):
     p = _run(script, *args)
