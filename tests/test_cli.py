@@ -126,6 +126,21 @@ def test_recommend_predict(trained, capsys):
               "--predict", "1,2", "--platform", "cpu"])
 
 
+def test_export_embeddings(trained, tmp_path, capsys):
+    store, ckpt = trained
+    out = str(tmp_path / "emb.npz")
+    main(["export", "--ckpt", ckpt, "--store", store, "--out", out])
+    rec = _out_lines(capsys)[-1]
+    z = np.load(out)
+    assert z["U"].shape == (rec["users"], rec["rank"])
+    assert z["V"].shape == (rec["items"], rec["rank"])
+    assert len(z["user_ids"]) == rec["users"]
+    # synthetic store has no maps -> dense id space
+    assert rec["id_space"] == "dense"
+    np.testing.assert_array_equal(z["user_ids"],
+                                  np.arange(rec["users"]))
+
+
 def test_recommend_popular_needs_no_factors(trained, capsys):
     # the popularity fallback only counts store rows — no --ckpt/--shm
     store, _ = trained

@@ -201,6 +201,29 @@ def test_batch_request_matches_single(app):
     assert "error" in json.loads(app.handle("batch:"))
 
 
+def test_protocol_garbage_never_kills_the_app(app):
+    """Any malformed request line must produce a JSON error object, never
+    an uncaught exception (one bad client must not take the server down)."""
+    garbage = [
+        "", " ", "notanumber", "-1", "9" * 40, "batch:", "batch:,,,",
+        "batch:a,b", "cold:", "cold:1", "cold:1:", "cold:x:y",
+        "cold:1:notafloat", "similar:", "similar:abc", "similar:1:bogus",
+        "predict:", "predict:1", "predict:1:", "predict:x:1",
+        "predict:1:x", "predict:1:1,2,", "stats:extra", "batch:1:2",
+        "popular:5", "\x00\x01", "predict::", "similar:9999999999",
+    ]
+    for line in garbage:
+        if not line.strip():
+            continue  # the TCP handler skips blank lines before handle()
+        out = json.loads(app.handle(line))
+        assert isinstance(out, dict), line
+        # a garbage line yields an error object (a few, like huge-but-valid
+        # ints, legitimately error on range instead)
+        if "error" not in out:
+            assert "items" in out or "popular" in out or \
+                out.get("event") == "stats", (line, out)
+
+
 def test_predict_request(app):
     out = json.loads(app.handle("predict:3:1,2,7"))
     assert out["user"] == 3 and out["items"] == [1, 2, 7]

@@ -739,6 +739,43 @@ def cmd_publish(args):
     print(json.dumps({"shm": args.shm, "ckpt": args.ckpt, "epoch": epoch}))
 
 
+def cmd_export(args):
+    """Export trained factors as one portable .npz keyed by ORIGINAL
+    dataset ids — for downstream consumers (ANN indexes, analytics,
+    other serving stacks) that should not need this framework to read a
+    checkpoint. Keys: user_ids, item_ids, U, V, bu, bi, mu (padding rows
+    dropped; ids dense 0..n-1 when the store was imported without maps)."""
+    import numpy as np
+
+    from ycnr_tpu.models.base import unpad
+    from ycnr_tpu.train.checkpoint import load_checkpoint
+
+    state, manifest = load_checkpoint(args.ckpt)
+    U, V, bu, bi, mu = unpad(state)
+    user_ids = np.arange(state.n_users, dtype=np.int64)
+    item_ids = np.arange(state.n_items, dtype=np.int64)
+    id_space = "dense"
+    if args.store:
+        from ycnr_tpu.data.store import RatingsStore
+
+        maps = RatingsStore(args.store).id_maps()
+        if maps is not None:
+            if len(maps[0]) != state.n_users or \
+                    len(maps[1]) != state.n_items:
+                raise SystemExit(
+                    f"store maps cover {len(maps[0])} users x "
+                    f"{len(maps[1])} items but the checkpoint holds "
+                    f"{state.n_users} x {state.n_items} — wrong store?")
+            user_ids, item_ids = maps
+            id_space = "dataset"
+    np.savez_compressed(args.out, user_ids=user_ids, item_ids=item_ids,
+                        U=U, V=V, bu=bu, bi=bi, mu=np.float32(mu))
+    print(json.dumps({
+        "out": args.out, "users": int(state.n_users),
+        "items": int(state.n_items), "rank": int(state.rank),
+        "epoch": manifest["epoch"], "id_space": id_space}))
+
+
 def cmd_validate(args):
     """Held-out validation from a checkpoint (the reference's `validate`
     entry: RMSE over a split — SURVEY.md §1 public interface, call stack
@@ -935,6 +972,16 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--shm", metavar="NAME", required=True)
     p.set_defaults(fn=cmd_publish)
+
+    p = sub.add_parser("export",
+                       help="export factors as a portable .npz keyed by "
+                            "original dataset ids")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--store",
+                   help="store dir whose id maps key the export (omit for "
+                        "dense 0..n-1 ids)")
+    p.set_defaults(fn=cmd_export, uses_jax=False)
 
     p = sub.add_parser("validate", help="held-out RMSE from a checkpoint")
     p.add_argument("--ckpt", required=True)
