@@ -68,12 +68,28 @@ def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
 def bpr_epoch_core(U, V, bi, u, i, j, bits, lam, lr, grad_mode: str):
     """Batched-triple scan with TRACED lam/lr (so the hyperparameter sweep
     can map over them as per-model data, train/tune.py). u/i/j are already
-    permuted + reshaped to [n_batches, B]. Returns (U, V, bi)."""
+    permuted + reshaped to [n_batches, B]. Returns (U, V, bi).
+
+    The item bias rides as an extra factor column for the epoch (the
+    stream-SGD trick, models/sgd_stream.py): with Vf = [V | bi] and
+    Uf = [U | 1], x = Uf[u].(Vf[i]-Vf[j]) and the joint Vf update's last
+    column IS the bi update (s - lam*bi), element for element — so the
+    four separate per-row bias ops (2 gathers + 2 scatter-adds per
+    triple) vanish. 10 -> 6 random per-row ops per triple ("sum" mode);
+    measured 3.21 -> 2.4 s/epoch at ML-20M scale (docs/KERNELS.md "BPR
+    epoch perf model"). Uf's ones-column must not drift: the U-side
+    delta is zeroed on the last column.
+    """
     n_users = U.shape[0] - 1
+    k = U.shape[1]
     lr = jnp.asarray(lr, U.dtype)
+    Uf = jnp.concatenate([U, jnp.ones((U.shape[0], 1), U.dtype)], axis=1)
+    Vf = jnp.concatenate([V, bi[:, None].astype(U.dtype)], axis=1)
+    colmask = jnp.concatenate([jnp.ones(k, U.dtype),
+                               jnp.zeros(1, U.dtype)])
 
     def body(carry, batch):
-        U, V, bi = carry
+        Uf, Vf = carry
         ub, ib, jb = batch
         pad = ub < n_users
         # collision test: is j in u's rated set? (padding rows of `bits`
@@ -82,31 +98,29 @@ def bpr_epoch_core(U, V, bi, u, i, j, bits, lam, lr, grad_mode: str):
         word = bits[jnp.minimum(ub, bits.shape[0] - 1), jb // 32]
         hit = (word >> (jb % 32).astype(jnp.uint32)) & jnp.uint32(1)
         m = (pad & (hit == 0)).astype(U.dtype)
-        Uu = U[ub]
-        Vi = V[ib]
-        Vj = V[jb]
-        bii = bi[ib]  # batch-start reads: the second scatter below must
-        bij = bi[jb]  # not see the first one's writes (oracle semantics)
-        x = jnp.einsum("nk,nk->n", Uu, Vi - Vj) + bii - bij
+        Uu = Uf[ub]
+        Vi = Vf[ib]
+        Vj = Vf[jb]
+        x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
         s = m * jax.nn.sigmoid(-x)
         if grad_mode == "mean":
-            cu = jnp.zeros(U.shape[0], U.dtype).at[ub].add(m)
-            ci = jnp.zeros(V.shape[0], U.dtype).at[ib].add(m).at[jb].add(m)
+            cu = jnp.zeros(Uf.shape[0], U.dtype).at[ub].add(m)
+            ci = jnp.zeros(Vf.shape[0], U.dtype).at[ib].add(m).at[jb].add(m)
             wu = m / jnp.maximum(cu[ub], 1.0)
             wi = m / jnp.maximum(ci[ib], 1.0)
             wj = m / jnp.maximum(ci[jb], 1.0)
         else:
             wu = wi = wj = m
-        U = U.at[ub].add(lr * wu[:, None] * (s[:, None] * (Vi - Vj)
-                                             - lam * Uu))
-        V = V.at[ib].add(lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
-        V = V.at[jb].add(lr * wj[:, None] * (-s[:, None] * Uu - lam * Vj))
-        bi = bi.at[ib].add(lr * wi * (s - lam * bii))
-        bi = bi.at[jb].add(lr * wj * (-s - lam * bij))
-        return (U, V, bi), None
+        Uf = Uf.at[ub].add(colmask * (lr * wu[:, None]
+                                      * (s[:, None] * (Vi - Vj)
+                                         - lam * Uu)))
+        Vf = Vf.at[ib].add(lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
+        Vf = Vf.at[jb].add(lr * wj[:, None] * (-s[:, None] * Uu
+                                               - lam * Vj))
+        return (Uf, Vf), None
 
-    (U, V, bi), _ = lax.scan(body, (U, V, bi), (u, i, j))
-    return U, V, bi
+    (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (u, i, j))
+    return Uf[:, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
 
 
 @partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),

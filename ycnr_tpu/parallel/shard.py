@@ -604,6 +604,7 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         Ul, bitsl = U[0], bits[0]
         upd = Ul.shape[0] - 1
         n_items = V.shape[0] - 1
+        k = Ul.shape[1]
         d = lax.axis_index(AXIS)
         kp, kn = jax.random.split(jax.random.fold_in(key, d))
         perm = jax.random.permutation(kp, u.shape[1])
@@ -611,44 +612,47 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         ib = i[0][perm].reshape(-1, b_local)
         jb = jax.random.randint(kn, (u.shape[1],), 0, n_items,
                                 jnp.int32).reshape(-1, b_local)
+        # bias-as-a-column fusion (models/bpr.bpr_epoch_core): halves the
+        # per-row bias ops AND merges the dV/dbi psums into one collective
+        Uf = jnp.concatenate(
+            [Ul, jnp.ones((Ul.shape[0], 1), Ul.dtype)], axis=1)
+        Vf = jnp.concatenate([V, bi[:, None].astype(V.dtype)], axis=1)
+        colmask = jnp.concatenate([jnp.ones(k, Ul.dtype),
+                                   jnp.zeros(1, Ul.dtype)])
 
         def body(carry, batch):
-            Ul, V, bi = carry
+            Uf, Vf = carry
             ubt, ibt, jbt = batch
             pad = ubt < upd
             word = bitsl[jnp.minimum(ubt, upd), jbt // 32]
             hit = (word >> (jbt % 32).astype(jnp.uint32)) & jnp.uint32(1)
-            m = (pad & (hit == 0)).astype(Ul.dtype)
-            Uu = Ul[ubt]
-            Vi = V[ibt]
-            Vj = V[jbt]
-            bii = bi[ibt]
-            bij = bi[jbt]
-            x = jnp.einsum("nk,nk->n", Uu, Vi - Vj) + bii - bij
+            m = (pad & (hit == 0)).astype(Uf.dtype)
+            Uu = Uf[ubt]
+            Vi = Vf[ibt]
+            Vj = Vf[jbt]
+            x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
             s = m * jax.nn.sigmoid(-x)
             if grad_mode == "mean":
-                cu = jnp.zeros(upd + 1, Ul.dtype).at[ubt].add(m)
-                ci = jnp.zeros(n_items + 1, Ul.dtype).at[ibt].add(
+                cu = jnp.zeros(upd + 1, Uf.dtype).at[ubt].add(m)
+                ci = jnp.zeros(n_items + 1, Uf.dtype).at[ibt].add(
                     m).at[jbt].add(m)
                 wu = m / jnp.maximum(cu[ubt], 1.0)
                 wi = m / jnp.maximum(ci[ibt], 1.0)
                 wj = m / jnp.maximum(ci[jbt], 1.0)
             else:
                 wu = wi = wj = m
-            Ul = Ul.at[ubt].add(lr * wu[:, None] * (s[:, None] * (Vi - Vj)
-                                                    - lam * Uu))
-            dV = jnp.zeros_like(V).at[ibt].add(
+            Uf = Uf.at[ubt].add(colmask * (lr * wu[:, None]
+                                           * (s[:, None] * (Vi - Vj)
+                                              - lam * Uu)))
+            dVf = jnp.zeros_like(Vf).at[ibt].add(
                 lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
-            dV = dV.at[jbt].add(lr * wj[:, None] * (-s[:, None] * Uu
-                                                    - lam * Vj))
-            dbi = jnp.zeros_like(bi).at[ibt].add(lr * wi * (s - lam * bii))
-            dbi = dbi.at[jbt].add(lr * wj * (-s - lam * bij))
-            V = V + lax.psum(dV, AXIS)
-            bi = bi + lax.psum(dbi, AXIS)
-            return (Ul, V, bi), None
+            dVf = dVf.at[jbt].add(lr * wj[:, None] * (-s[:, None] * Uu
+                                                      - lam * Vj))
+            Vf = Vf + lax.psum(dVf, AXIS)
+            return (Uf, Vf), None
 
-        (Ul, V, bi), _ = lax.scan(body, (Ul, V, bi), (ub, ib, jb))
-        return Ul[None], V, bi
+        (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (ub, ib, jb))
+        return Uf[None, :, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
 
     shmapped = jax.shard_map(
         local, mesh=mesh,
