@@ -71,6 +71,7 @@ def configs(n_shards: int):
     in the workers and in the parent's single-process reference run."""
     from ycnr_tpu.config import (
         ALSConfig,
+        BPRConfig,
         DataConfig,
         MeshConfig,
         RunConfig,
@@ -93,6 +94,11 @@ def configs(n_shards: int):
         "sgd": RunConfig(
             name="dcn-sgd", algorithm="sgd", data=data,
             sgd=SGDConfig(rank=8, epochs=2, batch_size=512),
+            mesh=MeshConfig(n_shards=n_shards)),
+        # DP pairwise ranking: per-device negative draws, fused Vf psum
+        "bpr": RunConfig(
+            name="dcn-bpr", algorithm="bpr", data=data,
+            bpr=BPRConfig(rank=8, epochs=2, batch_size=512),
             mesh=MeshConfig(n_shards=n_shards)),
     }
 

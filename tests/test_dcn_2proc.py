@@ -78,7 +78,7 @@ def test_rendezvous_really_happened(dcn_results):
     assert {r["process_id"] for r in results} == {0, 1}
 
 
-@pytest.mark.parametrize("mode", ["als", "als_dual", "sgd"])
+@pytest.mark.parametrize("mode", ["als", "als_dual", "sgd", "bpr"])
 def test_processes_agree(dcn_results, mode):
     """Both hosts see identical RMSE histories and identical factor bytes
     (every collective resolved identically on both sides of the DCN)."""
@@ -98,7 +98,7 @@ def _load_worker_module():
     return mod
 
 
-@pytest.mark.parametrize("mode", ["als", "als_dual", "sgd"])
+@pytest.mark.parametrize("mode", ["als", "als_dual", "sgd", "bpr"])
 def test_parity_vs_single_process(dcn_results, mode):
     """The same config on a single-process 8-device mesh produces the same
     training trajectory. Tolerances are loose enough only for collective

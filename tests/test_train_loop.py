@@ -55,6 +55,29 @@ def test_train_sgd(tmp_path):
     assert np.isfinite(res.rmse_history).all()
 
 
+def test_train_bpr_resume_retraces(tmp_path):
+    """A BPR run resumed from its epoch-2 checkpoint retraces the
+    uninterrupted trajectory bitwise: the trainer keys draws on
+    seed + 7919*epoch_idx, so epoch 3 is the same draw either way."""
+    from ycnr_tpu.config import BPRConfig
+
+    def bcfg(path, epochs):
+        c = _cfg(path, algorithm="bpr", epochs=epochs)
+        return c.replace(bpr=BPRConfig(rank=6, lam=0.01, lr=0.1,
+                                       epochs=epochs, batch_size=512))
+
+    full = train(bcfg(tmp_path / "full", 4))
+    short = train(bcfg(tmp_path / "short", 2))
+    resumed = train(bcfg(tmp_path / "resumed", 4),
+                    resume=os.path.join(short.out_dir, "ckpt"))
+    assert len(resumed.rmse_history) == 4  # history spans the resume
+    np.testing.assert_array_equal(np.asarray(resumed.state.U),
+                                  np.asarray(full.state.U))
+    np.testing.assert_array_equal(np.asarray(resumed.state.bi),
+                                  np.asarray(full.state.bi))
+    assert resumed.rmse_history == full.rmse_history  # 1-hit_rate records
+
+
 def test_train_sharded_both_modes(tmp_path):
     r_gram = train(_cfg(tmp_path / "a", shards=4, vstep_mode="gram_psum"))
     r_dual = train(_cfg(tmp_path / "b", shards=4, vstep_mode="item_sharded"))
