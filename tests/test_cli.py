@@ -165,6 +165,13 @@ def test_publish_and_shm_serving(trained, capsys):
               "--user", "1", "-n", "4"])
         via_ckpt = _out_lines(capsys)[-1]
         assert via_shm == via_ckpt
+        # point predictions read through the shm reader too
+        main(["recommend", "--shm", name, "--store", store,
+              "--user", "1", "--predict", "2,5"])
+        shm_pred = _out_lines(capsys)[-1]
+        main(["recommend", "--ckpt", ckpt, "--store", store,
+              "--user", "1", "--predict", "2,5"])
+        assert shm_pred == _out_lines(capsys)[-1]
         # stats over shm reports the published epoch
         import io
         import sys as _sys
