@@ -121,3 +121,20 @@ def test_parse_all_garbage_falls_back(tmp_path, lib):
     p = tmp_path / "junk.data"
     p.write_text("hello\nworld\n")
     assert parse_ratings_native(str(p), "\t") is None
+
+
+def test_pack_bits_native_matches_numpy(lib):
+    from ycnr_tpu.native import pack_bits_native
+
+    rng = np.random.default_rng(7)
+    nu, ni = 60, 90
+    u = rng.integers(0, nu, 700).astype(np.int32)
+    i = rng.integers(0, ni, 700).astype(np.int32)
+    fast = pack_bits_native(u, i, nu, ni)
+    assert fast is not None
+    W = (ni + 31) // 32
+    ref = np.zeros((nu + 1, W), np.uint32)
+    np.bitwise_or.at(ref, (u, i // 32),
+                     (np.uint32(1) << (i % 32).astype(np.uint32)))
+    np.testing.assert_array_equal(fast, ref)
+    assert fast.dtype == np.uint32 and fast.shape == (nu + 1, W)

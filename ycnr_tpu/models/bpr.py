@@ -44,7 +44,14 @@ class BPRData(NamedTuple):
 
 
 def pack_rated_bits(train_u, train_i, n_users: int, n_items: int):
-    """Packed rated-set bitfield (host side, one pass over nnz)."""
+    """Packed rated-set bitfield (host side, one pass over nnz). C++ fast
+    path (native/ingest.cc ycnr_pack_bits — ~10x over np.bitwise_or.at at
+    20M rows) with the NumPy fallback when no toolchain exists."""
+    from ycnr_tpu.native import pack_bits_native
+
+    out = pack_bits_native(train_u, train_i, n_users, n_items)
+    if out is not None:
+        return out
     W = (int(n_items) + 31) // 32
     bits = np.zeros((int(n_users) + 1, W), np.uint32)
     u = np.asarray(train_u)

@@ -91,6 +91,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "ycnr_pack_bits"):  # absent in pre-round-2 shipped .so
+        lib.ycnr_pack_bits.restype = ctypes.c_int
+        lib.ycnr_pack_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32)]
     return lib
 
 
@@ -263,3 +269,20 @@ def pack_chunks_native(starts, block_of, slot_of, chunk_base, o_sorted,
         _ptr(out_r.reshape(-1), ctypes.c_float),
         _ptr(out_seg.reshape(-1), ctypes.c_int32))
     return True
+
+
+def pack_bits_native(u, i, n_users: int, n_items: int):
+    """Packed rated-set bitfield [(n_users+1), ceil(n_items/32)] uint32 via
+    the C++ loop, or None to fall back to np.bitwise_or.at (~10x slower at
+    20M rows). u/i must already be validated in-range int32/any-int."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ycnr_pack_bits"):
+        return None
+    u = np.ascontiguousarray(u, np.int32)
+    i = np.ascontiguousarray(i, np.int32)
+    W = (int(n_items) + 31) // 32
+    bits = np.zeros((int(n_users) + 1, W), np.uint32)
+    lib.ycnr_pack_bits(_ptr(u, ctypes.c_int32), _ptr(i, ctypes.c_int32),
+                       len(u), W,
+                       bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return bits

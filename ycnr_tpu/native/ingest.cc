@@ -291,4 +291,17 @@ int ycnr_pack_rows(const int64_t* src_start, const int64_t* src_cnt,
   return 0;
 }
 
+// Packed rated-set bitfield over `bits[(n_users+1) x W]` (W uint32 words
+// per user row, caller-zeroed): one OR per rating. The serving mask and
+// the BPR collision table build this; np.bitwise_or.at is ~10x slower at
+// 20M rows (models/bpr.pack_rated_bits).
+int ycnr_pack_bits(const int32_t* u, const int32_t* i, int64_t nnz,
+                   int64_t W, uint32_t* bits) {
+  for (int64_t k = 0; k < nnz; k++) {
+    const int64_t row = (int64_t)u[k] * W + (i[k] >> 5);
+    bits[row] |= (uint32_t)1 << (i[k] & 31);
+  }
+  return 0;
+}
+
 }  // extern "C"
