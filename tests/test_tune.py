@@ -138,6 +138,21 @@ def test_tune_bpr_matches_standalone_train():
                                np.asarray(solo.state.U), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res.best_state.bi),
                                np.asarray(solo.state.bi), atol=1e-5)
+    # EVERY entry reproduces its saved config, including seeds other than
+    # cfg.seed (draws are keyed per-model, not on the sweep's cfg.seed)
+    for entry in res.leaderboard:
+        if entry["seed"] == 3 and entry is not best:
+            s3 = train(dataclasses.replace(
+                cfg, seed=3,
+                bpr=dataclasses.replace(cfg.bpr, lam=entry["lam"],
+                                        lr=entry["lr"], epochs=3)),
+                dataset=res.dataset)
+            # train records 1 - hit_rate@topn per epoch (512 users), the
+            # same metric the sweep's entries carry
+            assert entry["hit_rate"] == round(1.0 - s3.rmse_history[-1], 4)
+            break
+    else:
+        raise AssertionError("no non-winning seed-3 entry to check")
 
 
 def test_tune_sharded_bpr_matches_single_chip():

@@ -745,13 +745,22 @@ def cmd_export(args):
     other serving stacks) that should not need this framework to read a
     checkpoint. Keys: user_ids, item_ids, U, V, bu, bi, mu (padding rows
     dropped; ids dense 0..n-1 when the store was imported without maps)."""
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from ycnr_tpu.models.base import unpad
     from ycnr_tpu.train.checkpoint import load_checkpoint
 
     state, manifest = load_checkpoint(args.ckpt)
-    U, V, bu, bi, mu = unpad(state)
+    # portable contract: downstream np.load must see plain floats, so a
+    # bfloat16-trained checkpoint (ml_dtypes) is widened — np.savez would
+    # otherwise store opaque '|V2' void data
+    U, V, bu, bi, mu = (np.asarray(x, np.float32) if np.asarray(x).dtype
+                        not in (np.float32, np.float64) else np.asarray(x)
+                        for x in unpad(state))
     user_ids = np.arange(state.n_users, dtype=np.int64)
     item_ids = np.arange(state.n_items, dtype=np.int64)
     id_space = "dense"
@@ -981,6 +990,9 @@ def main(argv=None):
     p.add_argument("--store",
                    help="store dir whose id maps key the export (omit for "
                         "dense 0..n-1 ids)")
+    p.add_argument("--platform",
+                   help="force jax platform (e.g. cpu — an export needs no "
+                        "accelerator)")
     p.set_defaults(fn=cmd_export, uses_jax=False)
 
     p = sub.add_parser("validate", help="held-out RMSE from a checkpoint")

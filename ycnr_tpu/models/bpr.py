@@ -92,42 +92,54 @@ def bpr_epoch_core(U, V, bi, u, i, j, bits, lam, lr, grad_mode: str):
     lr = jnp.asarray(lr, U.dtype)
     Uf = jnp.concatenate([U, jnp.ones((U.shape[0], 1), U.dtype)], axis=1)
     Vf = jnp.concatenate([V, bi[:, None].astype(U.dtype)], axis=1)
-    colmask = jnp.concatenate([jnp.ones(k, U.dtype),
-                               jnp.zeros(1, U.dtype)])
 
     def body(carry, batch):
         Uf, Vf = carry
         ub, ib, jb = batch
-        pad = ub < n_users
-        # collision test: is j in u's rated set? (padding rows of `bits`
-        # are all-zero, so padded samples read bit 0 — the pad mask below
-        # kills them anyway)
-        word = bits[jnp.minimum(ub, bits.shape[0] - 1), jb // 32]
-        hit = (word >> (jb % 32).astype(jnp.uint32)) & jnp.uint32(1)
-        m = (pad & (hit == 0)).astype(U.dtype)
-        Uu = Uf[ub]
-        Vi = Vf[ib]
-        Vj = Vf[jb]
-        x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
-        s = m * jax.nn.sigmoid(-x)
-        if grad_mode == "mean":
-            cu = jnp.zeros(Uf.shape[0], U.dtype).at[ub].add(m)
-            ci = jnp.zeros(Vf.shape[0], U.dtype).at[ib].add(m).at[jb].add(m)
-            wu = m / jnp.maximum(cu[ub], 1.0)
-            wi = m / jnp.maximum(ci[ib], 1.0)
-            wj = m / jnp.maximum(ci[jb], 1.0)
-        else:
-            wu = wi = wj = m
-        Uf = Uf.at[ub].add(colmask * (lr * wu[:, None]
-                                      * (s[:, None] * (Vi - Vj)
-                                         - lam * Uu)))
-        Vf = Vf.at[ib].add(lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
-        Vf = Vf.at[jb].add(lr * wj[:, None] * (-s[:, None] * Uu
-                                               - lam * Vj))
+        du, dvi, dvj = bpr_batch_deltas(Uf, Vf, bits, ub, ib, jb,
+                                        n_users, lam, lr, grad_mode)
+        Uf = Uf.at[ub].add(du)
+        Vf = Vf.at[ib].add(dvi).at[jb].add(dvj)
         return (Uf, Vf), None
 
     (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (u, i, j))
     return Uf[:, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
+
+
+def bpr_batch_deltas(Uf, Vf, bits, ub, ib, jb, pad_row, lam, lr,
+                     grad_mode: str):
+    """One batch's per-row update terms over the FUSED arrays — the single
+    copy of the BPR math shared by the single-chip scan above and the
+    sharded body (parallel/shard._bpr_epoch_fn, which psums the scattered
+    V deltas per batch). Returns (du [B,k+1], dvi [B,k+1], dvj [B,k+1]);
+    callers scatter du at ub, dvi at ib, dvj at jb. ``pad_row`` is the
+    first padding user index (n_users single-chip, upd per shard)."""
+    k = Uf.shape[1] - 1
+    colmask = jnp.concatenate([jnp.ones(k, Uf.dtype),
+                               jnp.zeros(1, Uf.dtype)])
+    pad = ub < pad_row
+    # collision test: is j in u's rated set? (padding rows of `bits` are
+    # all-zero, so padded samples read bit 0 — the pad mask kills them)
+    word = bits[jnp.minimum(ub, bits.shape[0] - 1), jb // 32]
+    hit = (word >> (jb % 32).astype(jnp.uint32)) & jnp.uint32(1)
+    m = (pad & (hit == 0)).astype(Uf.dtype)
+    Uu = Uf[ub]
+    Vi = Vf[ib]
+    Vj = Vf[jb]
+    x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
+    s = m * jax.nn.sigmoid(-x)
+    if grad_mode == "mean":
+        cu = jnp.zeros(Uf.shape[0], Uf.dtype).at[ub].add(m)
+        ci = jnp.zeros(Vf.shape[0], Uf.dtype).at[ib].add(m).at[jb].add(m)
+        wu = m / jnp.maximum(cu[ub], 1.0)
+        wi = m / jnp.maximum(ci[ib], 1.0)
+        wj = m / jnp.maximum(ci[jb], 1.0)
+    else:
+        wu = wi = wj = m
+    du = colmask * (lr * wu[:, None] * (s[:, None] * (Vi - Vj) - lam * Uu))
+    dvi = lr * wi[:, None] * (s[:, None] * Uu - lam * Vi)
+    dvj = lr * wj[:, None] * (-s[:, None] * Uu - lam * Vj)
+    return du, dvi, dvj
 
 
 @partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),

@@ -280,6 +280,13 @@ def pack_bits_native(u, i, n_users: int, n_items: int):
         return None
     u = np.ascontiguousarray(u, np.int32)
     i = np.ascontiguousarray(i, np.int32)
+    # the C loop does no bounds checks — mirror the NumPy fallback's
+    # IndexError instead of silently corrupting the heap
+    if len(u) and (int(u.min()) < 0 or int(u.max()) > int(n_users)
+                   or int(i.min()) < 0 or int(i.max()) >= int(n_items)):
+        raise IndexError(
+            f"pack_bits: ids out of range (users 0..{n_users}, items "
+            f"0..{int(n_items) - 1})")
     W = (int(n_items) + 31) // 32
     bits = np.zeros((int(n_users) + 1, W), np.uint32)
     lib.ycnr_pack_bits(_ptr(u, ctypes.c_int32), _ptr(i, ctypes.c_int32),

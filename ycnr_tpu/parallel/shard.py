@@ -612,42 +612,23 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         ib = i[0][perm].reshape(-1, b_local)
         jb = jax.random.randint(kn, (u.shape[1],), 0, n_items,
                                 jnp.int32).reshape(-1, b_local)
-        # bias-as-a-column fusion (models/bpr.bpr_epoch_core): halves the
-        # per-row bias ops AND merges the dV/dbi psums into one collective
+        # bias-as-a-column fusion (models/bpr.bpr_batch_deltas — the ONE
+        # copy of the BPR batch math): halves the per-row bias ops AND
+        # merges the dV/dbi psums into one collective
+        from ycnr_tpu.models.bpr import bpr_batch_deltas
+
         Uf = jnp.concatenate(
             [Ul, jnp.ones((Ul.shape[0], 1), Ul.dtype)], axis=1)
         Vf = jnp.concatenate([V, bi[:, None].astype(V.dtype)], axis=1)
-        colmask = jnp.concatenate([jnp.ones(k, Ul.dtype),
-                                   jnp.zeros(1, Ul.dtype)])
 
         def body(carry, batch):
             Uf, Vf = carry
             ubt, ibt, jbt = batch
-            pad = ubt < upd
-            word = bitsl[jnp.minimum(ubt, upd), jbt // 32]
-            hit = (word >> (jbt % 32).astype(jnp.uint32)) & jnp.uint32(1)
-            m = (pad & (hit == 0)).astype(Uf.dtype)
-            Uu = Uf[ubt]
-            Vi = Vf[ibt]
-            Vj = Vf[jbt]
-            x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
-            s = m * jax.nn.sigmoid(-x)
-            if grad_mode == "mean":
-                cu = jnp.zeros(upd + 1, Uf.dtype).at[ubt].add(m)
-                ci = jnp.zeros(n_items + 1, Uf.dtype).at[ibt].add(
-                    m).at[jbt].add(m)
-                wu = m / jnp.maximum(cu[ubt], 1.0)
-                wi = m / jnp.maximum(ci[ibt], 1.0)
-                wj = m / jnp.maximum(ci[jbt], 1.0)
-            else:
-                wu = wi = wj = m
-            Uf = Uf.at[ubt].add(colmask * (lr * wu[:, None]
-                                           * (s[:, None] * (Vi - Vj)
-                                              - lam * Uu)))
-            dVf = jnp.zeros_like(Vf).at[ibt].add(
-                lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
-            dVf = dVf.at[jbt].add(lr * wj[:, None] * (-s[:, None] * Uu
-                                                      - lam * Vj))
+            du, dvi, dvj = bpr_batch_deltas(Uf, Vf, bitsl, ubt, ibt, jbt,
+                                            upd, lam, lr, grad_mode)
+            Uf = Uf.at[ubt].add(du)  # local users: no collective
+            # V/b_i rows cross user shards: psum the scattered deltas (P3)
+            dVf = jnp.zeros_like(Vf).at[ibt].add(dvi).at[jbt].add(dvj)
             Vf = Vf + lax.psum(dVf, AXIS)
             return (Uf, Vf), None
 

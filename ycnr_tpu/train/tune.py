@@ -133,12 +133,14 @@ def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
 
 
 def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
-                batch_size: int, grad_mode: str, seed: int):
+                batch_size: int, grad_mode: str):
     """BPR analog of _sgd_runner: per-epoch draws reproduce
-    BPRTrainer.epoch's key formula, so a config's trajectory matches a
-    standalone `--algorithm bpr` run. The per-epoch metric is held-out
-    pairwise AUC over fixed (test-positive, sampled-unrated) triples —
-    ranking logits have no RMSE."""
+    BPRTrainer.epoch's key formula with each model's OWN seed (the seed
+    axis is per-model traced data, like lam/lr — so every leaderboard
+    entry, not just ones sharing cfg.seed, reproduces a standalone
+    `--algorithm bpr` run of its saved config). The per-epoch metric is
+    held-out pairwise AUC over fixed (test-positive, sampled-unrated)
+    triples — ranking logits have no RMSE."""
     from ycnr_tpu.models.bpr import bpr_epoch_core
 
     u, i, bits = data_arrays
@@ -146,11 +148,11 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     n_pad = u.shape[0]
 
     def one(args):
-        st, lam, lr0 = args
+        st, lam, lr0, sd = args
         n_items = st.V.shape[0] - 1
 
         def body(s, ep):
-            key = jax.random.key(seed + 7919 * ep)  # BPRTrainer's formula
+            key = jax.random.key(sd + 7919 * ep)  # BPRTrainer's formula
             kp, kn = jax.random.split(key)
             perm = jax.random.permutation(kp, n_pad)
             negs = jax.random.randint(kn, (n_pad,), 0, n_items, jnp.int32)
@@ -169,19 +171,18 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     return one
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "batch_size", "grad_mode",
-                                   "seed"),
+@partial(jax.jit, static_argnames=("n_epochs", "batch_size", "grad_mode"),
          donate_argnums=(0,))
-def _sweep_bpr_program(states: MFState, lams, lrs, decay, data_arrays,
-                       eval_triples, n_epochs: int, batch_size: int,
-                       grad_mode: str, seed: int):
+def _sweep_bpr_program(states: MFState, lams, lrs, seeds, decay,
+                       data_arrays, eval_triples, n_epochs: int,
+                       batch_size: int, grad_mode: str):
     one = _bpr_runner(data_arrays, decay, eval_triples, n_epochs,
-                      batch_size, grad_mode, seed)
-    return lax.map(one, (states, lams, lrs))
+                      batch_size, grad_mode)
+    return lax.map(one, (states, lams, lrs, seeds))
 
 
 def _sweep_sharded(mesh, kind: str, states, v1, v2, shared, n_epochs,
-                   **kw):
+                   v3=None, **kw):
     """Mesh-parallel sweep: the MODEL axis shards over the 1-D mesh — each
     device trains its own slice of the config grid against replicated data
     (embarrassingly parallel: zero collectives; D devices give a D-fold
@@ -195,14 +196,16 @@ def _sweep_sharded(mesh, kind: str, states, v1, v2, shared, n_epochs,
 
     from ycnr_tpu.parallel.mesh import AXIS
 
-    def local(states_l, v1_l, v2_l, *shared_ops):
+    def local(states_l, v1_l, v2_l, *rest):
+        if kind == "bpr":
+            v3_l, shared_ops = rest[0], rest[1:]
+            one = _bpr_runner(shared_ops[0], shared_ops[1], shared_ops[2],
+                              n_epochs, kw["batch_size"], kw["grad_mode"])
+            return lax.map(one, (states_l, v1_l, v2_l, v3_l))
+        shared_ops = rest
         if kind == "sgd":
             one = _sgd_runner(shared_ops[0], shared_ops[1], shared_ops[2],
                               n_epochs, kw["tile"], kw["seed"])
-        elif kind == "bpr":
-            one = _bpr_runner(shared_ops[0], shared_ops[1], shared_ops[2],
-                              n_epochs, kw["batch_size"], kw["grad_mode"],
-                              kw["seed"])
         else:
             one = _als_runner(shared_ops[0], shared_ops[1], shared_ops[2],
                               n_epochs, kw["implicit"], kw["gather_bf16"])
@@ -212,12 +215,16 @@ def _sweep_sharded(mesh, kind: str, states, v1, v2, shared, n_epochs,
     repl = NamedSharding(mesh, P())
     states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
     v1, v2 = jax.device_put(v1, shard), jax.device_put(v2, shard)
+    extra = ()
+    if v3 is not None:
+        extra = (jax.device_put(v3, shard),)
     shared = jax.tree.map(lambda x: jax.device_put(x, repl), shared)
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * len(shared),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(AXIS),) * len(extra)
+        + (P(),) * len(shared),
         out_specs=(P(AXIS), P(AXIS))), donate_argnums=(0,))
-    return fn(states, v1, v2, *shared)
+    return fn(states, v1, v2, *extra, *shared)
 
 
 def _bpr_eval_triples(ds: Dataset, seed: int):
@@ -349,16 +356,16 @@ def tune(cfg: RunConfig, lams: Sequence[float],
         arrays = (bdata.u, bdata.i, bdata.bits)
         triples = _bpr_eval_triples(ds, cfg.seed)
         decay = jnp.asarray(params.lr_decay, dtype)
+        seed_v = jnp.asarray([g[2] for g in grid_run], jnp.int32)
         if mesh is not None:
             finals, traj = _sweep_sharded(
                 mesh, "bpr", states, lam_v, aux_v,
-                (arrays, decay, triples), n_epochs,
-                batch_size=params.batch_size, grad_mode=params.grad_mode,
-                seed=cfg.seed)
+                (arrays, decay, triples), n_epochs, v3=seed_v,
+                batch_size=params.batch_size, grad_mode=params.grad_mode)
         else:
             finals, traj = _sweep_bpr_program(
-                states, lam_v, aux_v, decay, arrays, triples, n_epochs,
-                params.batch_size, params.grad_mode, cfg.seed)
+                states, lam_v, aux_v, seed_v, decay, arrays, triples,
+                n_epochs, params.batch_size, params.grad_mode)
     elif is_sgd:
         from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
 
