@@ -46,6 +46,26 @@ def test_known_case():
     # interaction-level hit_rate agrees with the standalone helper
     assert hit_rate_at_n(state, train_u, train_i, test_u, test_i,
                          n=4) == pytest.approx(m["hit_rate"])
+    # coverage: recommended lists are {1,2,3,4} and {0,1,2,3} -> 5 of 12
+    assert m["coverage"] == pytest.approx(5 / 12, abs=1e-6)
+    # novelty: 1 training interaction (item 0, count 1, nnz 1); every
+    # recommended item has count<=1 -> -log2(1/1) = 0 across the board
+    assert m["novelty"] == pytest.approx(0.0)
+
+
+def test_novelty_prefers_rare_items():
+    """A popularity-skewed train set: lists containing only the hot item
+    score lower novelty than lists of rare items."""
+    from ycnr_tpu.eval.ranking import ranking_metrics_at_n as rm
+
+    state = _state_descending_scores(1, 8)
+    # item 0 rated 6 times (by OTHER users), item 7 once; user 0 unrated
+    train_u = np.array([1, 1, 1, 1, 1, 1, 1])
+    train_i = np.array([0, 0, 0, 0, 0, 0, 7])
+    m = rm(state, train_u, train_i, np.array([0]), np.array([1]), n=2)
+    # top-2 for user 0 = [0, 1]: novelty = mean(-log2(6/7), -log2(1/7))
+    want = float(np.mean([-np.log2(6 / 7), -np.log2(1 / 7)]))
+    assert m["novelty"] == pytest.approx(want, abs=1e-3)
 
 
 def test_perfect_and_empty():

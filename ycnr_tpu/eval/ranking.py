@@ -63,13 +63,24 @@ def ranking_metrics_at_n(state: MFState, train_u, train_i, test_u, test_i,
     * ndcg@n      = Σ_{p: i_p ∈ R_u} 1/log2(p+1) / Σ_{p≤min(n,|R_u|)} 1/log2(p+1)
     * map@n       = (1/min(n,|R_u|)) Σ_{p: i_p ∈ R_u} precision@p
 
-    plus the interaction-level hit_rate (same definition as hit_rate_at_n).
+    plus the interaction-level hit_rate (same definition as hit_rate_at_n)
+    and two aggregate list-quality production metrics:
+
+    * coverage@n — |distinct items recommended across evaluated users| /
+      n_items (catalog coverage: a popularity-only recommender scores
+      ~n/n_items; personalization spreads recommendations over the
+      catalog)
+    * novelty@n  — mean self-information -log2(count_train(i)/nnz_train)
+      of recommended items (Vargas & Castells 2011): higher = the lists
+      lean on less-popular items
+
     All means are over users; up to max_users test users are sampled
     deterministically (the serving pass is the expensive part).
     """
     if len(np.asarray(test_u)) == 0:
         return {"n": n, "users": 0, "hit_rate": 0.0, "precision": 0.0,
-                "recall": 0.0, "ndcg": 0.0, "map": 0.0}
+                "recall": 0.0, "ndcg": 0.0, "map": 0.0, "coverage": 0.0,
+                "novelty": 0.0}
     # recommend_users clamps n to the catalog size internally; mirror the
     # clamp here so np.fromiter(count=n) matches the returned row length
     n = min(int(n), state.n_items)
@@ -97,7 +108,15 @@ def ranking_metrics_at_n(state: MFState, train_u, train_i, test_u, test_i,
             p_at_hit = np.cumsum(hit)[hit] / (np.flatnonzero(hit) + 1)
             ap += float(p_at_hit.sum()) / min(n, len(R))
     m = len(users)
+    flat = np.asarray(items).reshape(-1)
+    flat = flat[(flat >= 0) & (flat < state.n_items)]  # NEG_INF-tail safe
+    counts = np.bincount(np.asarray(train_i), minlength=state.n_items)
+    nnz = max(int(counts.sum()), 1)
+    novelty = float(np.mean(-np.log2(
+        np.maximum(counts[flat], 1) / nnz))) if len(flat) else 0.0
     return {"n": n, "users": int(m),
             "hit_rate": round(hits_total / len(test_u), 6),
             "precision": round(prec / m, 6), "recall": round(rec / m, 6),
-            "ndcg": round(ndcg / m, 6), "map": round(ap / m, 6)}
+            "ndcg": round(ndcg / m, 6), "map": round(ap / m, 6),
+            "coverage": round(len(np.unique(flat)) / state.n_items, 6),
+            "novelty": round(novelty, 4)}
