@@ -294,7 +294,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             f"({sgd_data.u.shape[0] // bpr_batch} batches of {bpr_batch})")
         trainer = BPRTrainer(lam=0.01, lr=0.05, lr_decay=0.98,
                              batch_size=bpr_batch, seed=seed,
-                             grad_mode="mean")
+                             grad_mode="emean")
 
         def step(state, ep):
             return trainer.epoch(state, sgd_data, ep)

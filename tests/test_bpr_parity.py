@@ -23,7 +23,7 @@ def _implicit(n_users=40, n_items=30, nnz=600, seed=0):
     return u, i
 
 
-@pytest.mark.parametrize("grad_mode", ["sum", "mean"])
+@pytest.mark.parametrize("grad_mode", ["sum", "mean", "emean"])
 def test_bpr_oracle_parity_f64(grad_mode):
     n_users, n_items, B = 40, 30, 100
     u, i = _implicit(n_users, n_items)
@@ -81,6 +81,38 @@ def test_bpr_deterministic_and_learns():
            + bi[np.asarray(neg_i)])
     auc = float(np.mean(pos[:, None] > neg[None, :]))
     assert auc > 0.8, auc
+
+
+def test_bpr_emean_tracks_mean_quality():
+    """The expected-multiplicity mode must land in the same quality band
+    as realized-multiplicity "mean" (it exists purely to avoid mean's
+    on-device counting cost — docs/KERNELS.md BPR perf model)."""
+    n_users, n_items = 80, 60
+    u, i = _implicit(n_users, n_items, nnz=2400, seed=11)
+    data = prepare_bpr_data(u, i, 512, n_users, n_items)
+    aucs = {}
+    for gm in ("mean", "emean"):
+        tr = BPRTrainer(lam=0.01, lr=0.15, batch_size=512, seed=5,
+                        grad_mode=gm)
+        st = init_state(n_users, n_items, 8, seed=7)
+        for e in range(25):
+            st = tr.epoch(st, data, e)
+        U, V, bi = (np.asarray(st.U), np.asarray(st.V), np.asarray(st.bi))
+        pos = np.einsum("nk,nk->n", U[u], V[i]) + bi[i]
+        rng = np.random.default_rng(0)
+        rated = set(zip(u.tolist(), i.tolist()))
+        nu_, ni_ = [], []
+        while len(nu_) < 1500:
+            a = int(rng.integers(0, n_users))
+            b = int(rng.integers(0, n_items))
+            if (a, b) not in rated:
+                nu_.append(a)
+                ni_.append(b)
+        neg = (np.einsum("nk,nk->n", U[nu_], V[ni_])
+               + bi[np.asarray(ni_)])
+        aucs[gm] = float(np.mean(pos[:, None] > neg[None, :]))
+    assert aucs["emean"] > 0.7, aucs
+    assert abs(aucs["emean"] - aucs["mean"]) < 0.06, aucs
 
 
 def test_bpr_collision_masking_extreme():

@@ -53,7 +53,7 @@ def test_sharded_bpr_learns_and_deterministic(n_shards):
     data, meta = build_sharded_data(tu, ti, tr, nu, ni, n_shards,
                                     test_u=su, test_i=si, test_r=sr,
                                     sgd_batch=512, mesh=mesh, algo="bpr")
-    bits = build_bpr_bits(tu, ti, meta, mesh=mesh)
+    bits = build_bpr_bits(tu, ti, meta, batch_size=512, mesh=mesh)
     from ycnr_tpu.models.base import init_state
 
     key = jax.random.key(3)
@@ -86,7 +86,7 @@ def test_bpr_bits_match_single_chip_table():
 
     _, meta = build_sharded_data(tu, ti, tr, nu, ni, 4, sgd_batch=256,
                                  algo="bpr")
-    bits = np.asarray(build_bpr_bits(tu, ti, meta))
+    bits = np.asarray(build_bpr_bits(tu, ti, meta, batch_size=256).bits)
     ref = pack_rated_bits(tu, ti, nu, ni)
     for d in range(4):
         for j, gu in enumerate(meta.user_map[d]):

@@ -75,7 +75,9 @@ def test_train_bpr_resume_retraces(tmp_path):
                                   np.asarray(full.state.U))
     np.testing.assert_array_equal(np.asarray(resumed.state.bi),
                                   np.asarray(full.state.bi))
-    assert resumed.rmse_history == full.rmse_history  # 1-hit_rate records
+    # pre-resume entries come back 6dp-rounded from the manifest
+    assert [round(x, 6) for x in resumed.rmse_history] == \
+        [round(x, 6) for x in full.rmse_history]
 
 
 def test_train_sharded_both_modes(tmp_path):

@@ -107,10 +107,14 @@ class BPRConfig:
     epochs: int = 30
     batch_size: int = 8192
     dtype: str = "float32"
-    # "sum" = per-sample accumulation (oracle-exact); "mean" divides each
-    # entity's update by its batch multiplicity (hot-entity stability —
-    # same trade as SGDConfig.grad_mode)
-    grad_mode: str = "mean"
+    # "sum" = per-sample accumulation (oracle-exact; hot entities can
+    # overstep at large batches); "mean" divides each entity's update by
+    # its realized batch multiplicity (stable, but the on-device counts
+    # cost ~0.4 s/epoch at ML-20M); "emean" (default) divides by the
+    # EXPECTED multiplicity — deterministic weights precomputed from the
+    # training degrees ride along as fused factor columns (models/bpr.py:
+    # 2.39 -> 2.00 s/epoch vs "mean" at matching hit@10 trajectory)
+    grad_mode: str = "emean"
 
 
 @dataclass(frozen=True)

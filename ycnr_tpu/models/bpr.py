@@ -33,13 +33,16 @@ from ycnr_tpu.models.base import MFState
 
 
 class BPRData(NamedTuple):
-    """Positive pairs padded to whole batches + the rated-bits table.
+    """Positive pairs padded to whole batches + the rated-bits table +
+    the expected-multiplicity weight vectors (read by grad_mode="emean").
     Padding points at the trash rows (u = n_users, i = n_items) and is
     masked out of every update."""
 
     u: jnp.ndarray      # [n_pad] int32
     i: jnp.ndarray      # [n_pad] int32
     bits: jnp.ndarray   # [n_users + 1, ceil(n_items/32)] uint32
+    wu: jnp.ndarray     # [n_users + 1] f32 1/max(1, E[user triples/batch])
+    wi: jnp.ndarray     # [n_items + 1] f32 1/max(1, E[item rows/batch])
     n_real: int
 
 
@@ -61,6 +64,28 @@ def pack_rated_bits(train_u, train_i, n_users: int, n_items: int):
     return bits
 
 
+def expected_weights(train_u, train_i, batch_size: int, n_users: int,
+                     n_items: int):
+    """grad_mode="emean" weight vectors: 1/max(1, E[batch multiplicity]).
+
+    E[user u triples per batch]  = deg_u * B / nnz
+    E[item t rows per batch]     = deg_t * B / nnz  (as the positive)
+                                 + B / n_items      (as a uniform negative)
+
+    Deterministic and precomputable (unlike "mean"'s realized counts, which
+    cost ~6 extra random per-row ops per triple on device — measured 2.25
+    vs 1.57 s/epoch at ML-20M, docs/KERNELS.md). Trash rows weigh 0."""
+    nnz = max(len(np.asarray(train_u)), 1)
+    deg_u = np.bincount(np.asarray(train_u), minlength=n_users)
+    deg_i = np.bincount(np.asarray(train_i), minlength=n_items)
+    wu = np.zeros(int(n_users) + 1, np.float32)
+    wi = np.zeros(int(n_items) + 1, np.float32)
+    wu[:n_users] = 1.0 / np.maximum(deg_u * (batch_size / nnz), 1.0)
+    wi[:n_items] = 1.0 / np.maximum(
+        deg_i * (batch_size / nnz) + batch_size / n_items, 1.0)
+    return wu, wi
+
+
 def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
                      n_items: int) -> BPRData:
     n = len(train_u)
@@ -69,29 +94,42 @@ def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
     i = np.full(n_pad, n_items, np.int32)
     u[:n], i[:n] = train_u, train_i
     bits = pack_rated_bits(train_u, train_i, n_users, n_items)
-    return BPRData(jnp.asarray(u), jnp.asarray(i), jnp.asarray(bits), n)
+    wu, wi = expected_weights(train_u, train_i, batch_size, n_users,
+                              n_items)
+    return BPRData(jnp.asarray(u), jnp.asarray(i), jnp.asarray(bits),
+                   jnp.asarray(wu), jnp.asarray(wi), n)
 
 
-def bpr_epoch_core(U, V, bi, u, i, j, bits, lam, lr, grad_mode: str):
+def fuse_bpr_state(U, V, bi, wu, wi):
+    """(Uf, Vf) with TWO extra columns each — the epoch-scan carries these:
+
+        Uf = [U | 1 | wu]        Vf = [V | bi | wi]
+
+    Column k (ones / bias) makes the fused dot produce x = U.(Vi-Vj) +
+    (bi_i - bi_j) and makes the joint Vf update's bias column the exact
+    b_i update (the stream-SGD trick). Column k+1 carries the per-row
+    "emean" weights ALONG WITH the factor gathers, so expected-
+    multiplicity weighting costs zero extra per-row ops (vs "mean"'s ~6 —
+    measured 2.25 vs 1.6 s/epoch at ML-20M, docs/KERNELS.md). For
+    sum/mean modes the weight columns ride along unread."""
+    dt = U.dtype
+    Uf = jnp.concatenate([U, jnp.ones((U.shape[0], 1), dt),
+                          wu[:, None].astype(dt)], axis=1)
+    Vf = jnp.concatenate([V, bi[:, None].astype(dt),
+                          wi[:, None].astype(dt)], axis=1)
+    return Uf, Vf
+
+
+def bpr_epoch_core(U, V, bi, u, i, j, bits, wu, wi, lam, lr,
+                   grad_mode: str):
     """Batched-triple scan with TRACED lam/lr (so the hyperparameter sweep
     can map over them as per-model data, train/tune.py). u/i/j are already
-    permuted + reshaped to [n_batches, B]. Returns (U, V, bi).
-
-    The item bias rides as an extra factor column for the epoch (the
-    stream-SGD trick, models/sgd_stream.py): with Vf = [V | bi] and
-    Uf = [U | 1], x = Uf[u].(Vf[i]-Vf[j]) and the joint Vf update's last
-    column IS the bi update (s - lam*bi), element for element — so the
-    four separate per-row bias ops (2 gathers + 2 scatter-adds per
-    triple) vanish. 10 -> 6 random per-row ops per triple ("sum" mode);
-    measured 3.21 -> 2.4 s/epoch at ML-20M scale (docs/KERNELS.md "BPR
-    epoch perf model"). Uf's ones-column must not drift: the U-side
-    delta is zeroed on the last column.
-    """
+    permuted + reshaped to [n_batches, B]; wu/wi are the expected-weight
+    vectors from BPRData. Returns (U, V, bi)."""
     n_users = U.shape[0] - 1
     k = U.shape[1]
     lr = jnp.asarray(lr, U.dtype)
-    Uf = jnp.concatenate([U, jnp.ones((U.shape[0], 1), U.dtype)], axis=1)
-    Vf = jnp.concatenate([V, bi[:, None].astype(U.dtype)], axis=1)
+    Uf, Vf = fuse_bpr_state(U, V, bi, wu, wi)
 
     def body(carry, batch):
         Uf, Vf = carry
@@ -111,34 +149,47 @@ def bpr_batch_deltas(Uf, Vf, bits, ub, ib, jb, pad_row, lam, lr,
     """One batch's per-row update terms over the FUSED arrays — the single
     copy of the BPR math shared by the single-chip scan above and the
     sharded body (parallel/shard._bpr_epoch_fn, which psums the scattered
-    V deltas per batch). Returns (du [B,k+1], dvi [B,k+1], dvj [B,k+1]);
+    V deltas per batch). Returns (du [B,k+2], dvi [B,k+2], dvj [B,k+2]);
     callers scatter du at ub, dvi at ib, dvj at jb. ``pad_row`` is the
-    first padding user index (n_users single-chip, upd per shard)."""
-    k = Uf.shape[1] - 1
-    colmask = jnp.concatenate([jnp.ones(k, Uf.dtype),
-                               jnp.zeros(1, Uf.dtype)])
+    first padding user index (n_users single-chip, upd per shard).
+
+    grad_mode: "sum" (per-sample accumulation, oracle-exact), "mean"
+    (realized batch multiplicities — stable but ~6 extra random per-row
+    ops), "emean" (expected multiplicities from the fused weight columns
+    — mean-class stability at sum-mode speed; see expected_weights)."""
+    k = Uf.shape[1] - 2
+    dt = Uf.dtype
+    # column roles: 0..k-1 factors, k ones/bias, k+1 weights
+    xmask = jnp.concatenate([jnp.ones(k + 1, dt), jnp.zeros(1, dt)])
+    colU = jnp.concatenate([jnp.ones(k, dt), jnp.zeros(2, dt)])
+    colV = jnp.concatenate([jnp.ones(k + 1, dt), jnp.zeros(1, dt)])
     pad = ub < pad_row
     # collision test: is j in u's rated set? (padding rows of `bits` are
     # all-zero, so padded samples read bit 0 — the pad mask kills them)
     word = bits[jnp.minimum(ub, bits.shape[0] - 1), jb // 32]
     hit = (word >> (jb % 32).astype(jnp.uint32)) & jnp.uint32(1)
-    m = (pad & (hit == 0)).astype(Uf.dtype)
+    m = (pad & (hit == 0)).astype(dt)
     Uu = Uf[ub]
     Vi = Vf[ib]
     Vj = Vf[jb]
-    x = jnp.einsum("nk,nk->n", Uu, Vi - Vj)
+    x = jnp.einsum("nk,k,nk->n", Uu, xmask, Vi - Vj)
     s = m * jax.nn.sigmoid(-x)
     if grad_mode == "mean":
-        cu = jnp.zeros(Uf.shape[0], Uf.dtype).at[ub].add(m)
-        ci = jnp.zeros(Vf.shape[0], Uf.dtype).at[ib].add(m).at[jb].add(m)
+        cu = jnp.zeros(Uf.shape[0], dt).at[ub].add(m)
+        ci = jnp.zeros(Vf.shape[0], dt).at[ib].add(m).at[jb].add(m)
         wu = m / jnp.maximum(cu[ub], 1.0)
         wi = m / jnp.maximum(ci[ib], 1.0)
         wj = m / jnp.maximum(ci[jb], 1.0)
+    elif grad_mode == "emean":
+        # the weights arrived with the factor gathers — zero extra ops
+        wu = m * Uu[:, k + 1]
+        wi = m * Vi[:, k + 1]
+        wj = m * Vj[:, k + 1]
     else:
         wu = wi = wj = m
-    du = colmask * (lr * wu[:, None] * (s[:, None] * (Vi - Vj) - lam * Uu))
-    dvi = lr * wi[:, None] * (s[:, None] * Uu - lam * Vi)
-    dvj = lr * wj[:, None] * (-s[:, None] * Uu - lam * Vj)
+    du = colU * (lr * wu[:, None] * (s[:, None] * (Vi - Vj) - lam * Uu))
+    dvi = colV * (lr * wi[:, None] * (s[:, None] * Uu - lam * Vi))
+    dvj = colV * (lr * wj[:, None] * (-s[:, None] * Uu - lam * Vj))
     return du, dvi, dvj
 
 
@@ -161,7 +212,8 @@ def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
     i = data.i[perm].reshape(-1, batch_size)
     j = negs.reshape(-1, batch_size)
     U, V, bi = bpr_epoch_core(state.U, state.V, state.bi, u, i, j,
-                              data.bits, lam, lr, grad_mode)
+                              data.bits, data.wu, data.wi, lam, lr,
+                              grad_mode)
     return state._replace(U=U, V=V, bi=bi)
 
 

@@ -107,7 +107,12 @@ def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
     grad_mode "sum": duplicates within a batch accumulate (per-sample
     semantics). "mean": each entity's update is divided by its batch
     multiplicity — users by their triple count, items by their total
-    appearances across BOTH the positive and negative columns.
+    appearances across BOTH the positive and negative columns. "emean":
+    divided by the EXPECTED multiplicity instead (deterministic weights
+    from the training degrees: E[user] = deg_u*B/nnz, E[item] =
+    deg_i*B/nnz + B/n_items, clamped >= 1) — the TPU-fast mode
+    (models/bpr.expected_weights; the realized counts cost ~6 extra
+    random per-row ops per triple on device).
     """
     U = np.array(U, np.float64)
     V = np.array(V, np.float64)
@@ -117,6 +122,20 @@ def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
     neg_j = np.asarray(neg_j)
     rated = set(zip(pos_u.tolist(), pos_i.tolist()))
     n = len(pos_u)
+    if grad_mode == "emean":
+        # independent recomputation of models/bpr.expected_weights: the
+        # positives are one full pass over the training pairs, so their
+        # degree counts ARE the training degrees
+        n_items = V.shape[0]
+        deg_u = np.bincount(pos_u, minlength=U.shape[0])
+        deg_i = np.bincount(pos_i, minlength=n_items)
+        # rounded through float32 like the device's prepare-time vectors
+        # (BPRData.wu/wi are f32), so f64 parity stays exact
+        ewu = (1.0 / np.maximum(deg_u * (batch_size / n), 1.0)
+               ).astype(np.float32).astype(np.float64)
+        ewi = (1.0 / np.maximum(
+            deg_i * (batch_size / n) + batch_size / n_items, 1.0)
+        ).astype(np.float32).astype(np.float64)
     for s0 in range(0, n, batch_size):
         u = pos_u[s0:s0 + batch_size]
         i = pos_i[s0:s0 + batch_size]
@@ -134,6 +153,10 @@ def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
             wu = m / np.maximum(cu[u], 1.0)
             wi = m / np.maximum(ci[i], 1.0)
             wj = m / np.maximum(ci[j], 1.0)
+        elif grad_mode == "emean":
+            wu = m * ewu[u]
+            wi = m * ewi[i]
+            wj = m * ewi[j]
         else:
             wu = wi = wj = m
         dU = np.zeros_like(U)

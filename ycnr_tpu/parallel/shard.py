@@ -566,28 +566,43 @@ def sharded_sgd_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
         st, data, key, jnp.asarray(lr, st.V.dtype))
 
 
-def build_bpr_bits(train_u, train_i, meta: ShardedMeta,
-                   mesh: Mesh | None = None):
-    """Per-shard packed rated-bits over LOCAL user rows: [D, upd+1, W]
-    uint32 (models/bpr.py's collision table, one slab per device; the
-    trailing trash row stays zero so padded samples never read a set
-    bit)."""
-    from ycnr_tpu.models.bpr import pack_rated_bits
+class BPRShardAux(NamedTuple):
+    """Per-shard BPR side tables (leading axis D = the mesh axis)."""
+
+    bits: jnp.ndarray  # [D, upd+1, W] uint32 local-user rated bits
+    wu: jnp.ndarray    # [D, upd+1] f32 per-shard "emean" user weights
+    wi: jnp.ndarray    # [D, n_items+1] f32 per-shard "emean" item weights
+
+
+def build_bpr_bits(train_u, train_i, meta: ShardedMeta, batch_size: int = 0,
+                   mesh: Mesh | None = None) -> BPRShardAux:
+    """Per-shard BPR tables: the packed rated-bits collision slabs (one
+    per device, local user rows; trailing trash row zero) plus the
+    expected-multiplicity weight vectors for grad_mode="emean", computed
+    per shard from ITS stream (local degrees, local batch size — the same
+    per-device semantics the sharded "mean" mode has)."""
+    from ycnr_tpu.models.bpr import expected_weights, pack_rated_bits
 
     D, upd = meta.n_shards, meta.upd
+    b_local = max(1, int(batch_size) // D) if batch_size else 1
     W = (int(meta.n_items) + 31) // 32
-    out = np.zeros((D, upd + 1, W), np.uint32)
+    bits = np.zeros((D, upd + 1, W), np.uint32)
+    wu = np.zeros((D, upd + 1), np.float32)
+    wi = np.zeros((D, int(meta.n_items) + 1), np.float32)
     u = np.asarray(train_u)
     i = np.asarray(train_i)
     shard = meta.user_local[u] // upd
     local = meta.user_local[u] % upd
     for d in range(D):
         m = shard == d
-        out[d] = pack_rated_bits(local[m], i[m], upd, meta.n_items)
-    dev = jnp.asarray(out)
+        bits[d] = pack_rated_bits(local[m], i[m], upd, meta.n_items)
+        wu[d], wi[d] = expected_weights(local[m], i[m], b_local, upd,
+                                        meta.n_items)
+    aux = BPRShardAux(jnp.asarray(bits), jnp.asarray(wu), jnp.asarray(wi))
     if mesh is not None:
-        dev = jax.device_put(dev, NamedSharding(mesh, P(AXIS)))
-    return dev
+        aux = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P(AXIS))), aux)
+    return aux
 
 
 @lru_cache(maxsize=64)
@@ -600,8 +615,8 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
     grad_mode="mean" multiplicities are per-device — the same local-batch
     delta the sharded SGD path documents (docs/SCALING.md)."""
 
-    def local(U, bi, V, u, i, bits, key, lr):
-        Ul, bitsl = U[0], bits[0]
+    def local(U, bi, V, u, i, aux, key, lr):
+        Ul, bitsl = U[0], aux.bits[0]
         upd = Ul.shape[0] - 1
         n_items = V.shape[0] - 1
         k = Ul.shape[1]
@@ -612,14 +627,12 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         ib = i[0][perm].reshape(-1, b_local)
         jb = jax.random.randint(kn, (u.shape[1],), 0, n_items,
                                 jnp.int32).reshape(-1, b_local)
-        # bias-as-a-column fusion (models/bpr.bpr_batch_deltas — the ONE
-        # copy of the BPR batch math): halves the per-row bias ops AND
+        # bias+weight column fusion (models/bpr.bpr_batch_deltas — the ONE
+        # copy of the BPR batch math): kills the per-row bias ops AND
         # merges the dV/dbi psums into one collective
-        from ycnr_tpu.models.bpr import bpr_batch_deltas
+        from ycnr_tpu.models.bpr import bpr_batch_deltas, fuse_bpr_state
 
-        Uf = jnp.concatenate(
-            [Ul, jnp.ones((Ul.shape[0], 1), Ul.dtype)], axis=1)
-        Vf = jnp.concatenate([V, bi[:, None].astype(V.dtype)], axis=1)
+        Uf, Vf = fuse_bpr_state(Ul, V, bi, aux.wu[0], aux.wi[0])
 
         def body(carry, batch):
             Uf, Vf = carry
@@ -635,26 +648,32 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (ub, ib, jb))
         return Uf[None, :, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
 
+    aux_spec = BPRShardAux(P(AXIS), P(AXIS), P(AXIS))
+    # check_vma off: Vf carries the per-shard weight column, so the
+    # checker cannot statically infer that the returned V/bi slices are
+    # replicated — they are (every device adds the SAME psum total to the
+    # same replicated input; the weight column never leaks into cols 0..k)
     shmapped = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS), P(), P()))
+        in_specs=(P(AXIS), P(), P(), P(AXIS), P(AXIS), aux_spec, P(), P()),
+        out_specs=(P(AXIS), P(), P()), check_vma=False)
 
-    def epoch(st: ShardedState, data: ShardedData, bits, key,
+    def epoch(st: ShardedState, data: ShardedData, aux, key,
               lr) -> ShardedState:
         U, V, bi = shmapped(st.U, st.bi, st.V, data.sgd_u, data.sgd_i,
-                            bits, key, lr)
+                            aux, key, lr)
         return st._replace(U=U, V=V, bi=bi)
 
     return jax.jit(epoch, donate_argnums=(0,))
 
 
 def sharded_bpr_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
-                      bits, lam: float, lr, key, batch_size: int,
+                      aux: BPRShardAux, lam: float, lr, key,
+                      batch_size: int,
                       grad_mode: str = "mean") -> ShardedState:
     b_local = max(1, batch_size // mesh.devices.size)
     return _bpr_epoch_fn(mesh, float(lam), b_local, str(grad_mode))(
-        st, data, bits, key, jnp.asarray(lr, st.V.dtype))
+        st, data, aux, key, jnp.asarray(lr, st.V.dtype))
 
 
 @lru_cache(maxsize=16)

@@ -436,7 +436,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         algo="stream-sgd" if sgd_stream else cfg.algorithm)
     bpr_bits = None
     if cfg.algorithm == "bpr":
-        bpr_bits = build_bpr_bits(ds.train_u, ds.train_i, meta, mesh=mesh)
+        bpr_bits = build_bpr_bits(ds.train_u, ds.train_i, meta,
+                                  batch_size=cfg.bpr.batch_size, mesh=mesh)
     stream_data = None
     if sgd_stream:
         from ycnr_tpu.parallel.sgd_stream import (

@@ -143,7 +143,7 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     triples — ranking logits have no RMSE."""
     from ycnr_tpu.models.bpr import bpr_epoch_core
 
-    u, i, bits = data_arrays
+    u, i, bits, wu, wi = data_arrays
     eu, ei, ej = eval_triples
     n_pad = u.shape[0]
 
@@ -159,7 +159,7 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
             U, V, bi = bpr_epoch_core(
                 s.U, s.V, s.bi, u[perm].reshape(-1, batch_size),
                 i[perm].reshape(-1, batch_size),
-                negs.reshape(-1, batch_size), bits, lam,
+                negs.reshape(-1, batch_size), bits, wu, wi, lam,
                 lr0 * decay**ep, grad_mode)
             s = s._replace(U=U, V=V, bi=bi)
             xi = jnp.einsum("nk,nk->n", s.U[eu], s.V[ei]) + s.bi[ei]
@@ -353,7 +353,7 @@ def tune(cfg: RunConfig, lams: Sequence[float],
 
         bdata = prepare_bpr_data(ds.train_u, ds.train_i, params.batch_size,
                                  ds.n_users, ds.n_items)
-        arrays = (bdata.u, bdata.i, bdata.bits)
+        arrays = (bdata.u, bdata.i, bdata.bits, bdata.wu, bdata.wi)
         triples = _bpr_eval_triples(ds, cfg.seed)
         decay = jnp.asarray(params.lr_decay, dtype)
         seed_v = jnp.asarray([g[2] for g in grid_run], jnp.int32)
