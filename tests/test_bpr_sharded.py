@@ -78,6 +78,65 @@ def test_sharded_bpr_learns_and_deterministic(n_shards):
     assert np.all(np.asarray(g.U)[-1] == 0)
 
 
+@pytest.mark.parametrize("grad_mode", ["sum", "mean", "emean"])
+def test_sharded_bpr_d1_matches_single_chip(grad_mode):
+    """On a 1-device mesh the sharded epoch must reproduce the single-chip
+    epoch exactly: reconstruct its internal draws (fold_in(key, 0) ->
+    split -> perm/negs) and feed the same triples to bpr_epoch. Catches
+    any drift between the two callers of the shared batch math — e.g. a
+    fused-column layout mismatch (ones-column corruption) that quality
+    thresholds would miss."""
+    import jax
+
+    from ycnr_tpu.models.base import init_state
+    from ycnr_tpu.models.bpr import bpr_epoch, prepare_bpr_data
+
+    (tu, ti, tr), (su, si, sr), nu, ni = _setup()
+    B = 512
+    mesh = make_mesh(1)
+    data, meta = build_sharded_data(tu, ti, tr, nu, ni, 1,
+                                    test_u=su, test_i=si, test_r=sr,
+                                    sgd_batch=B, mesh=mesh, algo="bpr")
+    aux = build_bpr_bits(tu, ti, meta, batch_size=B, mesh=mesh)
+    st0 = init_state(nu, ni, 6, seed=7)
+    # snapshot: the sharded epoch donates its buffers, which can alias
+    # the replicated V/bi device arrays of st0
+    U0g, V0, bi0, bu_dt = (np.asarray(st0.U).copy(),
+                           np.asarray(st0.V).copy(),
+                           np.asarray(st0.bi).copy(), st0.bu.dtype)
+    key = jax.random.key(3)
+    st = scatter_state(st0, meta, mesh)
+    st = sharded_bpr_epoch(mesh, st, data, aux, 0.01, 0.1, key, B,
+                           grad_mode=grad_mode)
+    g = gather_state(st, meta)
+
+    # single-chip run over the LOCAL-id stream with the same draws: the
+    # sharded body permutes ITS stream (LPT-relabeled users, original row
+    # order), so relabel the single-chip data the same way
+    local_u = (meta.user_local % meta.upd)[tu].astype(np.int32)
+    sdata = prepare_bpr_data(local_u, ti, B, meta.upd, ni)
+    np.testing.assert_array_equal(np.asarray(sdata.u),
+                                  np.asarray(data.sgd_u[0]))
+    kp, kn = jax.random.split(jax.random.fold_in(key, 0))
+    perm = jax.random.permutation(kp, sdata.u.shape[0])
+    negs = jax.random.randint(kn, (sdata.u.shape[0],), 0, ni, jnp.int32)
+    # build the local-relabeled start state directly via scatter semantics
+    U0 = np.zeros((meta.upd + 1, 6), np.float32)
+    U0[meta.user_local[np.arange(nu)] % meta.upd] = U0g[:-1]
+    ref = init_state(meta.upd, ni, 6)._replace(
+        U=jnp.asarray(U0), V=jnp.asarray(V0),
+        bu=jnp.zeros(meta.upd + 1, bu_dt), bi=jnp.asarray(bi0))
+    out = bpr_epoch(ref, sdata, perm, negs, 0.01, 0.1, B, grad_mode)
+    # map the single-chip result back to global user ids and compare
+    got_U = np.asarray(g.U)[:-1]
+    want_U = np.asarray(out.U)[meta.user_local[np.arange(nu)] % meta.upd]
+    np.testing.assert_allclose(got_U, want_U, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g.V)[:-1],
+                               np.asarray(out.V)[:-1], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g.bi)[:-1],
+                               np.asarray(out.bi)[:-1], atol=2e-6)
+
+
 def test_bpr_bits_match_single_chip_table():
     """The per-shard bits tables are exactly the single-chip table's rows
     remapped through the user partition."""

@@ -73,16 +73,20 @@ def expected_weights(train_u, train_i, batch_size: int, n_users: int,
                                  + B / n_items      (as a uniform negative)
 
     Deterministic and precomputable (unlike "mean"'s realized counts, which
-    cost ~6 extra random per-row ops per triple on device — measured 2.25
-    vs 1.57 s/epoch at ML-20M, docs/KERNELS.md). Trash rows weigh 0."""
+    cost ~6 extra random per-row ops per triple on device — same-session
+    2.39 vs 1.57 s/epoch at ML-20M, docs/KERNELS.md). Trash rows weigh 0."""
     nnz = max(len(np.asarray(train_u)), 1)
+    # a batch holds at most min(B, nnz) REAL rows (smaller datasets fit in
+    # one padded batch), so the expectation uses the effective batch size —
+    # otherwise small-data runs underweight every update by B/nnz
+    b_eff = min(int(batch_size), nnz)
     deg_u = np.bincount(np.asarray(train_u), minlength=n_users)
     deg_i = np.bincount(np.asarray(train_i), minlength=n_items)
     wu = np.zeros(int(n_users) + 1, np.float32)
     wi = np.zeros(int(n_items) + 1, np.float32)
-    wu[:n_users] = 1.0 / np.maximum(deg_u * (batch_size / nnz), 1.0)
+    wu[:n_users] = 1.0 / np.maximum(deg_u * (b_eff / nnz), 1.0)
     wi[:n_items] = 1.0 / np.maximum(
-        deg_i * (batch_size / nnz) + batch_size / n_items, 1.0)
+        deg_i * (b_eff / nnz) + b_eff / n_items, 1.0)
     return wu, wi
 
 
@@ -100,24 +104,37 @@ def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
                    jnp.asarray(wu), jnp.asarray(wi), n)
 
 
-def fuse_bpr_state(U, V, bi, wu, wi):
-    """(Uf, Vf) with TWO extra columns each — the epoch-scan carries these:
+_GRAD_MODES = ("sum", "mean", "emean")
 
-        Uf = [U | 1 | wu]        Vf = [V | bi | wi]
+
+def _check_grad_mode(grad_mode: str):
+    if grad_mode not in _GRAD_MODES:
+        raise ValueError(f"grad_mode must be one of {_GRAD_MODES}, got "
+                         f"{grad_mode!r} (a typo would silently train "
+                         f"with 'sum' semantics otherwise)")
+
+
+def fuse_bpr_state(U, V, bi, wu, wi, grad_mode: str = "emean"):
+    """(Uf, Vf) with the extra columns the epoch-scan carries:
+
+        Uf = [U | 1 | wu?]        Vf = [V | bi | wi?]
 
     Column k (ones / bias) makes the fused dot produce x = U.(Vi-Vj) +
     (bi_i - bi_j) and makes the joint Vf update's bias column the exact
-    b_i update (the stream-SGD trick). Column k+1 carries the per-row
-    "emean" weights ALONG WITH the factor gathers, so expected-
-    multiplicity weighting costs zero extra per-row ops (vs "mean"'s ~6 —
-    measured 2.25 vs 1.6 s/epoch at ML-20M, docs/KERNELS.md). For
-    sum/mean modes the weight columns ride along unread."""
+    b_i update (the stream-SGD trick). For grad_mode="emean" a second
+    extra column carries the per-row expected-multiplicity weights ALONG
+    WITH the factor gathers, so the weighting costs zero extra per-row
+    ops (vs "mean"'s realized counts — measured 2.39 vs 2.00 s/epoch at
+    ML-20M, docs/KERNELS.md); sum/mean modes skip it (no bandwidth for a
+    column they never read — grad_mode is static at trace time)."""
+    _check_grad_mode(grad_mode)
     dt = U.dtype
-    Uf = jnp.concatenate([U, jnp.ones((U.shape[0], 1), dt),
-                          wu[:, None].astype(dt)], axis=1)
-    Vf = jnp.concatenate([V, bi[:, None].astype(dt),
-                          wi[:, None].astype(dt)], axis=1)
-    return Uf, Vf
+    cu = [U, jnp.ones((U.shape[0], 1), dt)]
+    cv = [V, bi[:, None].astype(dt)]
+    if grad_mode == "emean":
+        cu.append(wu[:, None].astype(dt))
+        cv.append(wi[:, None].astype(dt))
+    return jnp.concatenate(cu, axis=1), jnp.concatenate(cv, axis=1)
 
 
 def bpr_epoch_core(U, V, bi, u, i, j, bits, wu, wi, lam, lr,
@@ -129,7 +146,7 @@ def bpr_epoch_core(U, V, bi, u, i, j, bits, wu, wi, lam, lr,
     n_users = U.shape[0] - 1
     k = U.shape[1]
     lr = jnp.asarray(lr, U.dtype)
-    Uf, Vf = fuse_bpr_state(U, V, bi, wu, wi)
+    Uf, Vf = fuse_bpr_state(U, V, bi, wu, wi, grad_mode)
 
     def body(carry, batch):
         Uf, Vf = carry
@@ -156,13 +173,17 @@ def bpr_batch_deltas(Uf, Vf, bits, ub, ib, jb, pad_row, lam, lr,
     grad_mode: "sum" (per-sample accumulation, oracle-exact), "mean"
     (realized batch multiplicities — stable but ~6 extra random per-row
     ops), "emean" (expected multiplicities from the fused weight columns
-    — mean-class stability at sum-mode speed; see expected_weights)."""
-    k = Uf.shape[1] - 2
+    — mean-class stability at near-sum speed; see expected_weights)."""
+    _check_grad_mode(grad_mode)
+    extra = 2 if grad_mode == "emean" else 1
+    k = Uf.shape[1] - extra
     dt = Uf.dtype
-    # column roles: 0..k-1 factors, k ones/bias, k+1 weights
-    xmask = jnp.concatenate([jnp.ones(k + 1, dt), jnp.zeros(1, dt)])
-    colU = jnp.concatenate([jnp.ones(k, dt), jnp.zeros(2, dt)])
-    colV = jnp.concatenate([jnp.ones(k + 1, dt), jnp.zeros(1, dt)])
+    # column roles: 0..k-1 factors, k ones/bias, (emean) k+1 weights
+    xmask = jnp.concatenate([jnp.ones(k + 1, dt),
+                             jnp.zeros(extra - 1, dt)])
+    colU = jnp.concatenate([jnp.ones(k, dt), jnp.zeros(extra, dt)])
+    colV = jnp.concatenate([jnp.ones(k + 1, dt),
+                            jnp.zeros(extra - 1, dt)])
     pad = ub < pad_row
     # collision test: is j in u's rated set? (padding rows of `bits` are
     # all-zero, so padded samples read bit 0 — the pad mask kills them)

@@ -114,6 +114,8 @@ def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
     (models/bpr.expected_weights; the realized counts cost ~6 extra
     random per-row ops per triple on device).
     """
+    if grad_mode not in ("sum", "mean", "emean"):
+        raise ValueError(f"unknown grad_mode {grad_mode!r}")
     U = np.array(U, np.float64)
     V = np.array(V, np.float64)
     bi = np.array(bi, np.float64)
@@ -129,12 +131,13 @@ def bpr_epoch_batched(U, V, bi, pos_u, pos_i, neg_j, lam, lr, batch_size,
         n_items = V.shape[0]
         deg_u = np.bincount(pos_u, minlength=U.shape[0])
         deg_i = np.bincount(pos_i, minlength=n_items)
+        b_eff = min(batch_size, n)  # a batch holds <= min(B, nnz) rows
         # rounded through float32 like the device's prepare-time vectors
         # (BPRData.wu/wi are f32), so f64 parity stays exact
-        ewu = (1.0 / np.maximum(deg_u * (batch_size / n), 1.0)
+        ewu = (1.0 / np.maximum(deg_u * (b_eff / n), 1.0)
                ).astype(np.float32).astype(np.float64)
         ewi = (1.0 / np.maximum(
-            deg_i * (batch_size / n) + batch_size / n_items, 1.0)
+            deg_i * (b_eff / n) + b_eff / n_items, 1.0)
         ).astype(np.float32).astype(np.float64)
     for s0 in range(0, n, batch_size):
         u = pos_u[s0:s0 + batch_size]

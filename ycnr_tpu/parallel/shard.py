@@ -574,7 +574,7 @@ class BPRShardAux(NamedTuple):
     wi: jnp.ndarray    # [D, n_items+1] f32 per-shard "emean" item weights
 
 
-def build_bpr_bits(train_u, train_i, meta: ShardedMeta, batch_size: int = 0,
+def build_bpr_bits(train_u, train_i, meta: ShardedMeta, batch_size: int,
                    mesh: Mesh | None = None) -> BPRShardAux:
     """Per-shard BPR tables: the packed rated-bits collision slabs (one
     per device, local user rows; trailing trash row zero) plus the
@@ -584,7 +584,10 @@ def build_bpr_bits(train_u, train_i, meta: ShardedMeta, batch_size: int = 0,
     from ycnr_tpu.models.bpr import expected_weights, pack_rated_bits
 
     D, upd = meta.n_shards, meta.upd
-    b_local = max(1, int(batch_size) // D) if batch_size else 1
+    if batch_size <= 0:  # b_local=1 would silently turn emean into sum
+        raise ValueError("build_bpr_bits needs the training batch_size "
+                         "(the emean weights are per-batch expectations)")
+    b_local = max(1, int(batch_size) // D)
     W = (int(meta.n_items) + 31) // 32
     bits = np.zeros((D, upd + 1, W), np.uint32)
     wu = np.zeros((D, upd + 1), np.float32)
@@ -632,7 +635,8 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         # merges the dV/dbi psums into one collective
         from ycnr_tpu.models.bpr import bpr_batch_deltas, fuse_bpr_state
 
-        Uf, Vf = fuse_bpr_state(Ul, V, bi, aux.wu[0], aux.wi[0])
+        Uf, Vf = fuse_bpr_state(Ul, V, bi, aux.wu[0], aux.wi[0],
+                                grad_mode)
 
         def body(carry, batch):
             Uf, Vf = carry
