@@ -141,6 +141,22 @@ def test_export_embeddings(trained, tmp_path, capsys):
                                   np.arange(rec["users"]))
 
 
+def test_recommend_exclude(trained, capsys):
+    store, ckpt = trained
+    main(["recommend", "--ckpt", ckpt, "--store", store,
+          "--user", "3", "-n", "5", "--platform", "cpu"])
+    base = _out_lines(capsys)[-1]["items"]
+    main(["recommend", "--ckpt", ckpt, "--store", store, "--user", "3",
+          "-n", "5", "--exclude", f"{base[0]},{base[1]}",
+          "--platform", "cpu"])
+    out = _out_lines(capsys)[-1]["items"]
+    assert base[0] not in out and base[1] not in out
+    assert len(out) == 5  # exact: over-fetch then filter
+    with pytest.raises(SystemExit):  # unknown catalog id is loud
+        main(["recommend", "--ckpt", ckpt, "--store", store, "--user",
+              "3", "--exclude", "99999", "--platform", "cpu"])
+
+
 def test_recommend_popular_needs_no_factors(trained, capsys):
     # the popularity fallback only counts store rows — no --ckpt/--shm
     store, _ = trained

@@ -224,6 +224,19 @@ def test_protocol_garbage_never_kills_the_app(app):
                 out.get("event") == "stats", (line, out)
 
 
+def test_exclude_request(app):
+    base = json.loads(app.handle("3"))["items"]
+    out = json.loads(app.handle(f"exclude:3:{base[0]},{base[2]}"))
+    assert base[0] not in out["items"] and base[2] not in out["items"]
+    assert len(out["items"]) == len(base)  # exact: over-fetch then filter
+    # excluded-but-not-top items leave the list unchanged
+    far = json.loads(app.handle("exclude:3:39"))
+    if 39 not in base:
+        assert far["items"] == base
+    assert "error" in json.loads(app.handle("exclude:3:"))
+    assert "error" in json.loads(app.handle("exclude:3:9999"))
+
+
 def test_predict_request(app):
     out = json.loads(app.handle("predict:3:1,2,7"))
     assert out["user"] == 3 and out["items"] == [1, 2, 7]

@@ -618,6 +618,24 @@ def cmd_recommend(args):
         from ycnr_tpu.serve.engine import Recommender
 
         rec = Recommender(_load_state()[0], u, i)
+    excl = None
+    if getattr(args, "exclude", None):
+        ei = np.asarray([int(x) for x in args.exclude.split(",")
+                         if x.strip()], np.int64)
+        if maps is not None:
+            pos, bad = _map_ids(maps[1], ei)
+            if bad.any():
+                raise SystemExit(f"--exclude: unknown item ids "
+                                 f"{ei[bad].tolist()} in this dataset")
+            excl = pos
+        else:
+            n_items = int(store.meta["n_items"])
+            bad = (ei < 0) | (ei >= n_items)
+            if bad.any():
+                raise SystemExit(
+                    f"--exclude: item ids {ei[bad].tolist()} not in the "
+                    f"catalog (0..{n_items - 1})")
+            excl = ei
     pred_items = None
     if getattr(args, "predict", None):
         # point prediction r_hat(u, i) instead of top-N (call stack 3.4)
@@ -655,7 +673,7 @@ def cmd_recommend(args):
                               "scores": [round(float(s), 4)
                                          for s in scores]}))
             continue
-        items = rec.recommend(dense, args.n)
+        items = rec.recommend(dense, args.n, exclude=excl)
         if maps is not None:
             items = maps[1][np.asarray(items)]
         print(json.dumps({"user": uid, "items": [int(x) for x in items]}))
@@ -908,6 +926,9 @@ def main(argv=None):
     p.add_argument("--predict", metavar="ITEM,ITEM,...",
                    help="point prediction mode: print r_hat(user, item) "
                         "for each --user x given item instead of top-N")
+    p.add_argument("--exclude", metavar="ITEM,ITEM,...",
+                   help="drop these catalog items from every top-N list "
+                        "(business rules: out-of-stock, region-blocked)")
     p.add_argument("--similar", type=int, nargs="*", default=None,
                    metavar="ITEM",
                    help="item-item mode: top-N most similar catalog items "

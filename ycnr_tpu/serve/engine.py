@@ -156,8 +156,19 @@ class Recommender:
                 f"(0..{self.state.n_users - 1}); use recommend_cold for "
                 f"new users")
 
-    def recommend(self, user_id: int, n: int = 10):
-        """Top-n item ids for one user (rated items masked)."""
+    def recommend(self, user_id: int, n: int = 10, exclude=None):
+        """Top-n item ids for one user (rated items masked).
+
+        ``exclude``: optional catalog item ids to drop from the list
+        (business rules — out-of-stock, region-blocked, already-seen
+        elsewhere). Implemented by over-fetching n + len(exclude) and
+        filtering, so the result is exact; exclusion queries bypass the
+        cache (ad-hoc sets would blow up the key space)."""
+        if exclude is not None and len(exclude):
+            ex = np.asarray(exclude).reshape(-1)
+            self._check_items(ex)
+            wide = self.recommend(user_id, int(n) + len(ex))
+            return wide[~np.isin(wide, ex)][:n]
         self._check_users(np.asarray([user_id]))
         key = (int(user_id), int(n))
         hit = self.cache.get(key)

@@ -16,6 +16,7 @@ Protocol (one request per line, one JSON object per line back):
     batch:42,17,99      -> {"users": [42, 17, 99], "items": [[...], ...]}
     cold:318:5.0,296:4  -> {"user": "cold", "items": [...]}
     predict:42:10,20    -> {"user": 42, "items": [...], "scores": [...]}
+    exclude:42:10,20    -> {"user": 42, "items": [...]}  (items filtered)
     stats               -> {"event": "stats", ..., "latency": {...}}
 
 `batch:` amortizes scoring AND round-trips: a request-per-line client is
@@ -246,6 +247,25 @@ class ServingApp:
                                               alpha=self.fold_alpha)
         return self._emit("cold", items)
 
+    def _exclude(self, line: str) -> str:
+        """exclude:USER:ITEM[,ITEM...] — top-n with the given catalog items
+        filtered out (business rules: out-of-stock, region-blocked). Exact:
+        the engine over-fetches n + |exclude| then filters."""
+        head, _, rest = line[8:].partition(":")
+        uid = int(head)
+        ii = np.asarray([int(x) for x in rest.split(",") if x.strip()],
+                        np.int64)
+        if len(ii) == 0:
+            raise ValueError("exclude: empty item list")
+        dense_u = uid
+        dense_i = ii
+        if self.maps is not None:
+            dense_u = int(self._lookup(self.maps[0], [uid], "user")[0])
+            dense_i = self._lookup(self.maps[1], ii, "items")
+        items = self._engine().recommend(dense_u, self.n,
+                                         exclude=dense_i)
+        return self._emit(uid, items)
+
     def _predict(self, line: str) -> str:
         """predict:USER:ITEM[,ITEM...] — predicted ratings for (user, item)
         pairs through the current serving state (engine.predict)."""
@@ -355,6 +375,8 @@ class ServingApp:
                 return self._similar(line)
             if line.startswith("predict:"):
                 return self._predict(line)
+            if line.startswith("exclude:"):
+                return self._exclude(line)
             if line.startswith("batch:"):
                 return self._batch(line)
             return self._user(line)

@@ -189,9 +189,9 @@ class ShmRecommender:
 
     _refresh = refresh
 
-    def recommend(self, user_id: int, n: int = 10):
+    def recommend(self, user_id: int, n: int = 10, exclude=None):
         self._refresh()
-        return self._rec.recommend(user_id, n)
+        return self._rec.recommend(user_id, n, exclude=exclude)
 
     def recommend_batch(self, user_ids, n: int = 10):
         self._refresh()
