@@ -681,10 +681,13 @@ def cmd_recommend(args):
 
 def cmd_serve(args):
     """Long-running serving loop: one request per stdin line, one JSON
-    response per stdout line. Requests: a user id ("42"), an ad-hoc
-    cold-user rating list ("cold:318:5.0,296:4.5"), an item-similarity
-    query ("similar:318" / "similar:318:dot"), "popular" (zero-history
-    fallback), or "stats" (epoch, catalog dims, latency histogram). With --shm the factors hot-reload
+    response per stdout line. Requests: a user id ("42"), a bulk list
+    ("batch:42,17,99"), an ad-hoc cold-user rating list
+    ("cold:318:5.0,296:4.5"), point predictions ("predict:42:10,20"),
+    a business-rule filtered top-N ("exclude:42:10,20"), an
+    item-similarity query ("similar:318" / "similar:318:dot"), "popular"
+    (zero-history fallback), or "stats" (epoch, catalog dims, latency
+    histogram). With --shm the factors hot-reload
     whenever the trainer republishes (reference pattern: workers serving
     from live shm while the master retrains). With --listen the same
     protocol runs behind a thread-per-connection TCP server
