@@ -56,3 +56,24 @@ def test_golden_ials_ranking_quality():
     # pinned 2026-08-17 (fp32, bucketed path, alpha=5, lam=0.3, 3 epochs)
     assert abs(m["hit_rate"] - 0.296) < 0.02, m
     assert abs(m["ndcg"] - 0.2486) < 0.02, m
+
+
+def test_golden_bpr_ranking_quality():
+    """Pinned pairwise-ranking quality on the same fixed set (fp32,
+    grad_mode=emean default, 8 epochs). Deterministic draws (seed-keyed)
+    make this a stable regression number; measured 2026-08-18. Reference
+    for the band: flipping to grad_mode='sum' moves hit_rate 0.427 ->
+    0.409 and ndcg 0.438 -> 0.427 on this data."""
+    from ycnr_tpu.config import BPRConfig
+    from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
+    cfg = _cfg("als").replace(
+        algorithm="bpr",
+        bpr=BPRConfig(rank=10, lam=0.01, lr=0.1, epochs=8,
+                      batch_size=1024))
+    res = train(cfg, out_dir=None)
+    ds = res.dataset
+    m = ranking_metrics_at_n(res.state, ds.train_u, ds.train_i,
+                             ds.test_u, ds.test_i, n=10)
+    assert abs(m["hit_rate"] - 0.427) < 0.015, m
+    assert abs(m["ndcg"] - 0.4378) < 0.015, m
