@@ -113,7 +113,7 @@ class BPRConfig:
     # cost ~0.4 s/epoch at ML-20M); "emean" (default) divides by the
     # EXPECTED multiplicity — deterministic weights precomputed from the
     # training degrees ride along as fused factor columns (models/bpr.py:
-    # 2.39 -> 2.00 s/epoch vs "mean" at matching hit@10 trajectory)
+    # 2.39 -> 1.68 s/epoch vs "mean" at matching hit@10 trajectory)
     grad_mode: str = "emean"
 
 
