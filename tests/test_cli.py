@@ -155,6 +155,25 @@ def test_recommend_exclude(trained, capsys):
     with pytest.raises(SystemExit):  # unknown catalog id is loud
         main(["recommend", "--ckpt", ckpt, "--store", store, "--user",
               "3", "--exclude", "99999", "--platform", "cpu"])
+    with pytest.raises(SystemExit):  # unsupported combination is loud
+        main(["recommend", "--ckpt", ckpt, "--store", store,
+              "--popular", "--exclude", "1", "--platform", "cpu"])
+
+
+def test_recommend_all_exclude(trained, tmp_path, capsys):
+    """--all --exclude: the bulk JSONL export filters the blocked items
+    from every user's list and still fills to n when possible."""
+    store, ckpt = trained
+    out = str(tmp_path / "r.jsonl")
+    main(["recommend", "--ckpt", ckpt, "--store", store, "--all",
+          "-n", "5", "--exclude", "0,1,2", "--save", out,
+          "--platform", "cpu"])
+    rows = [json.loads(line) for line in open(out)]
+    assert len(rows) > 50
+    for r in rows:
+        assert not {0, 1, 2} & set(r["items"])
+        assert len(r["items"]) <= 5
+    assert sum(len(r["items"]) == 5 for r in rows) > len(rows) * 0.8
 
 
 def test_recommend_popular_needs_no_factors(trained, capsys):

@@ -82,6 +82,27 @@ def _map_ids(map_col, ids):
     return pos, bad
 
 
+def _parse_item_list(value: str, maps, n_items: int, flag: str):
+    """Comma-separated ORIGINAL item ids -> (original_ids, dense_ids),
+    or SystemExit listing the unknown/out-of-range ones — shared by
+    recommend --predict and --exclude."""
+    import numpy as np
+
+    ii = np.asarray([int(x) for x in value.split(",") if x.strip()],
+                    np.int64)
+    if maps is not None:
+        pos, bad = _map_ids(maps[1], ii)
+        if bad.any():
+            raise SystemExit(f"{flag}: unknown item ids "
+                             f"{ii[bad].tolist()} in this dataset")
+        return ii, pos
+    bad = (ii < 0) | (ii >= n_items)
+    if bad.any():
+        raise SystemExit(f"{flag}: item ids {ii[bad].tolist()} not in "
+                         f"the catalog (0..{n_items - 1})")
+    return ii, ii
+
+
 def _add_train_overrides(p):
     p.add_argument("--preset", default=None,
                    help="base preset (default ml100k-als; a --config "
@@ -476,6 +497,16 @@ def cmd_recommend(args):
     store = RatingsStore(args.store)
     maps = store.id_maps()  # dense -> original dataset ids (if imported)
 
+    excl = None
+    if getattr(args, "exclude", None):
+        for bad_flag in ("rated", "popular", "similar", "predict"):
+            if getattr(args, bad_flag, None):
+                raise SystemExit(
+                    f"--exclude applies to top-N lists (--user / --all); "
+                    f"it is not supported with --{bad_flag}")
+        _, excl = _parse_item_list(args.exclude, maps,
+                                   int(store.meta["n_items"]), "--exclude")
+
     def _load_state():
         """(state, manifest | None) — shm segments carry no manifest."""
         if args.shm:
@@ -504,7 +535,10 @@ def cmd_recommend(args):
                 "wrong store for these factors?")
         lay = build_blocked_csr(u, i, r, state.n_users, state.n_items,
                                 rank_hint=state.rank)
-        users, items, scores = recommend_all(state, lay, n=args.n,
+        # --exclude: over-fetch so every list stays full after filtering
+        n_fetch = args.n if excl is None else \
+            1 << max(args.n + len(excl) - 1, 0).bit_length()
+        users, items, scores = recommend_all(state, lay, n=n_fetch,
                                              method=args.scorer)
         if maps is not None:
             users = maps[0][users]
@@ -517,6 +551,9 @@ def cmd_recommend(args):
                 # tail entries whose indices are padded columns — drop them
                 # before any id-map lookup (padded index >= len(maps[1]))
                 keep = scores[j] > NEG_INF / 2
+                if excl is not None:
+                    keep &= ~np.isin(items[j], excl)
+                keep &= np.cumsum(keep) <= args.n  # trim back to n
                 row = items[j][keep]
                 if maps is not None:
                     row = maps[1][row]
@@ -618,45 +655,14 @@ def cmd_recommend(args):
         from ycnr_tpu.serve.engine import Recommender
 
         rec = Recommender(_load_state()[0], u, i)
-    excl = None
-    if getattr(args, "exclude", None):
-        ei = np.asarray([int(x) for x in args.exclude.split(",")
-                         if x.strip()], np.int64)
-        if maps is not None:
-            pos, bad = _map_ids(maps[1], ei)
-            if bad.any():
-                raise SystemExit(f"--exclude: unknown item ids "
-                                 f"{ei[bad].tolist()} in this dataset")
-            excl = pos
-        else:
-            n_items = int(store.meta["n_items"])
-            bad = (ei < 0) | (ei >= n_items)
-            if bad.any():
-                raise SystemExit(
-                    f"--exclude: item ids {ei[bad].tolist()} not in the "
-                    f"catalog (0..{n_items - 1})")
-            excl = ei
     pred_items = None
     if getattr(args, "predict", None):
         # point prediction r_hat(u, i) instead of top-N (call stack 3.4)
         if not args.user:
             raise SystemExit("recommend --predict needs --user")
-        ii = np.asarray([int(x) for x in args.predict.split(",")
-                         if x.strip()], np.int64)
-        if maps is not None:
-            pos, bad = _map_ids(maps[1], ii)
-            if bad.any():
-                raise SystemExit(f"--predict: unknown item ids "
-                                 f"{ii[bad].tolist()} in this dataset")
-            pred_items = (ii, pos)
-        else:
-            n_items = int(store.meta["n_items"])
-            bad = (ii < 0) | (ii >= n_items)
-            if bad.any():  # graceful error, not an IndexError traceback
-                raise SystemExit(
-                    f"--predict: item ids {ii[bad].tolist()} not in the "
-                    f"catalog (0..{n_items - 1})")
-            pred_items = (ii, ii)
+        pred_items = _parse_item_list(args.predict, maps,
+                                      int(store.meta["n_items"]),
+                                      "--predict")
     for uid in args.user:
         dense = uid
         if maps is not None:

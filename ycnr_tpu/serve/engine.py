@@ -161,13 +161,17 @@ class Recommender:
 
         ``exclude``: optional catalog item ids to drop from the list
         (business rules — out-of-stock, region-blocked, already-seen
-        elsewhere). Implemented by over-fetching n + len(exclude) and
-        filtering, so the result is exact; exclusion queries bypass the
-        cache (ad-hoc sets would blow up the key space)."""
+        elsewhere). Implemented by over-fetching at least n + len(exclude)
+        and filtering, so the result is exact. The ad-hoc set never enters
+        a cache key (it would blow up the key space); the over-fetched
+        BASE list is a normal cached query. The over-fetch width rounds up
+        to a power of two so varying exclude-list sizes hit a bounded set
+        of compiled scorer shapes (same trick as the mask width)."""
         if exclude is not None and len(exclude):
             ex = np.asarray(exclude).reshape(-1)
             self._check_items(ex)
-            wide = self.recommend(user_id, int(n) + len(ex))
+            wide_n = 1 << max(int(n) + len(ex) - 1, 0).bit_length()
+            wide = self.recommend(user_id, wide_n)
             return wide[~np.isin(wide, ex)][:n]
         self._check_users(np.asarray([user_id]))
         key = (int(user_id), int(n))

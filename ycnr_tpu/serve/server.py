@@ -247,21 +247,27 @@ class ServingApp:
                                               alpha=self.fold_alpha)
         return self._emit("cold", items)
 
-    def _exclude(self, line: str) -> str:
-        """exclude:USER:ITEM[,ITEM...] — top-n with the given catalog items
-        filtered out (business rules: out-of-stock, region-blocked). Exact:
-        the engine over-fetches n + |exclude| then filters."""
-        head, _, rest = line[8:].partition(":")
+    def _user_item_list(self, body: str, what: str):
+        """Parse 'USER:ITEM[,ITEM...]' -> (uid, orig_items, dense_u,
+        dense_i) with id maps applied — shared by predict: / exclude:."""
+        head, _, rest = body.partition(":")
         uid = int(head)
         ii = np.asarray([int(x) for x in rest.split(",") if x.strip()],
                         np.int64)
         if len(ii) == 0:
-            raise ValueError("exclude: empty item list")
-        dense_u = uid
-        dense_i = ii
+            raise ValueError(f"{what}: empty item list")
+        dense_u, dense_i = uid, ii
         if self.maps is not None:
             dense_u = int(self._lookup(self.maps[0], [uid], "user")[0])
             dense_i = self._lookup(self.maps[1], ii, "items")
+        return uid, ii, dense_u, dense_i
+
+    def _exclude(self, line: str) -> str:
+        """exclude:USER:ITEM[,ITEM...] — top-n with the given catalog items
+        filtered out (business rules: out-of-stock, region-blocked). Exact:
+        the engine over-fetches past n + |exclude| then filters."""
+        uid, _, dense_u, dense_i = self._user_item_list(line[8:],
+                                                        "exclude")
         items = self._engine().recommend(dense_u, self.n,
                                          exclude=dense_i)
         return self._emit(uid, items)
@@ -269,17 +275,8 @@ class ServingApp:
     def _predict(self, line: str) -> str:
         """predict:USER:ITEM[,ITEM...] — predicted ratings for (user, item)
         pairs through the current serving state (engine.predict)."""
-        head, _, rest = line[8:].partition(":")
-        uid = int(head)
-        ii = np.asarray([int(x) for x in rest.split(",") if x.strip()],
-                        np.int64)
-        if len(ii) == 0:
-            raise ValueError("predict: empty item list")
-        dense_u = uid
-        dense_i = ii
-        if self.maps is not None:
-            dense_u = int(self._lookup(self.maps[0], [uid], "user")[0])
-            dense_i = self._lookup(self.maps[1], ii, "items")
+        uid, ii, dense_u, dense_i = self._user_item_list(line[8:],
+                                                         "predict")
         scores = self._engine().predict(dense_u, dense_i)
         return json.dumps({"user": uid, "items": [int(x) for x in ii],
                            "scores": [round(float(s), 4) for s in scores]})
