@@ -389,7 +389,9 @@ def main():
                     help="tiny shapes on CPU (for verification)")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--chunk-len", type=int, default=32)
-    ap.add_argument("--rank", type=int, default=64)
+    ap.add_argument("--rank", type=int, default=None,
+                    help="factor rank (default: the selected preset's — "
+                         "64 for als/ials/sgd scales, 32 for bpr)")
     ap.add_argument("--topn", action="store_true",
                     help="also measure top-10 serving throughput (stderr)")
     ap.add_argument("--layout", choices=["bucketed", "blocked"],
@@ -434,14 +436,15 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
         shapes = (500, 300, 20_000)
-        rank, epochs, chunk = 16, 2, 8
+        rank, epochs, chunk = (args.rank or 16), 2, 8
         metric = f"smoke_{args.algo}_epoch_s"
         base = None
     elif args.scale == "netflix":
         # Netflix-scale synthetic (BASELINE.json:11 shape) on one chip
         shapes = (480_189, 17_770, 100_480_507)
-        rank, epochs, chunk = args.rank, args.epochs, args.chunk_len
-        metric = f"netflix_{args.algo}_epoch_s_rank{args.rank}_1chip"
+        rank = args.rank if args.rank is not None else 64
+        epochs, chunk = args.epochs, args.chunk_len
+        metric = f"netflix_{args.algo}_epoch_s_rank{rank}_1chip"
         base = None
     else:
         # MovieLens-20M scale: shapes come FROM the ml20m preset, so bench
@@ -451,7 +454,7 @@ def main():
         p = get_preset({"ials": "ml20m-ials", "bpr": "ml20m-bpr"}.get(
             args.algo, "ml20m-als"))
         shapes = (p.data.n_users, p.data.n_items, p.data.n_ratings)
-        rank = args.rank if args.rank != 64 else {
+        rank = args.rank if args.rank is not None else {
             "ials": p.ials.rank, "bpr": p.bpr.rank}.get(args.algo,
                                                         p.als.rank)
         epochs, chunk = args.epochs, p.data.chunk_len
