@@ -207,6 +207,11 @@ def test_publish_and_shm_serving(trained, capsys):
         main(["recommend", "--ckpt", ckpt, "--store", store,
               "--user", "1", "--predict", "2,5"])
         assert shm_pred == _out_lines(capsys)[-1]
+        # exclusions delegate through the shm recommender as well
+        main(["recommend", "--shm", name, "--store", store,
+              "--user", "1", "-n", "4",
+              "--exclude", str(via_shm["items"][0])])
+        assert via_shm["items"][0] not in _out_lines(capsys)[-1]["items"]
         # stats over shm reports the published epoch
         import io
         import sys as _sys
