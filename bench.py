@@ -289,12 +289,13 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
 
         bpr_batch = 4096 if len(tr) < 10**6 else 65536
         t0 = time.time()
-        sgd_data = prepare_bpr_data(tu, ti, bpr_batch, n_users, n_items)
+        sgd_data = prepare_bpr_data(tu, ti, bpr_batch, n_users, n_items,
+                                    shuffle_rows_seed=0)
         log(f"bpr prep: {time.time() - t0:.1f}s "
             f"({sgd_data.u.shape[0] // bpr_batch} batches of {bpr_batch})")
         trainer = BPRTrainer(lam=0.01, lr=0.05, lr_decay=0.98,
                              batch_size=bpr_batch, seed=seed,
-                             grad_mode="emean")
+                             grad_mode="emean", shuffle="batches")
 
         def step(state, ep):
             return trainer.epoch(state, sgd_data, ep)

@@ -44,8 +44,9 @@ def _auc(state, tu, ti, n_users, n_items, seed=0):
     return float(np.mean(pos[:, None] > neg[None, :]))
 
 
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_sharded_bpr_learns_and_deterministic(n_shards):
+@pytest.mark.parametrize("n_shards,shuffle", [(1, "rows"), (4, "rows"),
+                                              (8, "rows"), (4, "batches")])
+def test_sharded_bpr_learns_and_deterministic(n_shards, shuffle):
     import jax
 
     (tu, ti, tr), (su, si, sr), nu, ni = _setup()
@@ -62,9 +63,11 @@ def test_sharded_bpr_learns_and_deterministic(n_shards):
     for e in range(35):
         lr = 0.15 * 0.99**e
         st = sharded_bpr_epoch(mesh, st, data, bits, 0.01, lr,
-                               jax.random.fold_in(key, e), 512)
+                               jax.random.fold_in(key, e), 512,
+                               shuffle=shuffle)
         st2 = sharded_bpr_epoch(mesh, st2, data, bits, 0.01, lr,
-                                jax.random.fold_in(key, e), 512)
+                                jax.random.fold_in(key, e), 512,
+                                shuffle=shuffle)
     g = gather_state(st, meta)
     g2 = gather_state(st2, meta)
     np.testing.assert_array_equal(np.asarray(g.U), np.asarray(g2.U))
@@ -111,10 +114,12 @@ def test_sharded_bpr_d1_matches_single_chip(grad_mode):
     g = gather_state(st, meta)
 
     # single-chip run over the LOCAL-id stream with the same draws: the
-    # sharded body permutes ITS stream (LPT-relabeled users, original row
-    # order), so relabel the single-chip data the same way
-    local_u = (meta.user_local % meta.upd)[tu].astype(np.int32)
-    sdata = prepare_bpr_data(local_u, ti, B, meta.upd, ni)
+    # sharded builder applies ONE fixed row shuffle per shard (rng seed 0
+    # — the "batches" composition shuffle) and relabels users to LPT-local
+    # ids; reproduce both before comparing
+    order = np.random.default_rng(0).permutation(len(tu))
+    local_u = (meta.user_local % meta.upd)[tu[order]].astype(np.int32)
+    sdata = prepare_bpr_data(local_u, ti[order], B, meta.upd, ni)
     np.testing.assert_array_equal(np.asarray(sdata.u),
                                   np.asarray(data.sgd_u[0]))
     kp, kn = jax.random.split(jax.random.fold_in(key, 0))

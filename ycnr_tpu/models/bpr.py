@@ -91,8 +91,17 @@ def expected_weights(train_u, train_i, batch_size: int, n_users: int,
 
 
 def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
-                     n_items: int) -> BPRData:
+                     n_items: int, shuffle_rows_seed=None) -> BPRData:
+    """``shuffle_rows_seed``: one host-side row permutation applied before
+    padding — used by the "batches" shuffle mode so its FIXED batch
+    composition is a random partition rather than the file order (which
+    for MovieLens exports is user-sorted: contiguous user runs would
+    concentrate hot users in batches)."""
     n = len(train_u)
+    if shuffle_rows_seed is not None:
+        order = np.random.default_rng(shuffle_rows_seed).permutation(n)
+        train_u = np.asarray(train_u)[order]
+        train_i = np.asarray(train_i)[order]
     n_pad = int(-(-n // batch_size) * batch_size)
     u = np.full(n_pad, n_users, np.int32)
     i = np.full(n_pad, n_items, np.int32)
@@ -239,19 +248,75 @@ def bpr_epoch(state: MFState, data: BPRData, perm: jnp.ndarray,
     return state._replace(U=U, V=V, bi=bi)
 
 
+def bpr_epoch_batches_core(U, V, bi, u2, i2, border, j2, bits, wu, wi,
+                           lam, lr, grad_mode: str):
+    """"batches" shuffle-mode epoch with TRACED lam/lr (tune sweeps map
+    over them): u2/i2 are the prepared [NB, B] positives, border the
+    per-epoch batch-order permutation, j2 [NB, B] fresh negatives. One
+    [B] row slice per scan step — no permuted copy of the stream."""
+    n_users = U.shape[0] - 1
+    k = U.shape[1]
+    lr = jnp.asarray(lr, U.dtype)
+    Uf, Vf = fuse_bpr_state(U, V, bi, wu, wi, grad_mode)
+
+    def body(carry, step):
+        Uf, Vf = carry
+        bidx, jb = step
+        ub = u2[bidx]
+        ib = i2[bidx]
+        du, dvi, dvj = bpr_batch_deltas(Uf, Vf, bits, ub, ib, jb,
+                                        n_users, lam, lr, grad_mode)
+        Uf = Uf.at[ub].add(du)
+        Vf = Vf.at[ib].add(dvi).at[jb].add(dvj)
+        return (Uf, Vf), None
+
+    (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (border, j2))
+    return Uf[:, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
+
+
+@partial(jax.jit, static_argnames=("lam", "batch_size", "grad_mode"),
+         donate_argnums=(0,))
+def bpr_epoch_batches(state: MFState, data: BPRData, border: jnp.ndarray,
+                      negs: jnp.ndarray, lam: float, lr, batch_size: int,
+                      grad_mode: str = "sum") -> MFState:
+    """One epoch in "batches" shuffle mode: batch COMPOSITION is fixed at
+    prepare time (rows chunked in prepared order — see prepare_bpr_data's
+    shuffle_rows_seed) and only the batch ORDER reshuffles per epoch,
+    while negatives stay fresh per epoch. Kills the per-epoch full-row
+    device permutation AND its two apply-gathers — the rows mode's
+    largest non-update cost (docs/KERNELS.md "BPR epoch perf model"):
+    measured 1.68 -> 1.13 s/epoch at ML-20M, identical hit@10 trajectory
+    (0.099 -> 0.124 over 6 epochs). Same trade as stream-SGD's
+    batch-order reshuffle; fresh negative draws keep per-epoch
+    stochasticity. The default (BPRConfig.shuffle).
+    """
+    u2 = data.u.reshape(-1, batch_size)
+    i2 = data.i.reshape(-1, batch_size)
+    j2 = negs.reshape(-1, batch_size)
+    U, V, bi = bpr_epoch_batches_core(
+        state.U, state.V, state.bi, u2, i2, border, j2, data.bits,
+        data.wu, data.wi, lam, lr, grad_mode)
+    return state._replace(U=U, V=V, bi=bi)
+
+
 class BPRTrainer:
     """Engine-facing BPR trainer: per-epoch shuffle + fresh on-device
     negative draws, lr decay at the epoch barrier (mirrors BiasedSGD)."""
 
     def __init__(self, lam: float = 0.01, lr: float = 0.05,
                  lr_decay: float = 0.98, batch_size: int = 8192,
-                 seed: int = 0, grad_mode: str = "sum"):
+                 seed: int = 0, grad_mode: str = "sum",
+                 shuffle: str = "rows"):
+        if shuffle not in ("rows", "batches"):
+            raise ValueError(f"shuffle must be 'rows' or 'batches', got "
+                             f"{shuffle!r}")
         self.lam = float(lam)
         self.lr0 = float(lr)
         self.lr_decay = float(lr_decay)
         self.batch_size = int(batch_size)
         self.seed = seed
         self.grad_mode = grad_mode
+        self.shuffle = shuffle
 
     def lr_at(self, epoch: int) -> float:
         return self.lr0 * self.lr_decay**epoch
@@ -265,9 +330,15 @@ class BPRTrainer:
         if perm is None:
             key = jax.random.key(self.seed + 7919 * epoch_idx)
             kp, kn = jax.random.split(key)
-            perm = jax.random.permutation(kp, n_pad)
             negs = jax.random.randint(kn, (n_pad,), 0, state.n_items,
                                       jnp.int32)
+            perm = jax.random.permutation(
+                kp, n_pad // self.batch_size if self.shuffle == "batches"
+                else n_pad)
+        if self.shuffle == "batches":
+            return bpr_epoch_batches(state, data, perm, negs, self.lam,
+                                     self.lr_at(epoch_idx),
+                                     self.batch_size, self.grad_mode)
         return bpr_epoch(state, data, perm, negs, self.lam,
                          self.lr_at(epoch_idx), self.batch_size,
                          self.grad_mode)

@@ -261,6 +261,14 @@ def build_sharded_data(
     # a whole number of local batches ---
     b_local = max(1, sgd_batch // D)
     sgd_per = per if need_sgd else [p[:0] for p in per]
+    if algo == "bpr":
+        # one fixed per-shard row shuffle so the "batches" shuffle mode's
+        # FIXED batch composition is a random partition of each shard's
+        # stream, not the file order (MovieLens exports are user-sorted);
+        # the "rows" mode re-permutes per epoch anyway, so this is inert
+        # there
+        rng = np.random.default_rng(0)
+        sgd_per = [rng.permutation(p) for p in sgd_per]
     sgd_u, sgd_i, sgd_r = _stack_ragged(
         [(local_of[train_u[p]], train_i[p], train_r[p]) for p in sgd_per],
         pads=(upd, n_items, 0.0), round_to=b_local)
@@ -609,7 +617,8 @@ def build_bpr_bits(train_u, train_i, meta: ShardedMeta, batch_size: int,
 
 
 @lru_cache(maxsize=64)
-def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
+def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str,
+                  shuffle: str = "rows"):
     """DP pairwise-ranking epoch (models/bpr.py on the mesh): positives
     ride the user-sharded SGD stream, negatives are drawn per device, U
     updates stay local, and V / b_i deltas cross user shards via a psum
@@ -625,11 +634,19 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         k = Ul.shape[1]
         d = lax.axis_index(AXIS)
         kp, kn = jax.random.split(jax.random.fold_in(key, d))
-        perm = jax.random.permutation(kp, u.shape[1])
-        ub = u[0][perm].reshape(-1, b_local)
-        ib = i[0][perm].reshape(-1, b_local)
         jb = jax.random.randint(kn, (u.shape[1],), 0, n_items,
                                 jnp.int32).reshape(-1, b_local)
+        if shuffle == "batches":
+            # fixed composition (build-time per-shard row shuffle), fresh
+            # batch order + negatives per epoch — skips the per-epoch
+            # full-row device permutation (models/bpr.bpr_epoch_batches)
+            u2 = u[0].reshape(-1, b_local)
+            i2 = i[0].reshape(-1, b_local)
+            border = jax.random.permutation(kp, u.shape[1] // b_local)
+        else:
+            perm = jax.random.permutation(kp, u.shape[1])
+            ub = u[0][perm].reshape(-1, b_local)
+            ib = i[0][perm].reshape(-1, b_local)
         # bias+weight column fusion (models/bpr.bpr_batch_deltas — the ONE
         # copy of the BPR batch math): kills the per-row bias ops AND
         # merges the dV/dbi psums into one collective
@@ -638,18 +655,28 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
         Uf, Vf = fuse_bpr_state(Ul, V, bi, aux.wu[0], aux.wi[0],
                                 grad_mode)
 
-        def body(carry, batch):
-            Uf, Vf = carry
-            ubt, ibt, jbt = batch
+        def step(Uf, Vf, ubt, ibt, jbt):
             du, dvi, dvj = bpr_batch_deltas(Uf, Vf, bitsl, ubt, ibt, jbt,
                                             upd, lam, lr, grad_mode)
             Uf = Uf.at[ubt].add(du)  # local users: no collective
             # V/b_i rows cross user shards: psum the scattered deltas (P3)
             dVf = jnp.zeros_like(Vf).at[ibt].add(dvi).at[jbt].add(dvj)
-            Vf = Vf + lax.psum(dVf, AXIS)
-            return (Uf, Vf), None
+            return Uf, Vf + lax.psum(dVf, AXIS)
 
-        (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (ub, ib, jb))
+        if shuffle == "batches":
+            def body(carry, s):
+                bidx, jbt = s
+                Uf, Vf = step(*carry, u2[bidx], i2[bidx], jbt)
+                return (Uf, Vf), None
+
+            (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (border, jb))
+        else:
+            def body(carry, batch):
+                ubt, ibt, jbt = batch
+                Uf, Vf = step(*carry, ubt, ibt, jbt)
+                return (Uf, Vf), None
+
+            (Uf, Vf), _ = lax.scan(body, (Uf, Vf), (ub, ib, jb))
         return Uf[None, :, :k], Vf[:, :k], Vf[:, k].astype(bi.dtype)
 
     aux_spec = BPRShardAux(P(AXIS), P(AXIS), P(AXIS))
@@ -673,10 +700,11 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str):
 
 def sharded_bpr_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
                       aux: BPRShardAux, lam: float, lr, key,
-                      batch_size: int,
-                      grad_mode: str = "mean") -> ShardedState:
+                      batch_size: int, grad_mode: str = "mean",
+                      shuffle: str = "rows") -> ShardedState:
     b_local = max(1, batch_size // mesh.devices.size)
-    return _bpr_epoch_fn(mesh, float(lam), b_local, str(grad_mode))(
+    return _bpr_epoch_fn(mesh, float(lam), b_local, str(grad_mode),
+                         str(shuffle))(
         st, data, aux, key, jnp.asarray(lr, st.V.dtype))
 
 

@@ -162,10 +162,17 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
         trainer = BPRTrainer(cfg.bpr.lam, cfg.bpr.lr, cfg.bpr.lr_decay,
                              cfg.bpr.batch_size, seed=cfg.seed,
-                             grad_mode=cfg.bpr.grad_mode)
-        sgd_data = prepare_bpr_data(ds.train_u, ds.train_i,
-                                    cfg.bpr.batch_size, ds.n_users,
-                                    ds.n_items)
+                             grad_mode=cfg.bpr.grad_mode,
+                             shuffle=cfg.bpr.shuffle)
+        sgd_data = prepare_bpr_data(
+            ds.train_u, ds.train_i, cfg.bpr.batch_size, ds.n_users,
+            ds.n_items,
+            # composition seed is FIXED (0, matching the sharded
+            # builder): any random partition works, and keeping it
+            # config-independent lets tune's grid entries reproduce as
+            # standalone runs at any {seed}
+            shuffle_rows_seed=(0 if cfg.bpr.shuffle == "batches"
+                               else None))
     elif cfg.sgd.method == "stream":
         from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
 
@@ -473,7 +480,8 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             st = sharded_bpr_epoch(mesh, st, data, bpr_bits, cfg.bpr.lam,
                                    lr, jax.random.fold_in(key, epoch),
                                    cfg.bpr.batch_size,
-                                   grad_mode=cfg.bpr.grad_mode)
+                                   grad_mode=cfg.bpr.grad_mode,
+                                   shuffle=cfg.bpr.shuffle)
         elif stream_data is not None:
             lr = cfg.sgd.lr * cfg.sgd.lr_decay**epoch
             st = sharded_sgd_stream_epoch(mesh, st, stream_data,

@@ -133,7 +133,7 @@ def _sweep_sgd_program(states: MFState, lams, lrs, decay, data_arrays,
 
 
 def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
-                batch_size: int, grad_mode: str):
+                batch_size: int, grad_mode: str, shuffle: str = "rows"):
     """BPR analog of _sgd_runner: per-epoch draws reproduce
     BPRTrainer.epoch's key formula with each model's OWN seed (the seed
     axis is per-model traced data, like lam/lr — so every leaderboard
@@ -141,7 +141,7 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     `--algorithm bpr` run of its saved config). The per-epoch metric is
     held-out pairwise AUC over fixed (test-positive, sampled-unrated)
     triples — ranking logits have no RMSE."""
-    from ycnr_tpu.models.bpr import bpr_epoch_core
+    from ycnr_tpu.models.bpr import bpr_epoch_batches_core, bpr_epoch_core
 
     u, i, bits, wu, wi = data_arrays
     eu, ei, ej = eval_triples
@@ -154,13 +154,21 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
         def body(s, ep):
             key = jax.random.key(sd + 7919 * ep)  # BPRTrainer's formula
             kp, kn = jax.random.split(key)
-            perm = jax.random.permutation(kp, n_pad)
             negs = jax.random.randint(kn, (n_pad,), 0, n_items, jnp.int32)
-            U, V, bi = bpr_epoch_core(
-                s.U, s.V, s.bi, u[perm].reshape(-1, batch_size),
-                i[perm].reshape(-1, batch_size),
-                negs.reshape(-1, batch_size), bits, wu, wi, lam,
-                lr0 * decay**ep, grad_mode)
+            if shuffle == "batches":
+                border = jax.random.permutation(kp, n_pad // batch_size)
+                U, V, bi = bpr_epoch_batches_core(
+                    s.U, s.V, s.bi, u.reshape(-1, batch_size),
+                    i.reshape(-1, batch_size), border,
+                    negs.reshape(-1, batch_size), bits, wu, wi, lam,
+                    lr0 * decay**ep, grad_mode)
+            else:
+                perm = jax.random.permutation(kp, n_pad)
+                U, V, bi = bpr_epoch_core(
+                    s.U, s.V, s.bi, u[perm].reshape(-1, batch_size),
+                    i[perm].reshape(-1, batch_size),
+                    negs.reshape(-1, batch_size), bits, wu, wi, lam,
+                    lr0 * decay**ep, grad_mode)
             s = s._replace(U=U, V=V, bi=bi)
             xi = jnp.einsum("nk,nk->n", s.U[eu], s.V[ei]) + s.bi[ei]
             xj = jnp.einsum("nk,nk->n", s.U[eu], s.V[ej]) + s.bi[ej]
@@ -171,13 +179,15 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     return one
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "batch_size", "grad_mode"),
+@partial(jax.jit, static_argnames=("n_epochs", "batch_size", "grad_mode",
+                                   "shuffle"),
          donate_argnums=(0,))
 def _sweep_bpr_program(states: MFState, lams, lrs, seeds, decay,
                        data_arrays, eval_triples, n_epochs: int,
-                       batch_size: int, grad_mode: str):
+                       batch_size: int, grad_mode: str,
+                       shuffle: str = "rows"):
     one = _bpr_runner(data_arrays, decay, eval_triples, n_epochs,
-                      batch_size, grad_mode)
+                      batch_size, grad_mode, shuffle)
     return lax.map(one, (states, lams, lrs, seeds))
 
 
@@ -200,7 +210,8 @@ def _sweep_sharded(mesh, kind: str, states, v1, v2, shared, n_epochs,
         if kind == "bpr":
             v3_l, shared_ops = rest[0], rest[1:]
             one = _bpr_runner(shared_ops[0], shared_ops[1], shared_ops[2],
-                              n_epochs, kw["batch_size"], kw["grad_mode"])
+                              n_epochs, kw["batch_size"], kw["grad_mode"],
+                              kw.get("shuffle", "rows"))
             return lax.map(one, (states_l, v1_l, v2_l, v3_l))
         shared_ops = rest
         if kind == "sgd":
@@ -351,8 +362,11 @@ def tune(cfg: RunConfig, lams: Sequence[float],
     if is_bpr:
         from ycnr_tpu.models.bpr import prepare_bpr_data
 
-        bdata = prepare_bpr_data(ds.train_u, ds.train_i, params.batch_size,
-                                 ds.n_users, ds.n_items)
+        bdata = prepare_bpr_data(
+            ds.train_u, ds.train_i, params.batch_size, ds.n_users,
+            ds.n_items,
+            shuffle_rows_seed=(0 if params.shuffle == "batches"
+                               else None))
         arrays = (bdata.u, bdata.i, bdata.bits, bdata.wu, bdata.wi)
         triples = _bpr_eval_triples(ds, cfg.seed)
         decay = jnp.asarray(params.lr_decay, dtype)
@@ -361,11 +375,13 @@ def tune(cfg: RunConfig, lams: Sequence[float],
             finals, traj = _sweep_sharded(
                 mesh, "bpr", states, lam_v, aux_v,
                 (arrays, decay, triples), n_epochs, v3=seed_v,
-                batch_size=params.batch_size, grad_mode=params.grad_mode)
+                batch_size=params.batch_size, grad_mode=params.grad_mode,
+                shuffle=params.shuffle)
         else:
             finals, traj = _sweep_bpr_program(
                 states, lam_v, aux_v, seed_v, decay, arrays, triples,
-                n_epochs, params.batch_size, params.grad_mode)
+                n_epochs, params.batch_size, params.grad_mode,
+                shuffle=params.shuffle)
     elif is_sgd:
         from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
 
