@@ -391,8 +391,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--chunk-len", type=int, default=32)
     ap.add_argument("--rank", type=int, default=None,
-                    help="factor rank (default: the selected preset's — "
-                         "64 for als/ials/sgd scales, 32 for bpr)")
+                    help="factor rank (default: ml20m scale uses the "
+                         "preset's — 64 for als/ials/sgd, 32 for bpr; "
+                         "netflix scale and --smoke default to 64/16)")
     ap.add_argument("--topn", action="store_true",
                     help="also measure top-10 serving throughput (stderr)")
     ap.add_argument("--layout", choices=["bucketed", "blocked"],

@@ -81,8 +81,11 @@ def test_sharded_bpr_learns_and_deterministic(n_shards, shuffle):
     assert np.all(np.asarray(g.U)[-1] == 0)
 
 
-@pytest.mark.parametrize("grad_mode", ["sum", "mean", "emean"])
-def test_sharded_bpr_d1_matches_single_chip(grad_mode):
+@pytest.mark.parametrize("grad_mode,shuffle",
+                         [("sum", "rows"), ("mean", "rows"),
+                          ("emean", "rows"), ("emean", "batches"),
+                          ("sum", "batches")])
+def test_sharded_bpr_d1_matches_single_chip(grad_mode, shuffle):
     """On a 1-device mesh the sharded epoch must reproduce the single-chip
     epoch exactly: reconstruct its internal draws (fold_in(key, 0) ->
     split -> perm/negs) and feed the same triples to bpr_epoch. Catches
@@ -110,7 +113,7 @@ def test_sharded_bpr_d1_matches_single_chip(grad_mode):
     key = jax.random.key(3)
     st = scatter_state(st0, meta, mesh)
     st = sharded_bpr_epoch(mesh, st, data, aux, 0.01, 0.1, key, B,
-                           grad_mode=grad_mode)
+                           grad_mode=grad_mode, shuffle=shuffle)
     g = gather_state(st, meta)
 
     # single-chip run over the LOCAL-id stream with the same draws: the
@@ -123,15 +126,24 @@ def test_sharded_bpr_d1_matches_single_chip(grad_mode):
     np.testing.assert_array_equal(np.asarray(sdata.u),
                                   np.asarray(data.sgd_u[0]))
     kp, kn = jax.random.split(jax.random.fold_in(key, 0))
-    perm = jax.random.permutation(kp, sdata.u.shape[0])
     negs = jax.random.randint(kn, (sdata.u.shape[0],), 0, ni, jnp.int32)
+    if shuffle == "batches":
+        perm = jax.random.permutation(kp, sdata.u.shape[0] // B)
+    else:
+        perm = jax.random.permutation(kp, sdata.u.shape[0])
     # build the local-relabeled start state directly via scatter semantics
     U0 = np.zeros((meta.upd + 1, 6), np.float32)
     U0[meta.user_local[np.arange(nu)] % meta.upd] = U0g[:-1]
     ref = init_state(meta.upd, ni, 6)._replace(
         U=jnp.asarray(U0), V=jnp.asarray(V0),
         bu=jnp.zeros(meta.upd + 1, bu_dt), bi=jnp.asarray(bi0))
-    out = bpr_epoch(ref, sdata, perm, negs, 0.01, 0.1, B, grad_mode)
+    if shuffle == "batches":
+        from ycnr_tpu.models.bpr import bpr_epoch_batches
+
+        out = bpr_epoch_batches(ref, sdata, perm, negs, 0.01, 0.1, B,
+                                grad_mode)
+    else:
+        out = bpr_epoch(ref, sdata, perm, negs, 0.01, 0.1, B, grad_mode)
     # map the single-chip result back to global user ids and compare
     got_U = np.asarray(g.U)[:-1]
     want_U = np.asarray(out.U)[meta.user_local[np.arange(nu)] % meta.upd]

@@ -11,7 +11,9 @@ HTTP 413 limit (how round 1 concluded attribution was "blocked").
 Run on the TPU host (uses bench.py's cached ML-20M COO):
     python tools/attrib_als.py
 Measured 2026-08-18 (8 groups, bf16): full 0.254 s = gathers 0.161 (63%)
-+ solves 0.057 (22%) + Grams 0.036 (14%) + scatters 0.009 (3%).
++ solves 0.057 (22%) + Grams 0.027 (11%) + scatters 0.009 (4%) — note
+the no_solve variant still scatters, so Grams = no_solve - gather_only
+- scatters; the four parts sum to full exactly.
 """
 import os, sys, time
 import numpy as np

@@ -536,8 +536,10 @@ def cmd_recommend(args):
         lay = build_blocked_csr(u, i, r, state.n_users, state.n_items,
                                 rank_hint=state.rank)
         # --exclude: over-fetch so every list stays full after filtering
-        n_fetch = args.n if excl is None else \
-            1 << max(args.n + len(excl) - 1, 0).bit_length()
+        from ycnr_tpu.eval.recommend import overfetch_n
+
+        n_fetch = args.n if excl is None else overfetch_n(args.n,
+                                                          len(excl))
         users, items, scores = recommend_all(state, lay, n=n_fetch,
                                              method=args.scorer)
         if maps is not None:

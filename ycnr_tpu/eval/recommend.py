@@ -26,6 +26,13 @@ from ycnr_tpu.ops.layout import BlockedCSR
 NEG_INF = -3.0e38  # large-negative fill (safe in fp32, avoids inf-inf NaNs)
 
 
+def overfetch_n(n: int, n_extra: int) -> int:
+    """Next power of two >= n + n_extra — the exclusion over-fetch width
+    (bounds the set of compiled scorer shapes; the single definition the
+    serving engine and the CLI bulk path share)."""
+    return 1 << max(int(n) + int(n_extra) - 1, 0).bit_length()
+
+
 def top_popular(item_idx, n_items: int, n: int) -> np.ndarray:
     """Top-n item ids by rating count — the zero-history fallback shared by
     ``serve.engine.Recommender.popular`` and ``recommend --popular`` (one

@@ -114,6 +114,16 @@ def prepare_bpr_data(train_u, train_i, batch_size: int, n_users: int,
 
 
 _GRAD_MODES = ("sum", "mean", "emean")
+_SHUFFLES = ("rows", "batches")
+
+
+def check_shuffle(shuffle: str):
+    """Shared by every shuffle-mode consumer (trainer, sharded epoch,
+    tune runner) so a config typo errors instead of silently training
+    in "rows" mode."""
+    if shuffle not in _SHUFFLES:
+        raise ValueError(f"shuffle must be one of {_SHUFFLES}, got "
+                         f"{shuffle!r}")
 
 
 def _check_grad_mode(grad_mode: str):
@@ -307,9 +317,7 @@ class BPRTrainer:
                  lr_decay: float = 0.98, batch_size: int = 8192,
                  seed: int = 0, grad_mode: str = "sum",
                  shuffle: str = "rows"):
-        if shuffle not in ("rows", "batches"):
-            raise ValueError(f"shuffle must be 'rows' or 'batches', got "
-                             f"{shuffle!r}")
+        check_shuffle(shuffle)
         self.lam = float(lam)
         self.lr0 = float(lr)
         self.lr_decay = float(lr_decay)
@@ -327,6 +335,14 @@ class BPRTrainer:
         if (perm is None) != (negs is None):
             raise ValueError("pass perm AND negs together (parity runs) "
                              "or neither (fresh per-epoch draws)")
+        if perm is not None:
+            want = (n_pad // self.batch_size if self.shuffle == "batches"
+                    else n_pad)
+            if perm.shape[0] != want:
+                raise ValueError(
+                    f"perm length {perm.shape[0]} does not match shuffle="
+                    f"{self.shuffle!r} (expected {want}: batch-order "
+                    f"indices for 'batches', row indices for 'rows')")
         if perm is None:
             key = jax.random.key(self.seed + 7919 * epoch_idx)
             kp, kn = jax.random.split(key)

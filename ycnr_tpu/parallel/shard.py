@@ -702,6 +702,9 @@ def sharded_bpr_epoch(mesh: Mesh, st: ShardedState, data: ShardedData,
                       aux: BPRShardAux, lam: float, lr, key,
                       batch_size: int, grad_mode: str = "mean",
                       shuffle: str = "rows") -> ShardedState:
+    from ycnr_tpu.models.bpr import check_shuffle
+
+    check_shuffle(shuffle)
     b_local = max(1, batch_size // mesh.devices.size)
     return _bpr_epoch_fn(mesh, float(lam), b_local, str(grad_mode),
                          str(shuffle))(

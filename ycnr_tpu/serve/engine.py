@@ -168,10 +168,11 @@ class Recommender:
         to a power of two so varying exclude-list sizes hit a bounded set
         of compiled scorer shapes (same trick as the mask width)."""
         if exclude is not None and len(exclude):
+            from ycnr_tpu.eval.recommend import overfetch_n
+
             ex = np.asarray(exclude).reshape(-1)
             self._check_items(ex)
-            wide_n = 1 << max(int(n) + len(ex) - 1, 0).bit_length()
-            wide = self.recommend(user_id, wide_n)
+            wide = self.recommend(user_id, overfetch_n(n, len(ex)))
             return wide[~np.isin(wide, ex)][:n]
         self._check_users(np.asarray([user_id]))
         key = (int(user_id), int(n))

@@ -141,8 +141,13 @@ def _bpr_runner(data_arrays, decay, eval_triples, n_epochs: int,
     `--algorithm bpr` run of its saved config). The per-epoch metric is
     held-out pairwise AUC over fixed (test-positive, sampled-unrated)
     triples — ranking logits have no RMSE."""
-    from ycnr_tpu.models.bpr import bpr_epoch_batches_core, bpr_epoch_core
+    from ycnr_tpu.models.bpr import (
+        bpr_epoch_batches_core,
+        bpr_epoch_core,
+        check_shuffle,
+    )
 
+    check_shuffle(shuffle)
     u, i, bits, wu, wi = data_arrays
     eu, ei, ej = eval_triples
     n_pad = u.shape[0]
