@@ -40,9 +40,19 @@ def _parse_python(path: str, sep: str, want_ts: bool = False):
                 if line.lower().startswith("userid"):  # csv header
                     continue
             parts = line.split(sep)
-            users.append(int(parts[0]))
-            items.append(int(parts[1]))
-            ratings.append(float(parts[2]))
+            # skip malformed rows instead of aborting the parse — the
+            # native parser (native/ingest.cc) skips bad lines and keeps
+            # going, and a file that imports via the C path must import
+            # identically on hosts without the toolchain
+            try:
+                uu = int(parts[0])
+                ii = int(parts[1])
+                rr = float(parts[2])
+            except (ValueError, IndexError):
+                continue
+            users.append(uu)
+            items.append(ii)
+            ratings.append(rr)
             if want_ts:
                 # some exports drop or mangle the timestamp column; ts=0
                 # keeps the row either way (matches the native parser)

@@ -200,9 +200,12 @@ def fused_topn_core(U, V, bu, bi, mu, entity_ids, rated_bits, n: int, *,
         v, loc = lax.top_k(cand.reshape(-1, n * SEG_LEN), n)
         seg_sel = jnp.take_along_axis(top_seg, loc // SEG_LEN, axis=1)
         slots = seg_sel * SEG_LEN + (loc % SEG_LEN)
-        # decode kernel slots back to catalog items; pad-segment picks (only
-        # possible with NEG_INF values, users with < n unrated items) clamp
-        # into the bitmask width so callers' id lookups never go OOB
+        # decode kernel slots back to catalog items; the clamp keeps ids
+        # within the PADDED score/bits width m (>= n_items), not within the
+        # catalog — NEG_INF-tail picks (users with < n unrated items) can
+        # still decode to ids in [n_items, m). Callers must drop entries
+        # with scores <= NEG_INF/2 before id-map lookups, the same contract
+        # as the exact scorer (eval/recommend.py); every in-repo caller does
         items = jnp.minimum(perm[slots], m - 1)
         vals = v + (mu + bu[eids])[:, None]  # exact f32 rebias
         return None, (items.astype(jnp.int32), vals)

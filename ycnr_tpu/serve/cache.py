@@ -165,8 +165,17 @@ class ShmRecCache:
         if isinstance(key[0], str):  # ("sim"|"pop", id, n, variant)
             tag, ident, n, variant = key
             ns = cls._NS[(tag, variant)]
+            if not 0 <= int(ident) < (1 << 40):
+                # ids >= 2^40 would alias across the ns<<56 namespaces
+                raise ValueError(f"cache id {ident} out of the 40-bit "
+                                 "packed-key range")
             return (ns << 56) | (int(ident) << 16) | (int(n) & 0xFFFF)
         user, n = key
+        if not 0 <= int(user) < (1 << 40):
+            # a user id >= 2^40 would collide with the sim/pop planes and
+            # silently serve a similarity list as that user's recs
+            raise ValueError(f"cache user id {user} out of the 40-bit "
+                             "packed-key range")
         return (int(user) << 16) | (int(n) & 0xFFFF)
 
     @staticmethod

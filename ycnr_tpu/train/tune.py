@@ -262,12 +262,24 @@ def _bpr_eval_triples(ds: Dataset, seed: int):
     def _coll(j):
         return ((bits[eu, j // 32] >> (j % 32).astype(np.uint32)) & 1) == 1
 
+    if len(eu) == 0:
+        raise ValueError(
+            "BPR sweep has no held-out positives to score AUC on — the "
+            "split produced an empty test set (test_fraction=0, or a "
+            "last-out split where every user has <= k ratings). Use a "
+            "split that leaves test ratings, or sweep by RMSE instead.")
     for _ in range(64):  # vectorized rejection; a few rounds suffice
         bad = _coll(ej)
         if not bad.any():
             break
         ej[bad] = rng.integers(0, ds.n_items, int(bad.sum()))
     keep = ~_coll(ej)
+    if not keep.any():
+        raise ValueError(
+            "BPR sweep AUC triples are empty after dropping users who "
+            "rated the whole catalog — every epoch's AUC would be NaN. "
+            "The catalog is too small relative to the rating density for "
+            "a meaningful AUC; use an RMSE-based sweep.")
     return (jnp.asarray(eu[keep]), jnp.asarray(ei[keep]),
             jnp.asarray(ej[keep]))
 
