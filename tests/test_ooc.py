@@ -1,0 +1,194 @@
+"""Out-of-core streamed training: wire-format + epoch parity.
+
+The OOC path (ops/packed.py + models/ooc.py) must be the SAME math as the
+resident bucketed path — decoded wire blocks bitwise equal the resident
+BucketedCSR blocks, and a streamed epoch bitwise equals a resident epoch
+in float64 (they share bucket_solve_rows). SURVEY.md §5 long-context:
+this is the TPU-native analog of the reference's portioned DB streaming.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ycnr_tpu.data.synthetic import synthetic_ratings
+from ycnr_tpu.models.base import init_state
+from ycnr_tpu.models.bucketed_phase import (als_epoch_bucketed,
+                                            device_bucketed,
+                                            ials_epoch_bucketed)
+from ycnr_tpu.models.ooc import (als_epoch_ooc, decode_block,
+                                 ials_epoch_ooc)
+from ycnr_tpu.ops.bucketed import build_bucketed
+from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
+                                 packed_stats, rating_wire_kind)
+
+NU, NI = 700, 300
+BUILD = dict(rank_hint=16, target_bytes=1 << 20, max_groups=4)
+
+
+@pytest.fixture(scope="module")
+def coo():
+    u, i, r = synthetic_ratings(NU, NI, 30_000, seed=3)[:3]
+    return np.asarray(u), np.asarray(i), np.asarray(r)
+
+
+@pytest.fixture(scope="module")
+def layouts(coo):
+    u, i, r = coo
+    return (build_bucketed(u, i, r, NU, NI, **BUILD),
+            build_bucketed(i, u, r, NI, NU, **BUILD),
+            build_packed(u, i, r, NU, NI, **BUILD),
+            build_packed(i, u, r, NI, NU, **BUILD))
+
+
+def test_decode_blocks_bitwise(layouts):
+    """Every decoded wire block equals its resident twin exactly."""
+    for res, pk in ((layouts[0], layouts[2]), (layouts[1], layouts[3])):
+        assert len(res) == len(pk)
+        for g_r, g_p in zip(res, pk):
+            assert g_r.rows == g_p.R
+            assert g_r.other_idx.shape[0] == g_p.n_blocks
+            for b in range(g_p.n_blocks):
+                oi, rr = decode_block(
+                    jnp.asarray(g_p.lo[b]), jnp.asarray(g_p.hi_pos[b]),
+                    jnp.asarray(g_p.hi_val[b]), jnp.asarray(g_p.rat[b]),
+                    jnp.asarray(g_p.cnt[b]), g_p.R, g_p.n_other,
+                    jnp.float32)
+                assert np.array_equal(np.asarray(oi), g_r.other_idx[b])
+                assert np.array_equal(np.asarray(rr), g_r.rating[b])
+                assert np.array_equal(g_p.eid[b], g_r.entity_ids[b])
+                assert np.array_equal(g_p.cnt[b].astype(np.float32),
+                                      g_r.entity_cnt[b])
+
+
+def test_stream_builder_bitwise(coo, layouts, tmp_path):
+    """Portioned two-pass builder == in-RAM builder, RAM and memmap."""
+    u, i, r = coo
+
+    def portions():
+        for s in range(0, len(u), 7_777):
+            yield u[s:s + 7_777], i[s:s + 7_777], r[s:s + 7_777]
+
+    for out_dir in (None, str(tmp_path / "wire")):
+        pk2 = build_packed_stream(portions(), NU, NI, portions2=portions(),
+                                  out_dir=out_dir, **BUILD)
+        for g_p, g_q in zip(layouts[2], pk2):
+            for name, a, b in zip(g_p._fields, g_p, g_q):
+                if isinstance(a, np.ndarray):
+                    assert np.array_equal(a, np.asarray(b)), name
+                else:
+                    assert a == b, name
+
+
+def test_stream_builder_other_view(coo, layouts):
+    """view='other' builds the transposed (item-major) wire layout from
+    the same (u, i, r) portions."""
+    u, i, r = coo
+
+    def portions():
+        yield u, i, r
+
+    pk2 = build_packed_stream(portions(), NI, NU, portions2=portions(),
+                              view="other", **BUILD)
+    for g_p, g_q in zip(layouts[3], pk2):
+        for name, a, b in zip(g_p._fields, g_p, g_q):
+            if isinstance(a, np.ndarray):
+                assert np.array_equal(a, np.asarray(b)), name
+
+
+def test_hi_overflow_exact():
+    """Catalogs past 2^16 force 16-bit delta overflows; the sparse
+    (position, high-bits) stream must reconstruct ids exactly."""
+    rng = np.random.default_rng(0)
+    n_other = 500_000
+    e = np.repeat(np.arange(40), 25)
+    o = rng.integers(0, n_other, len(e)).astype(np.int64)
+    r = np.full(len(e), 3.0, np.float32)
+    res = build_bucketed(e, o, r, 40, n_other, **BUILD)
+    pk = build_packed(e, o, r, 40, n_other, **BUILD)
+    assert any(g.hi_val.any() for g in pk), "test must exercise overflow"
+    for g_r, g_p in zip(res, pk):
+        for b in range(g_p.n_blocks):
+            oi, rr = decode_block(
+                jnp.asarray(g_p.lo[b]), jnp.asarray(g_p.hi_pos[b]),
+                jnp.asarray(g_p.hi_val[b]), jnp.asarray(g_p.rat[b]),
+                jnp.asarray(g_p.cnt[b]), g_p.R, g_p.n_other, jnp.float32)
+            assert np.array_equal(np.asarray(oi), g_r.other_idx[b])
+
+
+def test_rating_wire_kinds():
+    assert rating_wire_kind(np.asarray([0.5, 3.0, 5.0], np.float32)) == \
+        "half"
+    assert rating_wire_kind(np.asarray([0.3], np.float32)) == "raw"
+    assert rating_wire_kind(np.asarray([100.0], np.float32)) == "raw"
+    # raw kind round-trips arbitrary float ratings bitwise
+    rng = np.random.default_rng(1)
+    e = np.repeat(np.arange(20), 10)
+    o = np.tile(np.arange(10), 20)
+    r = rng.standard_normal(200).astype(np.float32)
+    res = build_bucketed(e, o, r, 20, 10, **BUILD)
+    pk = build_packed(e, o, r, 20, 10, **BUILD)
+    assert pk[0].rating_kind == "raw"
+    for g_r, g_p in zip(res, pk):
+        for b in range(g_p.n_blocks):
+            _, rr = decode_block(
+                jnp.asarray(g_p.lo[b]), jnp.asarray(g_p.hi_pos[b]),
+                jnp.asarray(g_p.hi_val[b]), jnp.asarray(g_p.rat[b]),
+                jnp.asarray(g_p.cnt[b]), g_p.R, g_p.n_other, jnp.float32)
+            assert np.array_equal(np.asarray(rr), g_r.rating[b])
+
+
+def test_als_epoch_parity_f64(layouts):
+    """Streamed ALS epoch == resident ALS epoch, bitwise in float64."""
+    ures, ires, upk, ipk = layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                             device_bucketed(ires, jnp.float64), 0.05)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = als_epoch_ooc(st, upk, ipk, 0.05)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_ials_epoch_parity_f64(layouts):
+    ures, ires, upk, ipk = layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = ials_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                              device_bucketed(ires, jnp.float64),
+                              0.05, 20.0)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = ials_epoch_ooc(st, upk, ipk, 0.05, 20.0)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_multi_epoch_rmse_trajectory(coo, layouts):
+    """3 OOC epochs in f32 track the resident trajectory and reduce
+    RMSE (the end-to-end sanity the train loop relies on)."""
+    from ycnr_tpu.models.base import rmse_padded
+    from ycnr_tpu.ops.layout import pad_coo
+
+    u, i, r = coo
+    ures, ires, upk, ipk = layouts
+    test = pad_coo(u[:2000], i[:2000], r[:2000], NU, NI)
+    st_r = init_state(NU, NI, 16, seed=5)
+    st_o = init_state(NU, NI, 16, seed=5)
+    hist_r, hist_o = [], []
+    ug, ig = device_bucketed(ures), device_bucketed(ires)
+    for _ in range(3):
+        st_r = als_epoch_bucketed(st_r, ug, ig, 0.05)
+        hist_r.append(float(rmse_padded(st_r, *test)))
+        st_o = als_epoch_ooc(st_o, upk, ipk, 0.05)
+        hist_o.append(float(rmse_padded(st_o, *test)))
+    np.testing.assert_allclose(hist_o, hist_r, rtol=1e-5)
+    assert hist_o[-1] < hist_o[0]
+
+
+def test_wire_stats(coo, layouts):
+    u, _, _ = coo
+    stats = packed_stats(layouts[2], len(u))
+    assert stats["rating_kind"] == "half"
+    # u16 delta + i8 rating + block metadata: must stay under 4 B/rating
+    assert stats["wire_bytes_per_rating"] < 4.0
+    assert 0 < stats["fill"] <= 1.0

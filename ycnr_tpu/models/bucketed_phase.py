@@ -28,6 +28,40 @@ def device_bucketed(groups, dtype=jnp.float32) -> BucketedCSR:
         for g in groups)
 
 
+def bucket_solve_rows(Fg: jnp.ndarray, rr: jnp.ndarray, cnt: jnp.ndarray,
+                      lam, alpha, base_gram, acc_t,
+                      gather_bf16: bool) -> jnp.ndarray:
+    """Gram -> guarded solve for one bucket block's gathered rows.
+
+    THE single copy of the per-block ALS-WR/iALS normal-equation math,
+    shared by the resident scan (phase_bucketed below) and the out-of-core
+    streamed path (models/ooc.py) so the two are the same program body —
+    their float64 factor parity is bitwise by construction.
+
+    Fg [NE, R, k] gathered other-factor rows; rr [NE, R] ratings in the
+    factor dtype; cnt [NE] float rating counts (0 for padding slots).
+    """
+    if gather_bf16:
+        rr = rr.astype(jnp.bfloat16)
+    if alpha is None:
+        A = jnp.einsum("urk,urm->ukm", Fg, Fg,
+                       preferred_element_type=acc_t)
+        b = jnp.einsum("urk,ur->uk", Fg, rr,
+                       preferred_element_type=acc_t)
+        reg = lam * cnt + (cnt == 0)
+    else:
+        w = alpha * rr
+        A = jnp.einsum("urk,ur,urm->ukm", Fg, w, Fg,
+                       preferred_element_type=acc_t)
+        A = A + base_gram[None]
+        b = jnp.einsum("urk,ur->uk", Fg, (1.0 + w).astype(Fg.dtype),
+                       preferred_element_type=acc_t)
+        # padding rows gather the zero factor row, so the +1 in the
+        # rhs weight contributes nothing there
+        reg = jnp.full_like(cnt, lam)
+    return guarded_batched_solve(A, b, reg)
+
+
 def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
                    lam: float, alpha: Optional[float] = None,
                    base_gram: Optional[jnp.ndarray] = None,
@@ -45,26 +79,8 @@ def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
         def body(Ec, blk):
             oi, rr, eid, cnt = blk
             Fg = F_g[oi]  # [NE_b, R, k]
-            if gather_bf16:
-                rr = rr.astype(jnp.bfloat16)
-            acc_t = E.dtype  # accumulate in the factor dtype (f32/f64)
-            if alpha is None:
-                A = jnp.einsum("urk,urm->ukm", Fg, Fg,
-                               preferred_element_type=acc_t)
-                b = jnp.einsum("urk,ur->uk", Fg, rr,
-                               preferred_element_type=acc_t)
-                reg = lam * cnt + (cnt == 0)
-            else:
-                w = alpha * rr
-                A = jnp.einsum("urk,ur,urm->ukm", Fg, w, Fg,
-                               preferred_element_type=acc_t)
-                A = A + base_gram[None]
-                b = jnp.einsum("urk,ur->uk", Fg, (1.0 + w).astype(Fg.dtype),
-                               preferred_element_type=acc_t)
-                # padding rows gather the zero factor row, so the +1 in the
-                # rhs weight contributes nothing there
-                reg = jnp.full_like(cnt, lam)
-            rows = guarded_batched_solve(A, b, reg)
+            rows = bucket_solve_rows(Fg, rr, cnt, lam, alpha, base_gram,
+                                     E.dtype, gather_bf16)
             return Ec.at[eid].set(rows.astype(Ec.dtype)), None
 
         E, _ = lax.scan(body, E, tuple(g))

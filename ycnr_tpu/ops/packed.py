@@ -1,0 +1,414 @@
+"""Packed wire format for out-of-core (host-streamed) training.
+
+The reference's defining scaling story is bounded-RAM portioned streaming:
+ratings live in PostgreSQL and flow through the trainer in portions
+(SURVEY.md §1 L1->L5, §5 long-context, C7 [B:5]). The TPU-native analog
+built here bounds *HBM* instead: the bucketed layout's blocks stream
+host->HBM through every epoch (factors stay resident, ratings do not), so
+trainable nnz is limited by host RAM/disk rather than device memory.
+
+Wire economics (measured on this v5e tunnel, round 3): host->device moves
+~44 MB/s for incompressible data and ~130 MB/s for low-entropy data — the
+transport compresses. The format therefore minimizes *entropy*, not just
+bytes, and defers all reconstruction to the device (compute is ~50x
+cheaper than wire here):
+
+* per block, each entity's sorted rating row is stored PACKED (no padding
+  slots cross the wire — padding is 1/fill ≈ 1.6x);
+* item/other indices are DELTA-encoded within each row (ascending, so
+  deltas are small positive ints); the first element of a row carries the
+  absolute id. Deltas ship as uint16 low halves plus a sparse
+  (position, high-bits) overflow list — exact for any catalog size, and
+  the u16 stream is what the transport compresses well;
+* ratings ship as int8 half-stars when exactly representable
+  ((2r) integral, |2r| <= 127 — true for MovieLens/Netflix scales), else
+  raw float32. int8*0.5 is exact in f32, so parity is bitwise either way.
+
+Decoding (models/ooc.py) reproduces the resident BucketedCSR blocks
+BITWISE: same rung ladder (the `_dp_rungs` DP on the same counts), same
+entity->block packing, same within-row (entity, other) sort. An OOC epoch
+is therefore the SAME math as the resident epoch, block for block.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ycnr_tpu.ops.bucketed import _dp_rungs
+
+
+class PackedGroup(NamedTuple):
+    """One rung group in wire format. Blocks along axis 0; each block's
+    rows are concatenated without padding (row boundaries from ``cnt``).
+
+    lo      [NB, S]  uint16  low 16 bits of the within-row index delta
+                             (row-start element = the absolute id)
+    hi_pos  [NB, H]  int32   positions in [0, S) whose delta overflows 16
+                             bits (padding: position 0 with value 0 — a
+                             scatter-add no-op)
+    hi_val  [NB, H]  int32   delta >> 16 at those positions
+    rat     [NB, S]  int8|f32 encoded rating (padding tail: 0)
+    cnt     [NB, NE] int32   per-row rating count (padding rows: 0)
+    eid     [NB, NE] int32   global entity ids (padding: n_entities)
+    """
+
+    lo: np.ndarray
+    hi_pos: np.ndarray
+    hi_val: np.ndarray
+    rat: np.ndarray
+    cnt: np.ndarray
+    eid: np.ndarray
+    R: int  # rung height (decoded row width)
+    n_other: int
+    rating_kind: str  # "half" (int8, value = rat * 0.5) | "raw" (float32)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.lo.shape[0]
+
+
+PackedCSR = Tuple[PackedGroup, ...]
+
+
+def rating_wire_kind(rating: np.ndarray) -> str:
+    """"half" when every rating is a half-star exactly representable as
+    int8 (2r integral, |2r| <= 127), else "raw" float32. int8 -> f32 * 0.5
+    is exact, so the choice never costs parity."""
+    r2 = np.asarray(rating, np.float64) * 2.0
+    if len(r2) and (np.all(r2 == np.round(r2)) and np.all(np.abs(r2) <= 127)):
+        return "half"
+    return "raw"
+
+
+def _encode_rows(o_sorted: np.ndarray, r_sorted: np.ndarray,
+                 row_starts: np.ndarray):
+    """Delta-encode one block's concatenated sorted rows.
+
+    o_sorted: [S_real] int32 other-indices, ascending within each row;
+    row_starts: positions where a new row begins (ascending, starts at 0).
+    Returns (lo u16, hi_pos i32, hi_val i32)."""
+    S = o_sorted.shape[0]
+    delta = np.empty(S, np.int64)
+    if S:
+        delta[0] = o_sorted[0]
+        np.subtract(o_sorted[1:], o_sorted[:-1], out=delta[1:])
+        delta[row_starts] = o_sorted[row_starts]  # absolute at row start
+    hi = delta >> 16
+    hi_pos = np.flatnonzero(hi).astype(np.int32)
+    hi_val = hi[hi_pos].astype(np.int32)
+    lo = (delta & 0xFFFF).astype(np.uint16)
+    return lo, hi_pos, hi_val
+
+
+def _pack_one_group(ents: np.ndarray, counts: np.ndarray,
+                    starts: np.ndarray, o_sorted: np.ndarray,
+                    r_sorted: np.ndarray, R: int, n_entities: int,
+                    n_other: int, rank_hint: int, target_bytes: int,
+                    kind: str) -> PackedGroup:
+    """Pack one rung group's entities (``ents``, ascending) into wire
+    blocks. Block sizing mirrors ops/bucketed.build_bucketed exactly
+    (balanced NE_b from the gathered-tensor byte target) so the decoded
+    blocks are bitwise the resident ones."""
+    n_e = len(ents)
+    ne_target = max(8, target_bytes // (R * rank_hint * 4))
+    nb = max(1, -(-n_e // ne_target))
+    ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)  # ceil(n_e/nb) to mult of 8
+
+    cnt = np.zeros(nb * ne_b, np.int32)
+    eidv = np.full(nb * ne_b, n_entities, np.int32)
+    eidv[:n_e] = ents
+    cnt[:n_e] = counts[ents]
+    cnt2 = cnt.reshape(nb, ne_b)
+    eid2 = eidv.reshape(nb, ne_b)
+
+    per_block = cnt2.sum(axis=1)
+    S = int(per_block.max(initial=0))
+    lo = np.zeros((nb, S), np.uint16)
+    rdt = np.int8 if kind == "half" else np.float32
+    rat = np.zeros((nb, S), rdt)
+    his = []
+    for b in range(nb):
+        sel = eid2[b][eid2[b] < n_entities]
+        if len(sel) == 0:
+            his.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
+            continue
+        # concatenate this block's rows from the (entity, other)-sorted COO
+        spans_s = starts[sel]
+        spans_t = starts[sel + 1]
+        idx = _concat_ranges(spans_s, spans_t)
+        ob = o_sorted[idx]
+        rb = r_sorted[idx]
+        row_starts = np.zeros(len(sel), np.int64)
+        np.cumsum(spans_t[:-1] - spans_s[:-1], out=row_starts[1:])
+        l, hp, hv = _encode_rows(ob, rb, row_starts)
+        lo[b, : len(l)] = l
+        if kind == "half":
+            rat[b, : len(l)] = np.round(rb * 2.0).astype(np.int8)
+        else:
+            rat[b, : len(l)] = rb
+        his.append((hp, hv))
+    H = max(1, max((len(hp) for hp, _ in his), default=1))
+    hi_pos = np.zeros((nb, H), np.int32)
+    hi_val = np.zeros((nb, H), np.int32)
+    for b, (hp, hv) in enumerate(his):
+        hi_pos[b, : len(hp)] = hp
+        hi_val[b, : len(hp)] = hv
+    return PackedGroup(lo, hi_pos, hi_val, rat, cnt2, eid2, int(R),
+                       int(n_other), kind)
+
+
+def _concat_ranges(s: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Vectorized np.concatenate([arange(a, b) for a, b in zip(s, t)])."""
+    lens = (t - s).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.ones(total, np.int64)
+    row_starts = np.zeros(len(s), np.int64)
+    np.cumsum(lens[:-1], out=row_starts[1:])
+    out[0] = s[0]
+    nz = row_starts[1:]
+    out[nz] = s[1:] - (s[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
+def build_packed(entity_idx, other_idx, rating, n_entities: int,
+                 n_other: int, rank_hint: int = 64,
+                 target_bytes: int = 192 * 2**20,
+                 max_groups: int = 16) -> PackedCSR:
+    """Wire-format twin of ops/bucketed.build_bucketed: identical rung
+    ladder, identical entity->group/block assignment, identical within-row
+    sort — the decoded blocks match the resident ones bitwise (pinned in
+    tests/test_ooc.py). Use for datasets whose COO fits host RAM but whose
+    layout would not fit HBM; build_packed_stream below is the
+    bounded-host-RAM portioned variant."""
+    entity_idx = np.asarray(entity_idx, dtype=np.int64)
+    o_all = np.asarray(other_idx, dtype=np.int64)
+    r_all = np.asarray(rating, dtype=np.float32)
+    if not (len(entity_idx) == len(o_all) == len(r_all)):
+        raise ValueError("COO arrays must share length")
+    if len(entity_idx) and (entity_idx.max() >= n_entities
+                            or o_all.max() >= n_other
+                            or entity_idx.min() < 0 or o_all.min() < 0):
+        raise ValueError("index out of range")
+    order = np.lexsort((o_all, entity_idx))
+    o_sorted = np.ascontiguousarray(o_all[order], np.int32)
+    r_sorted = np.ascontiguousarray(r_all[order], np.float32)
+    counts = np.bincount(entity_idx, minlength=n_entities).astype(np.int64)
+    starts = np.zeros(n_entities + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    kind = rating_wire_kind(r_sorted)
+
+    active = np.nonzero(counts)[0]
+    rung = _dp_rungs(counts[active], max_groups)
+    groups = []
+    for p in np.unique(rung):
+        ents = active[rung == p]
+        groups.append(_pack_one_group(ents, counts, starts, o_sorted,
+                                      r_sorted, int(p), n_entities,
+                                      n_other, rank_hint, target_bytes,
+                                      kind))
+    return tuple(groups)
+
+
+def build_packed_stream(
+    portions: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    n_entities: int, n_other: int, *, counts: Optional[np.ndarray] = None,
+    portions2: Optional[Iterable] = None, rank_hint: int = 64,
+    target_bytes: int = 192 * 2**20, max_groups: int = 16,
+    out_dir: Optional[str] = None, view: str = "entity",
+    rating_kind: Optional[str] = None,
+) -> PackedCSR:
+    """True out-of-core builder: two passes over a portions iterator
+    (the reference's portioned SELECT streaming — data/store.py:stream),
+    never materializing the full COO.
+
+    ``portions`` yields (u, i, r) batches; ``view`` picks which column is
+    the entity axis ("entity" = first column, "other" = swapped — the
+    transposed per-item view of SURVEY.md call stack 3.2). Pass 1 counts;
+    pass 2 scatters each portion into its packed destination (RAM, or
+    memmaps under ``out_dir`` for layouts beyond RAM). Rows are then
+    sorted in place block-by-block, so the result is BITWISE
+    build_packed(full COO) (pinned in tests/test_ooc.py).
+
+    ``counts``/``rating_kind`` skip pass 1 when the caller already knows
+    them; ``portions2`` supplies a fresh iterator for pass 2 when
+    ``portions`` is single-shot (a generator).
+    """
+    if view not in ("entity", "other"):
+        raise ValueError("view must be 'entity' or 'other'")
+
+    def _oriented(p):
+        u, i, r = p
+        return (u, i, r) if view == "entity" else (i, u, r)
+
+    if counts is None or rating_kind is None:
+        if portions2 is None:
+            portions = list(portions)  # must re-iterate; keep refs
+            portions2 = portions
+        counts = np.zeros(n_entities, np.int64)
+        kind = "half"
+        seen = False
+        for p in portions:
+            e, o, r = _oriented(p)
+            if len(e) and (np.max(e) >= n_entities or np.max(o) >= n_other
+                           or np.min(e) < 0 or np.min(o) < 0):
+                raise ValueError("index out of range")
+            counts += np.bincount(e, minlength=n_entities)
+            if kind == "half" and rating_wire_kind(r) != "half":
+                kind = "raw"
+            seen = seen or len(e) > 0
+        rating_kind = rating_kind or kind
+    else:
+        if portions2 is None:
+            portions2 = portions
+        counts = np.asarray(counts, np.int64)
+
+    active = np.nonzero(counts)[0]
+    rung = _dp_rungs(counts[active], max_groups)
+    rungs = np.unique(rung)
+
+    # per-group geometry (identical arithmetic to _pack_one_group)
+    metas = []  # (R, nb, ne_b, cnt2, eid2, S)
+    # entity -> (group, flat destination base within the group's [NB*S])
+    group_of = np.full(n_entities, -1, np.int32)
+    dest_base = np.zeros(n_entities, np.int64)
+    for gi, p in enumerate(rungs):
+        ents = active[rung == p]
+        R = int(p)
+        n_e = len(ents)
+        ne_target = max(8, target_bytes // (R * rank_hint * 4))
+        nb = max(1, -(-n_e // ne_target))
+        ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)
+        cnt = np.zeros(nb * ne_b, np.int32)
+        eidv = np.full(nb * ne_b, n_entities, np.int32)
+        eidv[:n_e] = ents
+        cnt[:n_e] = counts[ents]
+        cnt2 = cnt.reshape(nb, ne_b)
+        S = int(cnt2.sum(axis=1).max(initial=0))
+        # packed row starts within each block, flattened to [NB*S]
+        row_start = np.zeros(nb * ne_b, np.int64)
+        c = cnt2.astype(np.int64)
+        within = np.cumsum(c, axis=1) - c  # exclusive per-block cumsum
+        row_start = (within + (np.arange(nb, dtype=np.int64)[:, None] * S)
+                     ).reshape(-1)
+        group_of[eidv[:n_e]] = gi
+        dest_base[eidv[:n_e]] = row_start[:n_e]
+        metas.append((R, nb, ne_b, cnt2, eidv.reshape(nb, ne_b), S))
+
+    def _alloc(name, shape, dtype):
+        if out_dir is None:
+            return np.zeros(shape, dtype)
+        os.makedirs(out_dir, exist_ok=True)
+        return np.lib.format.open_memmap(
+            os.path.join(out_dir, name + ".npy"), mode="w+", dtype=dtype,
+            shape=shape)
+
+    rdt = np.int8 if rating_kind == "half" else np.float32
+    flat_o = [_alloc(f"g{gi}.oi32", (m[1] * m[5],), np.int32)
+              for gi, m in enumerate(metas)]
+    flat_r = [_alloc(f"g{gi}.rat", (m[1] * m[5],), rdt)
+              for gi, m in enumerate(metas)]
+
+    cursor = np.zeros(n_entities, np.int64)
+    for p in portions2:
+        e, o, r = _oriented(p)
+        e = np.asarray(e, np.int64)
+        o = np.asarray(o, np.int32)
+        r = np.asarray(r, np.float32)
+        # occurrence rank of each duplicate entity within this portion
+        sort = np.argsort(e, kind="stable")
+        es = e[sort]
+        brk = np.empty(len(es), bool)
+        if len(es):
+            brk[0] = True
+            np.not_equal(es[1:], es[:-1], out=brk[1:])
+        run_starts = np.flatnonzero(brk)
+        run_id = np.zeros(len(es), np.int64)
+        run_id[run_starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        occ = np.arange(len(es), dtype=np.int64) - run_starts[run_id]
+        dest = dest_base[es] + cursor[es] + occ
+        gsel = group_of[es]
+        for gi in range(len(metas)):
+            m = gsel == gi
+            if not m.any():
+                continue
+            d = dest[m]
+            flat_o[gi][d] = o[sort[m]]
+            if rating_kind == "half":
+                flat_r[gi][d] = np.round(
+                    r[sort[m]] * 2.0).astype(np.int8)
+            else:
+                flat_r[gi][d] = r[sort[m]]
+        cursor += np.bincount(e, minlength=n_entities)
+    if not np.array_equal(cursor, counts):
+        raise ValueError("pass-2 portions did not match pass-1 counts "
+                         "(the stream must be re-iterable and stable)")
+
+    # per-block: sort rows by other-idx, delta-encode, emit wire arrays
+    groups = []
+    for gi, (R, nb, ne_b, cnt2, eid2, S) in enumerate(metas):
+        lo = _alloc(f"g{gi}.lo", (nb, S), np.uint16)
+        rat = _alloc(f"g{gi}.ratw", (nb, S), rdt)
+        his = []
+        fo = flat_o[gi]
+        fr = flat_r[gi]
+        for b in range(nb):
+            n_real = int(cnt2[b].sum())
+            ob = np.asarray(fo[b * S : b * S + n_real])
+            rb = np.asarray(fr[b * S : b * S + n_real])
+            c = cnt2[b].astype(np.int64)
+            row_starts = np.cumsum(c) - c
+            rs_real = row_starts[cnt2[b] > 0]
+            # within-row sort by other idx (rows are variable-length runs:
+            # composite key row_id * (n_other + 1) + other is monotone in
+            # (row, other), one argsort sorts every row at once)
+            row_id = np.zeros(n_real, np.int64)
+            row_id[rs_real[1:]] = 1
+            row_id = np.cumsum(row_id)
+            srt = np.argsort(row_id * (n_other + 1) + ob, kind="stable")
+            ob = ob[srt].astype(np.int32)
+            rb = rb[srt]
+            l, hp, hv = _encode_rows(ob, rb, rs_real)
+            lo[b, : len(l)] = l
+            rat[b, : len(l)] = rb
+            his.append((hp, hv))
+        H = max(1, max((len(hp) for hp, _ in his), default=1))
+        hi_pos = np.zeros((nb, H), np.int32)
+        hi_val = np.zeros((nb, H), np.int32)
+        for b, (hp, hv) in enumerate(his):
+            hi_pos[b, : len(hp)] = hp
+            hi_val[b, : len(hp)] = hv
+        if out_dir is not None:
+            lo.flush()
+            rat.flush()
+            # drop the int32 intermediates from disk
+            del fo, fr
+            for suffix in ("oi32", "rat"):
+                fp = os.path.join(out_dir, f"g{gi}.{suffix}.npy")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        groups.append(PackedGroup(lo, hi_pos, hi_val, rat, cnt2, eid2,
+                                  int(R), int(n_other), rating_kind))
+    return tuple(groups)
+
+
+def packed_stats(groups: PackedCSR, nnz: int) -> dict:
+    wire = sum(int(g.lo.nbytes + g.rat.nbytes + g.hi_pos.nbytes
+                   + g.hi_val.nbytes + g.cnt.nbytes + g.eid.nbytes)
+               for g in groups)
+    slots = sum(int(g.cnt.shape[0] * g.cnt.shape[1] * g.R) for g in groups)
+    return {
+        "n_groups": len(groups),
+        "rows_per_group": [g.R for g in groups],
+        "blocks_per_group": [g.n_blocks for g in groups],
+        "wire_bytes": wire,
+        "wire_bytes_per_rating": wire / max(nnz, 1),
+        "decoded_slots": slots,
+        "fill": nnz / slots if slots else 0.0,
+        "rating_kind": groups[0].rating_kind if groups else "raw",
+    }
