@@ -59,6 +59,30 @@ def test_train_and_metrics(trained, capsys):
     assert rmse[-1]["rmse_test"] < rmse[0]["rmse_test"]  # training works
 
 
+def test_train_ooc_matches_resident(trained, tmp_path, capsys):
+    """--ooc streams blocks host->device but is the SAME math: the
+    per-epoch RMSE trajectory must match the resident run bitwise-at-f32
+    (models/ooc.py shares bucket_solve_rows with the resident path)."""
+    store, ckpt = trained
+    main(["train", "--preset", "ml100k-als", "--store", store, "--ooc",
+          "--epochs", "3", "--rank", "6", "--out", str(tmp_path / "o")])
+    capsys.readouterr()
+    res = [json.loads(line) for line in
+           open(f"{ckpt.rsplit('/', 1)[0]}/metrics.jsonl")
+           if "rmse_test" in line]
+    ooc = [json.loads(line) for line in
+           open(tmp_path / "o" / "ml100k-als" / "metrics.jsonl")
+           if "rmse_test" in line]
+    assert [r["rmse_test"] for r in ooc] == [r["rmse_test"] for r in res]
+
+
+def test_train_ooc_rejects_sgd(trained, tmp_path):
+    store, _ = trained
+    with pytest.raises(ValueError, match="als/ials"):
+        main(["train", "--preset", "ml1m-sgd", "--store", store, "--ooc",
+              "--epochs", "1", "--out", str(tmp_path / "o2")])
+
+
 def test_validate_ranking(trained, capsys):
     store, ckpt = trained
     main(["validate", "--ckpt", ckpt, "--store", store, "--ranking"])

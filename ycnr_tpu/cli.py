@@ -170,6 +170,11 @@ def _add_train_overrides(p):
     p.add_argument("--ckpt-backend", choices=["npz", "orbax"],
                    help="checkpoint array storage (default npz; orbax = "
                         "JAX-ecosystem TensorStore format)")
+    p.add_argument("--ooc", action="store_true",
+                   help="out-of-core training: stream rating blocks "
+                        "host->HBM each epoch (factors stay resident) so "
+                        "nnz is bounded by host RAM, not device memory "
+                        "(single-chip als/ials)")
     p.add_argument("--fused-epochs", type=int, metavar="K",
                    help="fuse K epochs + their RMSE evals into one device "
                         "program (single-chip ALS/iALS; ~7%% wall saved per "
@@ -267,6 +272,8 @@ def _build_cfg(args):
         cfg = cfg.replace(checkpoint_backend=args.ckpt_backend)
     if getattr(args, "fused_epochs", None):
         cfg = cfg.replace(fused_epochs=args.fused_epochs)
+    if getattr(args, "ooc", False):
+        cfg = cfg.replace(ooc=True)
     if args.out is not None:
         cfg = cfg.replace(out_dir=args.out)
     elif not cfg.out_dir and not (file_cfg and "out_dir" in file_cfg):

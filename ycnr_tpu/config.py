@@ -180,6 +180,13 @@ class RunConfig:
     # boundaries. Prefer a value dividing `epochs` (a partial tail block
     # compiles a second program — minutes of upload on a remote TPU).
     fused_epochs: int = 1
+    # out-of-core training (models/ooc.py): keep only the factors resident
+    # and stream the rating layout host->HBM through every epoch in the
+    # packed wire format (ops/packed.py) — bounds trainable nnz by host
+    # RAM/disk instead of device memory (the reference's portioned DB
+    # streaming, SURVEY.md L1->L5). Single-chip ALS/iALS only; epochs are
+    # wire-bandwidth-bound (docs/KERNELS.md "Out-of-core streaming").
+    ooc: bool = False
     measure_serving: bool = False  # time top-N for all users after training
     # serving scorer for measure_serving / offline top-N: exact | fused |
     # fused32 (fused = Pallas kernel, ops/pallas_topn.py; falls back to

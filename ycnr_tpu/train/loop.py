@@ -126,6 +126,11 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                             append=bool(resume))
 
     if cfg.mesh.n_shards > 1:
+        if cfg.ooc:
+            raise ValueError(
+                "ooc=True is single-chip (mesh sharding already "
+                "multiplies HBM by the shard count; combine them once a "
+                "multi-chip host is available)")
         return _train_sharded(cfg, ds, metrics, out, resume, warm_start)
 
     dtype = jnp.dtype(params.dtype)
@@ -145,18 +150,34 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
     dul = dil = sgd_data = trainer = None
     if cfg.algorithm in ("als", "ials"):
-        # single-chip fast path: bucketed (segsum-free) layout
-        from ycnr_tpu.models.bucketed_phase import device_bucketed
-        from ycnr_tpu.ops.bucketed import build_bucketed
+        if cfg.ooc:
+            # out-of-core: wire-format layouts stay on host, blocks stream
+            # to HBM through each epoch (models/ooc.py)
+            from ycnr_tpu.ops.packed import build_packed
 
-        dul = device_bucketed(build_bucketed(
-            ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
-            cfg.data.chunk_len, params.rank,
-            max_groups=cfg.data.max_groups), dtype)
-        dil = device_bucketed(build_bucketed(
-            ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
-            cfg.data.chunk_len, params.rank,
-            max_groups=cfg.data.max_groups), dtype)
+            dul = build_packed(ds.train_u, ds.train_i, ds.train_r,
+                               ds.n_users, ds.n_items, params.rank,
+                               max_groups=cfg.data.max_groups)
+            dil = build_packed(ds.train_i, ds.train_u, ds.train_r,
+                               ds.n_items, ds.n_users, params.rank,
+                               max_groups=cfg.data.max_groups)
+        else:
+            # single-chip fast path: bucketed (segsum-free) layout
+            from ycnr_tpu.models.bucketed_phase import device_bucketed
+            from ycnr_tpu.ops.bucketed import build_bucketed
+
+            dul = device_bucketed(build_bucketed(
+                ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items,
+                cfg.data.chunk_len, params.rank,
+                max_groups=cfg.data.max_groups), dtype)
+            dil = device_bucketed(build_bucketed(
+                ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
+                cfg.data.chunk_len, params.rank,
+                max_groups=cfg.data.max_groups), dtype)
+    elif cfg.ooc:
+        raise ValueError("ooc=True supports the als/ials solvers only "
+                         "(the SGD/BPR streams are already per-batch "
+                         "device data)")
     elif cfg.algorithm == "bpr":
         from ycnr_tpu.models.bpr import BPRTrainer, prepare_bpr_data
 
@@ -200,7 +221,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     )
 
     shm_writer = _shm_writer(cfg, state)
-    if cfg.fused_epochs > 1 and cfg.algorithm in ("als", "ials"):
+    if cfg.fused_epochs > 1 and cfg.algorithm in ("als", "ials") \
+            and not cfg.ooc:
         test_coo = (dpu, dpi, dpr, jnp.asarray(n_test))
         train_coo = ((dqu, dqi, dqr, jnp.asarray(n_train))
                      if cfg.log_train_rmse else None)
@@ -221,13 +243,27 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                   file=sys.stderr, flush=True)
         t0 = time.time()
         if cfg.algorithm == "als":
-            state = als_epoch_bucketed(
-                state, dul, dil, cfg.als.lam,
-                gather_bf16=cfg.als.gather_dtype == "bfloat16")
+            if cfg.ooc:
+                from ycnr_tpu.models.ooc import als_epoch_ooc
+
+                state = als_epoch_ooc(
+                    state, dul, dil, cfg.als.lam,
+                    gather_bf16=cfg.als.gather_dtype == "bfloat16")
+            else:
+                state = als_epoch_bucketed(
+                    state, dul, dil, cfg.als.lam,
+                    gather_bf16=cfg.als.gather_dtype == "bfloat16")
         elif cfg.algorithm == "ials":
-            state = ials_epoch_bucketed(
-                state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
-                gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+            if cfg.ooc:
+                from ycnr_tpu.models.ooc import ials_epoch_ooc
+
+                state = ials_epoch_ooc(
+                    state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
+                    gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+            else:
+                state = ials_epoch_bucketed(
+                    state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
+                    gather_bf16=cfg.ials.gather_dtype == "bfloat16")
         else:
             state = trainer.epoch(state, sgd_data, epoch)
         device_sync(state.U)  # block_until_ready lies on axon
