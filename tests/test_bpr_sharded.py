@@ -154,6 +154,47 @@ def test_sharded_bpr_d1_matches_single_chip(grad_mode, shuffle):
                                np.asarray(out.bi)[:-1], atol=2e-6)
 
 
+@pytest.mark.parametrize("grad_mode,shuffle",
+                         [("sum", "rows"), ("mean", "rows"),
+                          ("emean", "rows"), ("sum", "batches"),
+                          ("mean", "batches"), ("emean", "batches")])
+def test_sharded_bpr_replica_agreement(grad_mode, shuffle):
+    """The BPR epoch's shard_map runs with check_vma=False (the fused
+    per-shard weight column makes V's replication invariant invisible to
+    the static checker — parallel/shard._bpr_epoch_fn). This test is the
+    dynamic replacement for that static check: after epochs on a D=4 mesh,
+    every device's buffer of the replicated V / b_i outputs must be
+    BITWISE identical — each device added the same psum total to the same
+    replicated start. Any future edit that lets per-device state leak into
+    the returned slices shows up here as cross-replica divergence."""
+    import jax
+
+    from ycnr_tpu.models.base import init_state
+
+    (tu, ti, tr), (su, si, sr), nu, ni = _setup()
+    mesh = make_mesh(4)
+    data, meta = build_sharded_data(tu, ti, tr, nu, ni, 4,
+                                    test_u=su, test_i=si, test_r=sr,
+                                    sgd_batch=512, mesh=mesh, algo="bpr")
+    aux = build_bpr_bits(tu, ti, meta, batch_size=512, mesh=mesh)
+    st = scatter_state(init_state(nu, ni, 6, seed=7), meta, mesh)
+    key = jax.random.key(11)
+    for e in range(3):
+        st = sharded_bpr_epoch(mesh, st, data, aux, 0.01, 0.1,
+                               jax.random.fold_in(key, e), 512,
+                               grad_mode=grad_mode, shuffle=shuffle)
+    for name in ("V", "bi"):
+        arr = getattr(st, name)
+        shards = list(arr.addressable_shards)
+        assert len(shards) == 4, (name, len(shards))
+        ref = np.asarray(shards[0].data)
+        assert ref.shape == arr.shape  # replicated: full copy per device
+        for s in shards[1:]:
+            np.testing.assert_array_equal(
+                np.asarray(s.data), ref,
+                err_msg=f"{name} diverged on device {s.device}")
+
+
 def test_bpr_bits_match_single_chip_table():
     """The per-shard bits tables are exactly the single-chip table's rows
     remapped through the user partition."""

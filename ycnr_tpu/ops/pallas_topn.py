@@ -96,13 +96,18 @@ def _score_block_kernel(rows_ref, v_ref, bi_ref, bits_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("sc", "tu", "score_bf16", "interpret"))
-def _fused_scores(rows, vp, bip, bits, *, sc, tu, score_bf16, interpret):
+         static_argnames=("sc", "tu", "score_bf16", "interpret", "vma"))
+def _fused_scores(rows, vp, bip, bits, *, sc, tu, score_bf16, interpret,
+                  vma=None):
     """All masked scores for one layout block, segment-reduced.
 
     rows [U_B, k] bf16, vp [M_pad, k] bf16, bip [1, M_pad] f32,
     bits [U_B, 4*S_pad] int32 -> (segmax_T [S_pad, U_B] f32,
     s3 [U_B, S_pad, 128] bf16|f32).
+
+    vma: mesh axis names the outputs vary over — required when called
+    inside a ``shard_map`` with ``check_vma=True`` (pallas outputs carry
+    no varying-across-mesh info of their own).
     """
     u_b, k = rows.shape
     m_pad = vp.shape[0]
@@ -111,6 +116,7 @@ def _fused_scores(rows, vp, bip, bits, *, sc, tu, score_bf16, interpret):
     s_pad = m_pad // SEG_LEN
     gu = -(-u_b // tu)
     sd = jnp.bfloat16 if score_bf16 else jnp.float32
+    vma = frozenset(vma) if vma else None
     return pl.pallas_call(
         partial(_score_block_kernel, sc=sc),
         grid=(gu, nc),  # chunk axis innermost: V streams, rows/bits stay
@@ -131,8 +137,8 @@ def _fused_scores(rows, vp, bip, bits, *, sc, tu, score_bf16, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s_pad, u_b), jnp.float32),
-            jax.ShapeDtypeStruct((u_b, s_pad, SEG_LEN), sd),
+            jax.ShapeDtypeStruct((s_pad, u_b), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((u_b, s_pad, SEG_LEN), sd, vma=vma),
         ],
         interpret=interpret,
     )(rows, vp, bip, bits)
@@ -147,7 +153,7 @@ def fused_supported(n_items: int, n: int, sc: int = 32) -> bool:
 
 def fused_topn_core(U, V, bu, bi, mu, entity_ids, rated_bits, n: int, *,
                     sc: int = 32, tu: int = 256, score_bf16: bool = True,
-                    interpret=None):
+                    interpret=None, vma=None):
     """Traced core of the fused scorer (no jit): masked top-n over every
     block of a serving layout. Callable from inside ``shard_map`` with a
     local U/bu shard and a replicated (or all-gathered cat-space) V/bi —
@@ -189,7 +195,7 @@ def fused_topn_core(U, V, bu, bi, mu, entity_ids, rated_bits, n: int, *,
         rows = ub16[eids]  # [U_B, k] bf16 gather (half the f32 bytes)
         segmax_t, s3 = _fused_scores(rows, vp, bip, bits_b, sc=sc, tu=tu,
                                      score_bf16=score_bf16,
-                                     interpret=interpret)
+                                     interpret=interpret, vma=vma)
         _, top_seg = lax.top_k(segmax_t.T, n)  # exact: f32 pre-round maxima
         # extract the n winning segments with a one-hot matmul (streams s3
         # at full bandwidth; row gathers measured ~13 GB/s on v5e)

@@ -334,9 +334,16 @@ def _dual_topn_fn(mesh: Mesh, n: int, method: str = "exact"):
         if method != "exact":
             from ycnr_tpu.ops.pallas_topn import fused_topn_core
 
+            # vma=(AXIS,) stamps the pallas outputs varying-across-mesh so
+            # check_vma stays ON (see shard._topn_fn); the locally-created
+            # zero biases and replicated mu are pcast to match
             ids, sc = fused_topn_core(
-                U[0], V_cat, bu, bi, mu, lay_arrays.entity_ids[0], bits[0],
-                n, score_bf16=(method != "fused32"))
+                U[0], V_cat,
+                lax.pcast(bu, AXIS, to="varying"),
+                lax.pcast(bi, AXIS, to="varying"),
+                lax.pcast(mu, AXIS, to="varying"),
+                lay_arrays.entity_ids[0], bits[0],
+                n, score_bf16=(method != "fused32"), vma=(AXIS,))
             return ids[None], sc[None]
         Vp, bip = _pad_items(V_cat, bi, bits.shape[-1])
 
@@ -352,9 +359,7 @@ def _dual_topn_fn(mesh: Mesh, n: int, method: str = "exact"):
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), lay_spec, P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS)),
-        # pallas_call out_shapes carry no vma (see shard._topn_fn)
-        check_vma=(method == "exact")))
+        out_specs=(P(AXIS), P(AXIS)), check_vma=True))
 
 
 def dual_recommend_all(mesh: Mesh, st: DualState, data: DualData,

@@ -683,7 +683,10 @@ def _bpr_epoch_fn(mesh: Mesh, lam: float, b_local: int, grad_mode: str,
     # check_vma off: Vf carries the per-shard weight column, so the
     # checker cannot statically infer that the returned V/bi slices are
     # replicated — they are (every device adds the SAME psum total to the
-    # same replicated input; the weight column never leaks into cols 0..k)
+    # same replicated input; the weight column never leaks into cols 0..k).
+    # The dynamic replacement for the static check is
+    # tests/test_bpr_sharded.py::test_sharded_bpr_replica_agreement: bitwise
+    # cross-device agreement of V/bi after epochs, all grad_mode x shuffle
     shmapped = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(AXIS), P(AXIS), aux_spec, P(), P()),
@@ -724,9 +727,18 @@ def _topn_fn(mesh: Mesh, n: int, with_bits: bool, method: str = "exact"):
             # kernel over its local blocks against the replicated V
             from ycnr_tpu.ops.pallas_topn import fused_topn_core
 
+            # vma=(AXIS,) stamps the kernel outputs varying-across-mesh so
+            # check_vma stays ON for this path (pallas out_shapes carry no
+            # vma of their own); replicated V/bi/mu are pcast to varying
+            # for the same reason — the kernel body can't mix them
             ids, sc = fused_topn_core(
-                U[0], V, bu[0], bi, mu, lay_arrays.entity_ids[0], bits[0],
-                n, score_bf16=(method != "fused32"))
+                U[0],
+                lax.pcast(V, AXIS, to="varying"),
+                bu[0],
+                lax.pcast(bi, AXIS, to="varying"),
+                lax.pcast(mu, AXIS, to="varying"),
+                lay_arrays.entity_ids[0], bits[0],
+                n, score_bf16=(method != "fused32"), vma=(AXIS,))
             return ids[None], sc[None]
 
         if with_bits:  # align scores to the bitmask width (see _topn_blocks)
@@ -748,10 +760,7 @@ def _topn_fn(mesh: Mesh, n: int, with_bits: bool, method: str = "exact"):
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P(), P(), lay_spec,
                   P(AXIS) if with_bits else P()),
-        out_specs=(P(AXIS), P(AXIS)),
-        # pallas_call out_shapes carry no vma; the fused kernel is purely
-        # per-device so the varying-across-mesh check adds nothing here
-        check_vma=(method == "exact")))
+        out_specs=(P(AXIS), P(AXIS)), check_vma=True))
 
 
 def sharded_recommend_all(mesh: Mesh, st: ShardedState, data: ShardedData,
