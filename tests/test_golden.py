@@ -77,3 +77,54 @@ def test_golden_bpr_ranking_quality():
                              ds.test_u, ds.test_i, n=10)
     assert abs(m["hit_rate"] - 0.427) < 0.015, m
     assert abs(m["ndcg"] - 0.4378) < 0.015, m
+
+
+def _cfg_calibrated(algorithm):
+    """Same shapes/seeds as _cfg but on the CALIBRATED generator (published
+    ML-20M rating histogram + Pareto degrees — VERDICT round 2 item 9).
+    Note the quality class shifts toward real-data numbers: ALS plateaus
+    near 0.82 RMSE (real ML-20M sits ~0.78-0.82) instead of the planted
+    mode's easy 0.44 — the whole-star spikes and degree tail make the
+    problem realistically hard, which is the point of the mode."""
+    from ycnr_tpu.config import BPRConfig
+
+    return RunConfig(
+        name="golden-cal", algorithm=algorithm,
+        data=DataConfig(source="synthetic", n_users=400, n_items=200,
+                        n_ratings=20_000, chunk_len=8, seed=7,
+                        synthetic_mode="calibrated"),
+        als=ALSConfig(rank=10, lam=0.05, epochs=5),
+        ials=IALSConfig(rank=10, lam=0.3, alpha=5.0, epochs=3),
+        bpr=BPRConfig(rank=10, lam=0.01, lr=0.1, epochs=8,
+                      batch_size=1024),
+        out_dir="", seed=3)
+
+
+def test_golden_als_rmse_calibrated():
+    res = train(_cfg_calibrated("als"), out_dir=None)
+    # pinned 2026-08-18 (fp32, bucketed path, calibrated generator)
+    assert abs(res.rmse_history[-1] - 0.8223) < 0.012, res.rmse_history
+
+
+def test_golden_ials_ranking_quality_calibrated():
+    from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
+    res = train(_cfg_calibrated("ials"), out_dir=None)
+    ds = res.dataset
+    m = ranking_metrics_at_n(res.state, ds.train_u, ds.train_i,
+                             ds.test_u, ds.test_i, n=10)
+    # pinned 2026-08-18 (alpha=5, lam=0.3, 3 epochs, calibrated generator)
+    assert abs(m["hit_rate"] - 0.2325) < 0.02, m
+    assert abs(m["ndcg"] - 0.1793) < 0.02, m
+
+
+def test_golden_bpr_ranking_quality_calibrated():
+    from ycnr_tpu.eval.ranking import ranking_metrics_at_n
+
+    res = train(_cfg_calibrated("bpr"), out_dir=None)
+    ds = res.dataset
+    m = ranking_metrics_at_n(res.state, ds.train_u, ds.train_i,
+                             ds.test_u, ds.test_i, n=10)
+    # pinned 2026-08-18 (grad_mode=emean default, calibrated generator)
+    assert abs(m["hit_rate"] - 0.3779) < 0.015, m
+    assert abs(m["ndcg"] - 0.3692) < 0.015, m

@@ -67,3 +67,82 @@ def test_power_law_skews_popularity():
     top = np.sort(counts)[-20:].sum()
     # with a zipf-ish law the top-2% of items hold far more than 2% of mass
     assert top > 0.10 * len(r)
+
+
+def test_calibrated_rating_histogram_exact():
+    """The calibrated mode's rating marginal matches the published ML-20M
+    histogram to largest-remainder rounding (VERDICT round 2 item 9)."""
+    from ycnr_tpu.data.synthetic import (ML20M_RATING_HIST,
+                                         synthetic_ratings_calibrated)
+
+    u, i, r = synthetic_ratings_calibrated(800, 400, 40_000, seed=3)
+    n = len(r)
+    assert n > 38_000  # dedup drop is small
+    levels, counts = np.unique(r, return_counts=True)
+    got = dict(zip(levels.tolist(), (counts / n).tolist()))
+    for v, p in ML20M_RATING_HIST.items():
+        assert abs(got.get(v, 0.0) - p) < 1.5 / n + 1e-9, (v, got.get(v), p)
+
+
+def test_calibrated_degrees_floor_and_tail():
+    from ycnr_tpu.data.synthetic import synthetic_ratings_calibrated
+
+    nu, ni, nnz = 1_500, 900, 120_000
+    u, i, r = synthetic_ratings_calibrated(nu, ni, nnz, seed=1)
+    deg = np.bincount(u, minlength=nu)
+    # ML-20M filters users to >= 20 ratings; dedup can shave a couple off
+    # a heavy user whose redraws collide, never below 20 - 2
+    assert deg.min() >= 18, deg.min()
+    # Pareto tail: the max degree is far above the mean
+    assert deg.max() > 4 * deg.mean()
+    # total close to requested (per-user dedup drop only; this grid
+    # is 8.9% dense — far denser than real ML-20M's 0.54%)
+    assert len(r) > 0.92 * nnz
+    # items Zipf-skewed
+    ic = np.bincount(i, minlength=ni)
+    assert np.sort(ic)[-int(ni * 0.02):].sum() > 0.08 * len(r)
+
+
+def test_calibrated_deterministic_and_planted_structure():
+    from ycnr_tpu.data.synthetic import synthetic_ratings_calibrated
+
+    a = synthetic_ratings_calibrated(400, 300, 20_000, seed=7)
+    b = synthetic_ratings_calibrated(400, 300, 20_000, seed=7)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = synthetic_ratings_calibrated(400, 300, 20_000, seed=8)
+    assert not np.array_equal(a[2], c[2])
+    # quantile mapping preserves planted order structure: a rank-8 model
+    # must be learnable — oracle ALS holdout RMSE beats the constant
+    # predictor by a clear margin
+    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.oracle.numpy_mf import als_wr_epoch, rmse
+
+    u, i, r = synthetic_ratings_calibrated(400, 300, 20_000, seed=7,
+                                           noise=0.08)
+    (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r, 0.1, 0)
+    rng = np.random.default_rng(0)
+    U = rng.normal(0, 0.1, (400, 8))
+    V = rng.normal(0, 0.1, (300, 8))
+    for _ in range(4):
+        U, V = als_wr_epoch(U, V, tu, ti, tr.astype(np.float64), 0.05)
+    const = float(np.sqrt(np.mean((sr - tr.mean()) ** 2)))
+    got = rmse(U, V, su, si, sr.astype(np.float64))
+    assert got < 0.85 * const, (got, const)
+
+
+def test_calibrated_via_dataset_config():
+    from ycnr_tpu.config import DataConfig
+    from ycnr_tpu.data.dataset import load_dataset
+
+    ds = load_dataset(DataConfig(source="synthetic", n_users=300,
+                                 n_items=200, n_ratings=8_000,
+                                 synthetic_mode="calibrated", chunk_len=8))
+    assert len(ds.train_r) + len(ds.test_r) > 7_500
+    levels = np.unique(np.concatenate([ds.train_r, ds.test_r]))
+    assert 5.0 in levels and 0.5 in levels  # full star range present
+    import pytest
+
+    with pytest.raises(ValueError, match="synthetic_mode"):
+        load_dataset(DataConfig(source="synthetic",
+                                synthetic_mode="bogus"))

@@ -144,6 +144,11 @@ def _add_train_overrides(p):
     p.add_argument("--users", type=int, help="synthetic n_users")
     p.add_argument("--items", type=int, help="synthetic n_items")
     p.add_argument("--ratings", type=int, help="synthetic n_ratings")
+    p.add_argument("--calibrated", action="store_true",
+                   help="synthetic source only: calibrate to the published "
+                        "ML-20M marginals (exact rating histogram via "
+                        "quantile mapping, Pareto user degrees with the "
+                        ">=20 floor) — data/synthetic.py")
     p.add_argument("--max-groups", type=int,
                    help="bucketed-layout group cap (default 16; 8 roughly "
                         "halves first-epoch program-upload wall at ~17% "
@@ -235,6 +240,8 @@ def _build_cfg(args):
         v = getattr(args, a, None)
         if v:
             dkw[k] = v
+    if getattr(args, "calibrated", False):
+        dkw["synthetic_mode"] = "calibrated"
     if dkw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **dkw))
     if args.epochs is not None:
@@ -451,8 +458,14 @@ def cmd_prepare(args):
 
     store = RatingsStore(args.store)
     if args.source == "synthetic":
-        u, i, r = synthetic_ratings(args.users, args.items, args.ratings,
-                                    seed=args.seed)
+        if args.calibrated:
+            from ycnr_tpu.data.synthetic import synthetic_ratings_calibrated
+
+            u, i, r = synthetic_ratings_calibrated(
+                args.users, args.items, args.ratings, seed=args.seed)
+        else:
+            u, i, r = synthetic_ratings(args.users, args.items,
+                                        args.ratings, seed=args.seed)
         # stream order as time — continued from the store's existing rows
         # so re-running prepare keeps "later batch = later time" true
         ts = store.n_rows + np.arange(len(r), dtype=np.int64)
@@ -923,6 +936,9 @@ def main(argv=None):
     p.add_argument("--ratings", type=int, default=50000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--portion", type=int, default=1_000_000)
+    p.add_argument("--calibrated", action="store_true",
+                   help="synthetic: calibrate to published ML-20M "
+                        "marginals (see train --calibrated)")
     p.set_defaults(fn=cmd_prepare, uses_jax=False)
 
     p = sub.add_parser("recommend",

@@ -25,6 +25,10 @@ class DataConfig:
     n_ratings: int = 50_000  # synthetic only
     true_rank: int = 8  # synthetic planted rank
     noise: float = 0.25  # synthetic rating noise sigma
+    # "planted" = base generator; "calibrated" = quantile-mapped to the
+    # published ML-20M rating histogram + Pareto user degrees with the
+    # >=20 floor (data/synthetic.synthetic_ratings_calibrated)
+    synthetic_mode: str = "planted"
     seed: int = 0
     test_fraction: float = 0.1  # held-out split (reference train/test split)
     # split protocol: "random" holdout, "time" (temporal global holdout by

@@ -74,8 +74,20 @@ class Dataset:
 
 def _load_source(cfg: DataConfig, want_ts: bool = False):
     if cfg.source == "synthetic":
-        u, i, r = synthetic_ratings(cfg.n_users, cfg.n_items, cfg.n_ratings,
-                                    cfg.true_rank, cfg.noise, cfg.seed)
+        if cfg.synthetic_mode == "calibrated":
+            from ycnr_tpu.data.synthetic import synthetic_ratings_calibrated
+
+            u, i, r = synthetic_ratings_calibrated(
+                cfg.n_users, cfg.n_items, cfg.n_ratings, cfg.true_rank,
+                cfg.noise, cfg.seed)
+        elif cfg.synthetic_mode == "planted":
+            u, i, r = synthetic_ratings(cfg.n_users, cfg.n_items,
+                                        cfg.n_ratings, cfg.true_rank,
+                                        cfg.noise, cfg.seed)
+        else:
+            raise ValueError(
+                f"synthetic_mode must be 'planted' or 'calibrated', got "
+                f"{cfg.synthetic_mode!r}")
         # synthetic "time" = stream order (deterministic, monotone)
         ts = np.arange(len(r), dtype=np.int64) if want_ts else None
         return u, i, r, cfg.n_users, cfg.n_items, ts

@@ -102,3 +102,121 @@ def synthetic_ratings(
     if rating_levels:
         r = np.clip(np.round(r * 2) / 2, 0.5, 5.0)
     return u.astype(np.int32), i.astype(np.int32), r.astype(np.float32)
+
+
+# Published ML-20M rating-value marginals (GroupLens dataset summary),
+# recalled from memory to ~0.5% absolute — the closest achievable stand-in
+# while the environment has no network (SURVEY.md §0); replace with the
+# measured histogram the moment a real ratings.csv is available. Mean 3.53;
+# whole-star spikes (3.0/4.0/5.0 carry 64%) are the signature real-data
+# structure the planted tanh squash cannot produce.
+ML20M_RATING_HIST = {
+    0.5: 0.0120, 1.0: 0.0340, 1.5: 0.0140, 2.0: 0.0716, 2.5: 0.0442,
+    3.0: 0.2146, 3.5: 0.1100, 4.0: 0.2780, 4.5: 0.0767, 5.0: 0.1449,
+}
+
+
+def synthetic_ratings_calibrated(
+    n_users: int,
+    n_items: int,
+    n_ratings: int,
+    true_rank: int = 8,
+    noise: float = 0.25,
+    seed: int = 0,
+    min_degree: int = 20,
+    item_exponent: float = 0.9,
+    rating_hist: dict | None = None,
+):
+    """Planted-model ratings calibrated to published ML-20M marginals.
+
+    Differences vs ``synthetic_ratings`` (VERDICT round 2 item 9):
+
+    - **Rating histogram**: raw planted scores are QUANTILE-MAPPED onto
+      ``rating_hist`` (default ``ML20M_RATING_HIST``), so the value
+      marginal matches the published ML-20M distribution exactly (up to
+      rounding) while the planted low-rank ORDER structure — what the
+      trainers actually learn — is preserved. The base generator's tanh
+      squash compresses to (1.5, 4.5) and never emits the whole-star
+      spikes that dominate real data.
+    - **User degrees**: drawn from a Pareto tail with the dataset's
+      ``min_degree`` floor (ML-20M filters users to >= 20 ratings), scaled
+      to hit ``n_ratings`` — so user degree is exact-by-construction
+      (modulo per-user dedup), not a Zipf-collision byproduct.
+    - **Item popularity**: inverse-CDF Zipf with ``item_exponent`` (~0.9
+      fits the published ML-20M item-degree tail better than 1.0).
+
+    Returns (u, i, r) COO like the base generator. Deterministic in
+    ``seed``. Duplicate (u, i) pairs are redrawn once, then dropped, so a
+    heavy user's realized degree can fall slightly below target.
+    """
+    rng = np.random.default_rng(seed)
+    hist = ML20M_RATING_HIST if rating_hist is None else rating_hist
+    mean_deg = n_ratings / n_users
+    xm = min(min_degree, max(1, int(0.6 * mean_deg)))
+    # Pareto(xm, alpha) mean = alpha*xm/(alpha-1) -> alpha for the target
+    # mean; alpha <= 1 (mean <= xm) degenerates to the constant floor
+    alpha = mean_deg / (mean_deg - xm) if mean_deg > xm * 1.01 else 50.0
+    deg = xm * (1.0 + rng.pareto(alpha, n_users))
+    deg = np.minimum(deg, n_items)  # can't rate more distinct items
+    # scale to the exact total (largest-remainder rounding), keep the floor
+    deg *= n_ratings / deg.sum()
+    deg = np.maximum(deg, min(xm, n_items)).astype(np.int64)
+    short = n_ratings - int(deg.sum())
+    if short > 0:  # spread the remainder over random users with headroom
+        room = np.flatnonzero(deg < n_items)
+        add = rng.choice(room, min(short, len(room)), replace=False)
+        deg[add] += 1
+    elif short < 0:
+        room = np.flatnonzero(deg > xm)
+        cut = rng.choice(room, min(-short, len(room)), replace=False)
+        deg[cut] -= 1
+    u = np.repeat(np.arange(n_users, dtype=np.int64), deg)
+
+    if item_exponent <= 0:
+        p = np.full(n_items, 1.0 / n_items)
+    else:
+        p = 1.0 / np.arange(1, n_items + 1, dtype=np.float64) ** item_exponent
+        rng.shuffle(p)
+    ci = np.cumsum(p)
+    ci /= ci[-1]
+    i = np.searchsorted(ci, rng.random(len(u))).astype(np.int64)
+    # per-user dedup: redraw collided rows (hot user x hot item pairs
+    # collide persistently on dense grids), then drop what remains
+    for _ in range(8):
+        key = u * n_items + i
+        srt = np.argsort(key, kind="stable")
+        dup_s = np.zeros(len(key), bool)
+        dup_s[1:] = key[srt][1:] == key[srt][:-1]
+        dup = np.zeros(len(key), bool)
+        dup[srt] = dup_s
+        if not dup.any():
+            break
+        i[dup] = np.searchsorted(ci, rng.random(int(dup.sum())))
+    keep = ~dup
+    u, i = u[keep], i[keep]
+
+    P = rng.normal(0, 1.0 / np.sqrt(true_rank),
+                   (n_users, true_rank)).astype(np.float32)
+    Q = rng.normal(0, 1.0 / np.sqrt(true_rank),
+                   (n_items, true_rank)).astype(np.float32)
+    raw = np.empty(len(u), np.float32)
+    for s in range(0, len(u), 4_000_000):
+        e = min(s + 4_000_000, len(u))
+        raw[s:e] = np.einsum("nk,nk->n", P[u[s:e]], Q[i[s:e]])
+        raw[s:e] += noise * rng.standard_normal(e - s, dtype=np.float32)
+    # quantile map: rank the raw scores, hand the lowest-ranked block to
+    # the lowest star level with the published proportion, and so on —
+    # the marginal becomes the target histogram exactly (largest-remainder
+    # rounding), the planted ordering survives untouched
+    levels = np.array(sorted(hist), np.float32)
+    props = np.array([hist[float(v)] for v in levels], np.float64)
+    props /= props.sum()
+    n = len(raw)
+    counts = np.floor(props * n).astype(np.int64)
+    rem = n - counts.sum()
+    if rem > 0:  # largest fractional remainders absorb the rounding gap
+        frac = props * n - np.floor(props * n)
+        counts[np.argsort(-frac)[:rem]] += 1
+    r = np.empty(n, np.float32)
+    r[np.argsort(raw, kind="stable")] = np.repeat(levels, counts)
+    return u.astype(np.int32), i.astype(np.int32), r
