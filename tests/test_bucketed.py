@@ -172,3 +172,30 @@ def test_fused_epochs_match_sequential():
         assert empty == ()
         np.testing.assert_allclose(np.asarray(rt2), np.asarray(rt),
                                    rtol=1e-6)
+
+
+def test_geometry_lockstep_with_builder():
+    """bucketed_geometry(counts) must predict build_bucketed's block shapes
+    exactly — the first-epoch program warm (train/loop.py) compiles on
+    zero layouts of these shapes and relies on the jit cache key matching
+    the real layout's."""
+    from ycnr_tpu.models.bucketed_phase import zero_bucketed
+    from ycnr_tpu.ops.bucketed import bucketed_geometry
+
+    for seed, nu, ni, nnz in ((0, 60, 45, 2500), (3, 700, 300, 30_000),
+                              (7, 40, 500_000, 1000)):
+        u, i, r = synthetic_ratings(nu, ni, nnz, true_rank=4, seed=seed)
+        for kw in (dict(), dict(max_groups=4),
+                   dict(max_groups=8, target_bytes=1 << 18, rank_hint=16)):
+            lay = build_bucketed(u, i, r, nu, ni, **kw)
+            counts = np.bincount(np.asarray(u), minlength=nu)
+            geo = bucketed_geometry(
+                counts, kw.get("rank_hint", 64),
+                target_bytes=kw.get("target_bytes", 192 * 2**20),
+                max_groups=kw.get("max_groups", 16))
+            got = [(g.rows,) + tuple(g.entity_ids.shape) for g in lay]
+            assert got == [(R, nb, ne_b) for R, nb, ne_b in geo]
+            z = zero_bucketed(geo, nu, ni)
+            for zg, lg in zip(z, lay):
+                assert zg.other_idx.shape == lg.other_idx.shape
+                assert zg.entity_ids.shape == lg.entity_ids.shape

@@ -107,3 +107,23 @@ def test_train_fused_epochs_matches_per_epoch(tmp_path):
                for r in records)
     assert os.path.exists(os.path.join(res_f.out_dir, "ckpt",
                                        "manifest.json"))
+
+
+def test_warm_program_overlap(tmp_path, monkeypatch):
+    """The background program warm (first-epoch wall attack) must compile
+    on shapes that match the real layout bit for bit, and training results
+    must be unchanged by it. Covers the plain and fused epoch paths."""
+    import ycnr_tpu.train.loop as loop_mod
+
+    base = train(_cfg(tmp_path / "off"))  # warm disabled (nnz below gate)
+    monkeypatch.setattr(loop_mod, "_WARM_MIN_NNZ", 0)
+    for sub, fused in (("on", 1), ("fused", 3)):
+        cfg = _cfg(tmp_path / sub)
+        if fused > 1:
+            cfg = cfg.replace(fused_epochs=fused)
+        res = train(cfg)
+        assert np.allclose(res.rmse_history, base.rmse_history, atol=1e-6)
+        records = [json.loads(x) for x in
+                   open(os.path.join(res.out_dir, "metrics.jsonl"))]
+        done = [r for r in records if r.get("event") == "warm_program_done"]
+        assert len(done) == 1 and done[0]["shapes_match"] is True

@@ -1,0 +1,352 @@
+"""Out-of-core (host-streamed) training benchmark — docs/KERNELS.md
+"Out-of-core streaming", BASELINE.md OOC rows.
+
+Measures the VERDICT round-2 item-1 done-criteria on the real chip:
+  * resident vs OOC epoch time where both fit (--scale netflix --compare),
+  * a beyond-HBM run (--scale b1: ~1e9 ratings, 10M users x 200k items)
+    with the HBM watermark documented (factors + in-flight wire blocks
+    only — the full rating layout never resides on device),
+  * the wire-speed probe that anchors the transfer-bound perf model.
+
+The reference streams ratings from PostgreSQL in bounded portions
+(SURVEY.md §1 L1->L5, §5 long-context, C7 [B:5]); models/ooc.py is the
+TPU-native analog (bounds HBM, not host RAM). This tool produces the
+numbers; the math parity is pinned in tests/test_ooc.py.
+
+Run on the TPU host:
+    python tools/bench_ooc.py --scale netflix --compare
+    python tools/bench_ooc.py --scale b1 --epochs 2
+Prints one JSON object per measurement to stdout; diagnostics to stderr.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # repo-root bench.py: shared artifact cache helpers
+from bench import _cache_path, _code_hash, _load_npz, _save_npz, log
+
+SCALES = {
+    # name: (n_users, n_items, n_ratings)  — netflix/ml20m match bench.py
+    "ml20m": (138_493, 26_744, 20_000_263),
+    "netflix": (480_189, 17_770, 100_480_507),
+    "b1": (10_000_000, 200_000, 1_000_000_000),
+    "smoke": (700, 300, 30_000),  # CPU correctness pass for this tool
+}
+
+
+def _packed_dir(tag: str) -> str:
+    d = os.environ.get("YCNR_BENCH_CACHE",
+                       f"/tmp/ycnr_bench_cache.{os.getuid()}")
+    return os.path.join(d, f"packed_{tag}")
+
+
+def save_packed(groups, d: str, nnz: int):
+    """Persist a PackedCSR as one .npy per array + meta.json. Arrays that
+    are already memmaps under d (the b1 build path) are left in place."""
+    os.makedirs(d, exist_ok=True)
+    meta = {"n_groups": len(groups), "nnz": nnz, "groups": []}
+    for gi, g in enumerate(groups):
+        meta["groups"].append({"R": g.R, "n_other": g.n_other,
+                               "rating_kind": g.rating_kind})
+        for name in ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid"):
+            arr = getattr(g, name)
+            fp = os.path.join(d, f"g{gi}.{name}.npy")
+            if isinstance(arr, np.memmap) and \
+                    os.path.abspath(getattr(arr, "filename", "")) == \
+                    os.path.abspath(fp):
+                arr.flush()
+                continue
+            np.save(fp + ".tmp.npy", np.asarray(arr))
+            os.replace(fp + ".tmp.npy", fp)
+    with open(os.path.join(d, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(os.path.join(d, "meta.json.tmp"),
+               os.path.join(d, "meta.json"))
+
+
+def load_packed(d: str):
+    from ycnr_tpu.ops.packed import PackedGroup
+
+    mp = os.path.join(d, "meta.json")
+    if not os.path.exists(mp):
+        return None, 0
+    try:
+        with open(mp) as f:
+            meta = json.load(f)
+        groups = []
+        for gi, gm in enumerate(meta["groups"]):
+            arrs = {name: np.load(os.path.join(d, f"g{gi}.{name}.npy"),
+                                  mmap_mode="r")
+                    for name in ("lo", "hi_pos", "hi_val", "rat", "cnt",
+                                 "eid")}
+            groups.append(PackedGroup(R=gm["R"], n_other=gm["n_other"],
+                                      rating_kind=gm["rating_kind"],
+                                      **arrs))
+        return tuple(groups), int(meta["nnz"])
+    except Exception as e:
+        log(f"packed cache load failed ({e}); rebuilding")
+        return None, 0
+
+
+def wire_probe():
+    """Measured host->device wire speed for the two entropy extremes the
+    packed format ships (u16 deltas compress; int8 noise does not)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for name, arr in (
+        ("u16_deltas", rng.integers(0, 40, 1 << 24).astype(np.uint16)),
+        ("i8_noise", rng.integers(-128, 128, 1 << 25).astype(np.int8)),
+        ("f32_noise", rng.random(1 << 23, dtype=np.float32)),
+    ):
+        jax.device_put(arr[: 1 << 16]).block_until_ready()  # warm path
+        t0 = time.time()
+        jax.device_put(arr).block_until_ready()
+        dt = time.time() - t0
+        out[name] = round(arr.nbytes / dt / 2**20, 1)
+    return out
+
+
+def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0):
+    """Deterministic portion stream for the beyond-HBM run: power-law-ish
+    popularity via squared uniforms (cheap at 1e9 on one vCPU — the
+    inverse-CDF zipf of data/synthetic.py costs ~3x more), ratings from a
+    planted bias model so ALS has real structure to fit. Duplicate (u,i)
+    pairs are allowed (extra rating rows — same ALS math), matching what
+    a portioned DB SELECT without global dedup would ship."""
+    n_port = -(-n_ratings // portion)
+    # planted biases (regenerated per call — deterministic in seed)
+    rb = np.random.default_rng(seed + 10_007)
+    bu = rb.normal(0.0, 0.5, n_users).astype(np.float32)
+    bi = rb.normal(0.0, 0.5, n_items).astype(np.float32)
+    for p in range(n_port):
+        rng = np.random.default_rng(seed + p)
+        m = min(portion, n_ratings - p * portion)
+        u = (rng.random(m) ** 2 * n_users).astype(np.int64)
+        i = (rng.random(m) ** 2 * n_items).astype(np.int64)
+        r = 3.5 + bu[u] + bi[i] + rng.normal(0.0, 0.4, m).astype(np.float32)
+        r = np.clip(np.round(r * 2.0), 1, 10).astype(np.float32) * 0.5
+        yield u, i.astype(np.int64), r
+        del u, i, r
+
+
+def get_coo(scale, seed=0):
+    """ml20m/netflix COO via bench.py's shared cache (same tag -> the
+    blob bench.py already built is reused, and vice versa)."""
+    import ycnr_tpu.data.split as _split_mod
+    import ycnr_tpu.data.synthetic as _synth_mod
+    from ycnr_tpu.data.split import train_test_split
+    from ycnr_tpu.data.synthetic import synthetic_ratings
+
+    nu, ni, nr = SCALES[scale]
+    tag = (f"coo_{nu}x{ni}x{nr}_s{seed}"
+           f"_{_code_hash(_synth_mod, _split_mod)}")
+    path = _cache_path(tag)
+    z = _load_npz(path)
+    if z is not None:
+        log(f"data cache hit {path}")
+        return z["tu"], z["ti"], z["tr"], nu, ni
+    t0 = time.time()
+    u, i, r = synthetic_ratings(nu, ni, nr, true_rank=16, noise=0.3,
+                                seed=seed)
+    (tu, ti, tr), (su, si, sr) = train_test_split(u, i, r, 0.05, seed)
+    log(f"data gen: {len(r):,} ratings in {time.time() - t0:.0f}s")
+    _save_npz(path, {"tu": tu, "ti": ti, "tr": tr,
+                     "su": su, "si": si, "sr": sr})
+    return tu, ti, tr, nu, ni
+
+
+def time_epochs(step, state, epochs, label):
+    import jax
+
+    times = []
+    for ep in range(epochs):
+        t0 = time.time()
+        state = step(state)
+        jax.block_until_ready(state.U)
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"{label} epoch {ep}: {dt:.3f}s")
+    steady = min(times[1:]) if len(times) > 1 else times[0]
+    return state, {"first_s": round(times[0], 3),
+                   "steady_s": round(steady, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=list(SCALES), default="netflix")
+    ap.add_argument("--algo", choices=["als", "ials"], default="als")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--rank", type=int, default=64)
+    ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--compare", action="store_true",
+                    help="also time the resident bucketed epoch")
+    ap.add_argument("--probe", action="store_true",
+                    help="only run the wire-speed probe")
+    ap.add_argument("--target-mb", type=int, default=192,
+                    help="wire block target size (decoded MB)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models.base import init_state
+    from ycnr_tpu.models.ooc import (als_epoch_ooc, device_hbm_stats,
+                                     ials_epoch_ooc)
+    from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
+                                     packed_stats)
+    import ycnr_tpu.ops.packed as _packed_mod
+
+    log(f"devices: {jax.devices()}")
+    result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
+              "wire_MBps": wire_probe()}
+    log(f"wire probe: {result['wire_MBps']}")
+    if args.probe:
+        print(json.dumps(result))
+        return
+
+    nu, ni, nr = SCALES[args.scale]
+    lam, alpha = 0.05, 40.0
+    kw = dict(rank_hint=args.rank,
+              target_bytes=args.target_mb * 2**20, max_groups=args.groups)
+
+    if args.scale == "b1":
+        tag = (f"b1_{nu}x{ni}x{nr}_g{args.groups}_t{args.target_mb}"
+               f"_{_code_hash(_packed_mod)}")
+        d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
+        ug, nnz_u = load_packed(d_u)
+        ig, nnz_i = load_packed(d_i)
+        nnz = nnz_u
+        if ug is None or ig is None:
+            nnz = nr  # b1_portions ships exactly n_ratings (no dedup)
+            for view, d in (("entity", d_u), ("other", d_i)):
+                t0 = time.time()
+                n_e, n_o = (nu, ni) if view == "entity" else (ni, nu)
+                g = build_packed_stream(
+                    b1_portions(nu, ni, nr), n_e, n_o,
+                    portions2=b1_portions(nu, ni, nr),
+                    out_dir=os.path.join(d, "wire"), view=view, **kw)
+                save_packed(g, d, nnz)
+                log(f"{view} wire built in {time.time() - t0:.0f}s: "
+                    f"{packed_stats(g, nnz)}")
+                del g
+                # the builder's intermediates under wire/ are superseded
+                # by save_packed's canonical copies — reclaim the disk
+                import shutil
+                shutil.rmtree(os.path.join(d, "wire"), ignore_errors=True)
+            ug, _ = load_packed(d_u)
+            ig, _ = load_packed(d_i)
+        st_u = packed_stats(ug, nnz)
+        st_i = packed_stats(ig, nnz)
+    else:
+        tu, ti, tr, nu, ni = get_coo(args.scale)
+        nnz = len(tr)
+        tag = (f"{args.scale}_{nnz}_g{args.groups}_t{args.target_mb}"
+               f"_{_code_hash(_packed_mod)}")
+        d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
+        ug, _ = load_packed(d_u)
+        ig, _ = load_packed(d_i)
+        if ug is None or ig is None:
+            t0 = time.time()
+            ug = build_packed(tu, ti, tr, nu, ni, **kw)
+            ig = build_packed(ti, tu, tr, ni, nu, **kw)
+            log(f"wire built in {time.time() - t0:.0f}s")
+            save_packed(ug, d_u, nnz)
+            save_packed(ig, d_i, nnz)
+        st_u = packed_stats(ug, nnz)
+        st_i = packed_stats(ig, nnz)
+    log(f"user wire: {st_u}")
+    log(f"item wire: {st_i}")
+    wire_mb = (st_u["wire_bytes"] + st_i["wire_bytes"]) / 2**20
+    result.update(nnz=nnz, n_users=nu, n_items=ni,
+                  wire_mb_per_epoch=round(wire_mb, 1),
+                  wire_bytes_per_rating=round(
+                      (st_u["wire_bytes"] + st_i["wire_bytes"]) / nnz, 2))
+
+    hbm0 = device_hbm_stats()
+    state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
+    jax.block_until_ready(state.U)
+
+    if args.algo == "ials":
+        def ooc_step(s):
+            return ials_epoch_ooc(s, ug, ig, lam, alpha, gather_bf16=True,
+                                  prefetch=args.prefetch)
+    else:
+        def ooc_step(s):
+            return als_epoch_ooc(s, ug, ig, lam, gather_bf16=True,
+                                 prefetch=args.prefetch)
+
+    state, t_ooc = time_epochs(ooc_step, state, args.epochs, "ooc")
+    hbm1 = device_hbm_stats()
+    result["ooc"] = t_ooc
+    result["ooc"]["wire_MBps_effective"] = round(
+        wire_mb / t_ooc["steady_s"], 1)
+    result["hbm"] = {"before": hbm0, "after_peak": hbm1}
+    if hbm1:
+        result["hbm"]["peak_gb"] = round(
+            hbm1.get("peak_bytes_in_use", 0) / 2**30, 2)
+        result["hbm"]["limit_gb"] = round(
+            hbm1.get("bytes_limit", 0) / 2**30, 2)
+    del state
+
+    if args.compare:
+        from ycnr_tpu.models.bucketed_phase import (als_epoch_bucketed,
+                                                    device_bucketed,
+                                                    ials_epoch_bucketed)
+        from ycnr_tpu.ops.bucketed import build_bucketed
+        import ycnr_tpu.data.split as _split_mod
+        import ycnr_tpu.data.synthetic as _synth_mod
+        import ycnr_tpu.ops.bucketed as _bucketed_mod
+
+        # same key scheme as bench.py so the blob is shared with it
+        lp = _cache_path(
+            f"lay_{nu}x{ni}x{SCALES[args.scale][2]}_s0"
+            f"_{_code_hash(_synth_mod, _split_mod)}"
+            f"_c32_r{args.rank}_bucketed_g{args.groups}"
+            f"_{_code_hash(_bucketed_mod)}")
+        lz = _load_npz(lp)
+        if lz is not None:
+            ul = bench._unflatten_layout("ul", lz)
+            il = bench._unflatten_layout("il", lz)
+            log(f"resident layout cache hit {lp}")
+        else:
+            t0 = time.time()
+            ul = build_bucketed(tu, ti, tr, nu, ni, 32, args.rank,
+                                max_groups=args.groups)
+            il = build_bucketed(ti, tu, tr, ni, nu, 32, args.rank,
+                                max_groups=args.groups)
+            log(f"resident layouts: {time.time() - t0:.0f}s")
+            blob = {}
+            bench._flatten_layout("ul", ul, blob)
+            bench._flatten_layout("il", il, blob)
+            _save_npz(lp, blob)
+        dul, dil = device_bucketed(ul), device_bucketed(il)
+        state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
+        jax.block_until_ready(state.U)
+        if args.algo == "ials":
+            def res_step(s):
+                return ials_epoch_bucketed(s, dul, dil, lam, alpha,
+                                           gather_bf16=True)
+        else:
+            def res_step(s):
+                return als_epoch_bucketed(s, dul, dil, lam,
+                                          gather_bf16=True)
+        state, t_res = time_epochs(res_step, state, args.epochs,
+                                   "resident")
+        result["resident"] = t_res
+        result["ooc_vs_resident"] = round(
+            t_ooc["steady_s"] / t_res["steady_s"], 2)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,25 @@ def device_bucketed(groups, dtype=jnp.float32) -> BucketedCSR:
         for g in groups)
 
 
+def zero_bucketed(geometry, n_entities: int, n_other: int,
+                  dtype=jnp.float32) -> BucketedCSR:
+    """All-padding device layout with the exact shapes build_bucketed will
+    produce (geometry = ops.bucketed.bucketed_geometry(counts, ...)).
+
+    Used to warm the epoch program (compile + remote upload) BEFORE the
+    real layout contents finish packing on the host — the shapes are the
+    jit cache key, so the warmed executable is the one the real epoch
+    reuses. Every slot is padding (other_idx -> the zero trash row,
+    entity_ids -> the trash entity, cnt 0), so executing an epoch on it is
+    a well-defined no-op-shaped run."""
+    return tuple(
+        BucketGroup(jnp.full((nb, ne_b, R), n_other, jnp.int32),
+                    jnp.zeros((nb, ne_b, R), dtype),
+                    jnp.full((nb, ne_b), n_entities, jnp.int32),
+                    jnp.zeros((nb, ne_b), dtype))
+        for R, nb, ne_b in geometry)
+
+
 def bucket_solve_rows(Fg: jnp.ndarray, rr: jnp.ndarray, cnt: jnp.ndarray,
                       lam, alpha, base_gram, acc_t,
                       gather_bf16: bool) -> jnp.ndarray:

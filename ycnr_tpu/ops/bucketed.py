@@ -99,6 +99,41 @@ def _dp_rungs(active_counts: np.ndarray, max_groups: int,
     return heights[np.searchsorted(heights, active_counts)]
 
 
+def bucketed_geometry(counts: np.ndarray, rank_hint: int = 64,
+                      target_bytes: int = 192 * 2**20,
+                      max_groups: int = 16) -> list:
+    """[(R, nb, ne_b)] per group — the exact block shapes build_bucketed
+    will produce for a dataset with these per-entity rating counts.
+
+    Split out so the first-epoch wall can be attacked (docs/KERNELS.md):
+    counts come from one bincount over the COO (seconds), which means the
+    epoch program's full argument SHAPES are known minutes before the
+    layout contents are packed — train/loop.py warms the compile + remote
+    program upload on zero-filled arrays of these shapes concurrently
+    with the host-side pack. MUST stay in lockstep with build_bucketed
+    (which calls it; tests/test_bucketed.py pins shape agreement).
+    """
+    counts = np.asarray(counts, np.int64)
+    active_counts = counts[counts > 0]
+    rung = _dp_rungs(active_counts, max_groups)
+    return [(int(p),) + _group_shape(int(p), int((rung == p).sum()),
+                                     rank_hint, target_bytes)
+            for p in np.unique(rung)]
+
+
+def _group_shape(R: int, n_e: int, rank_hint: int,
+                 target_bytes: int) -> tuple:
+    """(nb, ne_b): blocks sized for ~target_bytes of gathered [NE_b, R, k]
+    fp32, BALANCED across the group (a fixed block size would leave the
+    last block mostly dummy entities — measured as the main fill loss).
+    The single copy of this arithmetic — build_bucketed and
+    bucketed_geometry must agree bit for bit."""
+    ne_target = max(8, target_bytes // (R * rank_hint * 4))
+    nb = max(1, -(-n_e // ne_target))
+    ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)  # ceil(n_e/nb) to mult of 8
+    return nb, ne_b
+
+
 def build_bucketed(
     entity_idx, other_idx, rating, n_entities: int, n_other: int,
     chunk_len: int = 32, rank_hint: int = 64,
@@ -147,12 +182,7 @@ def build_bucketed(
         ents = active[rung == p]
         R = int(p)
         n_e = len(ents)
-        # blocks sized for ~target_bytes of gathered [NE_b, R, k] fp32, but
-        # BALANCED across the group (a fixed block size would leave the last
-        # block mostly dummy entities — measured as the main fill loss)
-        ne_target = max(8, target_bytes // (R * rank_hint * 4))
-        nb = max(1, -(-n_e // ne_target))
-        ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)  # ceil(n_e/nb) to mult of 8
+        nb, ne_b = _group_shape(R, n_e, rank_hint, target_bytes)
 
         oi = np.full((nb * ne_b, R), n_other, np.int32)
         rr = np.zeros((nb * ne_b, R), np.float32)

@@ -34,6 +34,12 @@ from ycnr_tpu.train.metrics import MetricsLogger
 from ycnr_tpu.utils.profiling import device_sync
 
 
+# below this the layout packs in seconds and warming would only add a
+# throwaway epoch execution; tests patch it to 0 (and ops can force it
+# either way via the env var) to exercise the path
+_WARM_MIN_NNZ = int(os.environ.get("YCNR_WARM_MIN_NNZ", 2_000_000))
+
+
 @dataclass
 class TrainResult:
     state: MFState
@@ -149,6 +155,21 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         dqu, dqi, dqr = jnp.asarray(qu), jnp.asarray(qi), jnp.asarray(qr)
 
     dul = dil = sgd_data = trainer = None
+    warm = None
+    if (cfg.algorithm in ("als", "ials") and not cfg.ooc
+            and len(ds.train_r) >= _WARM_MIN_NNZ):
+        # first-epoch wall attack (docs/KERNELS.md): the epoch program's
+        # argument SHAPES follow from one bincount, so compile + remote
+        # program upload (minutes on a tunneled TPU, ∝ executable size)
+        # can run on zero-filled layouts in a background thread WHILE the
+        # host packs the real layout below — the jit cache key is shapes,
+        # so the warmed executable is the one the real first epoch reuses
+        warm = _warm_epoch_program(
+            cfg, ds, params, dtype, start_epoch,
+            test_coo=(dpu, dpi, dpr, jnp.asarray(n_test)),
+            train_coo=((dqu, dqi, dqr, jnp.asarray(n_train))
+                       if cfg.log_train_rmse else None),
+            n_test_int=n_test)
     if cfg.algorithm in ("als", "ials"):
         if cfg.ooc:
             # out-of-core: wire-format layouts stay on host, blocks stream
@@ -219,6 +240,9 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         als_epoch_bucketed,
         ials_epoch_bucketed,
     )
+
+    if warm is not None:
+        _join_warm(warm, dul, dil, metrics)
 
     shm_writer = _shm_writer(cfg, state)
     if cfg.fused_epochs > 1 and cfg.algorithm in ("als", "ials") \
@@ -322,6 +346,119 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         _log_serving_metric(cfg, ds, state, metrics)
     return TrainResult(state=state, dataset=ds, rmse_history=history,
                        out_dir=out)
+
+
+class _WarmHandle:
+    """Background compile+upload of the epoch program (first-epoch wall).
+
+    Holds the thread plus what the mismatch check needs: the geometry the
+    dummy layouts were built from. err carries a failed warm's exception —
+    warming is best-effort; the real first epoch then pays the wall as
+    before, nothing is lost but the overlap."""
+
+    def __init__(self, thread, geo_u, geo_i, t0):
+        self.thread = thread
+        self.geo_u = geo_u
+        self.geo_i = geo_i
+        self.t0 = t0
+        self.err = None
+
+
+def _warm_epoch_program(cfg, ds, params, dtype, start_epoch, test_coo,
+                        train_coo, n_test_int):
+    """Start compiling + uploading the ALS/iALS epoch program on
+    zero-filled layouts of the REAL layout's shapes, in a thread, so the
+    remote program upload (∝ executable size, minutes at scale through
+    the axon tunnel — docs/KERNELS.md "first-epoch wall") overlaps the
+    host-side layout pack instead of following it."""
+    import threading
+
+    from ycnr_tpu.models.bucketed_phase import (
+        als_epoch_bucketed,
+        als_epochs_bucketed,
+        ials_epoch_bucketed,
+        ials_epochs_bucketed,
+        zero_bucketed,
+    )
+    from ycnr_tpu.ops.bucketed import bucketed_geometry
+
+    cu = np.bincount(np.asarray(ds.train_u), minlength=ds.n_users)
+    ci = np.bincount(np.asarray(ds.train_i), minlength=ds.n_items)
+    geo_u = bucketed_geometry(cu, params.rank,
+                              max_groups=cfg.data.max_groups)
+    geo_i = bucketed_geometry(ci, params.rank,
+                              max_groups=cfg.data.max_groups)
+    bf16 = params.gather_dtype == "bfloat16"
+    fused_k = 0
+    if cfg.fused_epochs > 1:
+        fused_k = min(cfg.fused_epochs, params.epochs - start_epoch)
+    handle = _WarmHandle(None, geo_u, geo_i, time.time())
+
+    def run():
+        try:
+            zu = zero_bucketed(geo_u, ds.n_users, ds.n_items, dtype)
+            zi = zero_bucketed(geo_i, ds.n_items, ds.n_users, dtype)
+            st = init_state(ds.n_users, ds.n_items, params.rank,
+                            seed=cfg.seed, dtype=dtype)
+            if fused_k > 1:
+                if cfg.algorithm == "als":
+                    st, _ = als_epochs_bucketed(st, zu, zi, cfg.als.lam,
+                                                fused_k, test_coo,
+                                                train_coo, gather_bf16=bf16)
+                else:
+                    st, _ = ials_epochs_bucketed(
+                        st, zu, zi, cfg.ials.lam, cfg.ials.alpha, fused_k,
+                        test_coo, train_coo, gather_bf16=bf16)
+            else:
+                if cfg.algorithm == "als":
+                    st = als_epoch_bucketed(st, zu, zi, cfg.als.lam,
+                                            gather_bf16=bf16)
+                else:
+                    st = ials_epoch_bucketed(st, zu, zi, cfg.ials.lam,
+                                             cfg.ials.alpha,
+                                             gather_bf16=bf16)
+                # the per-epoch RMSE program is a second (small) upload;
+                # n_test passes as a plain int to hit the SAME jit key as
+                # the epoch loop's call (weak-typed scalar)
+                rmse_padded_jit(st, test_coo[0], test_coo[1], test_coo[2],
+                                n_test_int)
+            device_sync(st.U)
+        except Exception as e:  # pragma: no cover - depends on backend
+            handle.err = e
+
+    print(json.dumps({"event": "warm_program",
+                      "note": "compiling + uploading epoch program in the "
+                              "background while the layout packs"}),
+          file=sys.stderr, flush=True)
+    t = threading.Thread(target=run, name="ycnr-warm-program", daemon=True)
+    handle.thread = t
+    t.start()
+    return handle
+
+
+def _join_warm(warm, dul, dil, metrics):
+    """Wait for the warm thread; verify the dummy shapes matched the real
+    layout (else the warm compiled a DIFFERENT program and the first epoch
+    recompiles — log it, it is a bug in geometry lockstep, not fatal)."""
+    warm.thread.join()
+    wall = round(time.time() - warm.t0, 1)
+    if warm.err is not None:
+        metrics.log(event="warm_program_failed", error=str(warm.err),
+                    wall_s=wall)
+        return
+    real_u = [(g.other_idx.shape[2],) + tuple(g.entity_ids.shape)
+              for g in dul]
+    real_i = [(g.other_idx.shape[2],) + tuple(g.entity_ids.shape)
+              for g in dil]
+    want_u = [(R, nb, ne_b) for R, nb, ne_b in warm.geo_u]
+    want_i = [(R, nb, ne_b) for R, nb, ne_b in warm.geo_i]
+    ok = real_u == want_u and real_i == want_i
+    metrics.log(event="warm_program_done", wall_s=wall, shapes_match=ok)
+    if not ok:
+        print(json.dumps({"event": "warm_shape_mismatch",
+                          "note": "bucketed_geometry disagreed with "
+                                  "build_bucketed; first epoch recompiles"}),
+              file=sys.stderr, flush=True)
 
 
 def _fused_epoch_blocks(cfg, ds, params, state, start_epoch, history,
