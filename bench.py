@@ -111,7 +111,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
               topn_users: int = 0, layout: str = "bucketed",
               algo: str = "als", bf16: bool = False, groups: int = 8,
-              sgd_method: str = "batched"):
+              sgd_method: str = "batched", gather_split: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -199,11 +199,13 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         if algo == "ials":
             def step(state, ep):
                 return ials_epoch_bucketed(state, dul, dil, lam, 40.0,
-                                           gather_bf16=bf16)
+                                           gather_bf16=bf16,
+                                           gather_split=gather_split)
         else:
             def step(state, ep):
                 return als_epoch_bucketed(state, dul, dil, lam,
-                                          gather_bf16=bf16)
+                                          gather_bf16=bf16,
+                                          gather_split=gather_split)
     elif algo not in ("sgd", "bpr"):
         from ycnr_tpu.models.als import als_epoch
         from ycnr_tpu.models.base import device_layout
@@ -403,6 +405,9 @@ def main():
                          "(BASELINE config 5 shape, single chip)")
     ap.add_argument("--algo", choices=["als", "ials", "sgd", "bpr"],
                     default="als")
+    ap.add_argument("--gather-split", action="store_true",
+                    help="rank>=128 probe: two half-width gathers + "
+                         "block-wise Grams (bitwise-identical math)")
     ap.add_argument("--sgd-method", choices=["batched", "stream"],
                     default="batched",
                     help="SGD epoch structure (stream = scatter-free "
@@ -470,7 +475,8 @@ def main():
                          topn_users=1 if (args.smoke or args.topn) else 0,
                          layout=args.layout, algo=args.algo,
                          bf16=args.bf16, groups=g,
-                         sgd_method=args.sgd_method)
+                         sgd_method=args.sgd_method,
+                         gather_split=args.gather_split)
 
     if args.algo == "sgd" and args.sgd_method == "stream":
         metric = metric.replace("sgd", "sgd-stream", 1)

@@ -199,3 +199,29 @@ def test_geometry_lockstep_with_builder():
             for zg, lg in zip(z, lay):
                 assert zg.other_idx.shape == lg.other_idx.shape
                 assert zg.entity_ids.shape == lg.entity_ids.shape
+
+
+def test_gather_split_bitwise():
+    """Split-gather phases (rank-128 probe) must reproduce the unsplit
+    normal equations: same math, block-assembled (XLA's einsum blocking
+    differs across shapes, so equality is f64-reduction-order tight, not
+    bitwise). ALS and iALS."""
+    tu, ti, tr, U0, V0, nu, ni = _setup(k=8)
+    lay_u = build_bucketed(tu, ti, tr, nu, ni, 8, 8, max_groups=4)
+    lay_i = build_bucketed(ti, tu, tr, ni, nu, 8, 8, max_groups=4)
+    dul = device_bucketed(lay_u, jnp.float64)
+    dil = device_bucketed(lay_i, jnp.float64)
+    for fn, kw in ((als_epoch_bucketed, {}),
+                   (ials_epoch_bucketed, {"alpha": 40.0})):
+        s0 = state_from_numpy(U0, V0, dtype=jnp.float64)
+        s1 = state_from_numpy(U0, V0, dtype=jnp.float64)
+        if kw:
+            a = fn(s0, dul, dil, 0.05, kw["alpha"])
+            b = fn(s1, dul, dil, 0.05, kw["alpha"], gather_split=True)
+        else:
+            a = fn(s0, dul, dil, 0.05)
+            b = fn(s1, dul, dil, 0.05, gather_split=True)
+        assert np.allclose(np.asarray(a.U), np.asarray(b.U),
+                           rtol=1e-10, atol=1e-12)
+        assert np.allclose(np.asarray(a.V), np.asarray(b.V),
+                           rtol=1e-10, atol=1e-12)

@@ -81,25 +81,86 @@ def bucket_solve_rows(Fg: jnp.ndarray, rr: jnp.ndarray, cnt: jnp.ndarray,
     return guarded_batched_solve(A, b, reg)
 
 
+def bucket_solve_rows_split(Flo, Fhi, rr, cnt, lam, alpha, base_gram,
+                            acc_t, gather_bf16) -> jnp.ndarray:
+    """bucket_solve_rows on HALF-WIDTH gathered factors (rank >= 128).
+
+    The Gram comes out block-wise (A11 = lo'lo, A12 = lo'hi, A22 = hi'hi)
+    — the same per-element sums over R as the full-width einsum up to
+    XLA's shape-dependent reduction blocking, so the assembled normal
+    equations match the unsplit path's to f64 reduction-order tightness
+    (pinned in tests/test_bucketed.py). Exists to measure whether two
+    width-h gathers beat one width-2h gather (VERDICT round-2 item 4;
+    tools/bench_gather128.py)."""
+    if gather_bf16:
+        rr = rr.astype(jnp.bfloat16)
+    if alpha is None:
+        w = rr
+        rhs_w = rr
+    else:
+        w = alpha * rr
+        rhs_w = (1.0 + w).astype(Flo.dtype)
+
+    def gram(a, b):
+        if alpha is None:
+            return jnp.einsum("urk,urm->ukm", a, b,
+                              preferred_element_type=acc_t)
+        return jnp.einsum("urk,ur,urm->ukm", a, w, b,
+                          preferred_element_type=acc_t)
+
+    A11, A12, A22 = gram(Flo, Flo), gram(Flo, Fhi), gram(Fhi, Fhi)
+    A = jnp.concatenate([
+        jnp.concatenate([A11, A12], axis=2),
+        jnp.concatenate([jnp.swapaxes(A12, 1, 2), A22], axis=2)], axis=1)
+    b = jnp.concatenate(
+        [jnp.einsum("urk,ur->uk", Flo, rhs_w, preferred_element_type=acc_t),
+         jnp.einsum("urk,ur->uk", Fhi, rhs_w, preferred_element_type=acc_t)],
+        axis=1)
+    if alpha is None:
+        reg = lam * cnt + (cnt == 0)
+    else:
+        A = A + base_gram[None]
+        reg = jnp.full_like(cnt, lam)
+    return guarded_batched_solve(A, b, reg)
+
+
 def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
                    lam: float, alpha: Optional[float] = None,
                    base_gram: Optional[jnp.ndarray] = None,
-                   gather_bf16: bool = False) -> jnp.ndarray:
+                   gather_bf16: bool = False,
+                   gather_split: bool = False) -> jnp.ndarray:
     """Re-solve all entity rows of E against F, one bucket group at a time.
 
     gather_bf16: gather the other factor in bfloat16 (half the HBM gather
     bytes, native MXU bf16 Grams with float32 accumulation). Costs ~1e-3
     relative accuracy on the normal equations — acceptable for the 1e-3
     RMSE class, off by default for exact-parity runs.
+
+    gather_split: gather F as two contiguous half-width tables and build
+    the Gram block-wise (bitwise the same normal equations) — the rank-128
+    gather-cost probe; requires an even k.
     """
     F_g = F.astype(jnp.bfloat16) if gather_bf16 else F
+    if gather_split and F.shape[1] % 2:
+        raise ValueError("gather_split needs an even factor width")
+    if gather_split:
+        h = F.shape[1] // 2
+        # force two standalone contiguous tables so each gather is truly
+        # width-h (a sliced view would still address 2h-strided rows)
+        F_lo = jnp.asarray(F_g[:, :h])
+        F_hi = jnp.asarray(F_g[:, h:])
     for g in groups:
 
         def body(Ec, blk):
             oi, rr, eid, cnt = blk
-            Fg = F_g[oi]  # [NE_b, R, k]
-            rows = bucket_solve_rows(Fg, rr, cnt, lam, alpha, base_gram,
-                                     E.dtype, gather_bf16)
+            if gather_split:
+                rows = bucket_solve_rows_split(
+                    F_lo[oi], F_hi[oi], rr, cnt, lam, alpha, base_gram,
+                    E.dtype, gather_bf16)
+            else:
+                Fg = F_g[oi]  # [NE_b, R, k]
+                rows = bucket_solve_rows(Fg, rr, cnt, lam, alpha,
+                                         base_gram, E.dtype, gather_bf16)
             return Ec.at[eid].set(rows.astype(Ec.dtype)), None
 
         E, _ = lax.scan(body, E, tuple(g))
@@ -107,52 +168,61 @@ def phase_bucketed(E: jnp.ndarray, F: jnp.ndarray, groups: BucketedCSR,
 
 
 def als_epoch_fn(user_groups: BucketedCSR, item_groups: BucketedCSR, lam,
-                 gather_bf16: bool = False):
+                 gather_bf16: bool = False, gather_split: bool = False):
     """state -> state one-epoch closure. ``lam`` may be a Python float or a
     TRACED scalar (phase_bucketed uses it arithmetically) — the single
     source of the ALS epoch body for the jitted wrappers, the fused
     multi-epoch programs, and the tune sweep."""
     def one(st: MFState) -> MFState:
         U = phase_bucketed(st.U, st.V, user_groups, lam,
-                           gather_bf16=gather_bf16)
+                           gather_bf16=gather_bf16,
+                           gather_split=gather_split)
         V = phase_bucketed(st.V, U, item_groups, lam,
-                           gather_bf16=gather_bf16)
+                           gather_bf16=gather_bf16,
+                           gather_split=gather_split)
         return st._replace(U=U, V=V)
 
     return one
 
 
 def ials_epoch_fn(user_groups: BucketedCSR, item_groups: BucketedCSR, lam,
-                  alpha, gather_bf16: bool = False):
+                  alpha, gather_bf16: bool = False,
+                  gather_split: bool = False):
     """iALS analog of als_epoch_fn (global base Gram per sweep side)."""
     def one(st: MFState) -> MFState:
         GV = jnp.einsum("nk,nm->km", st.V, st.V,
                         preferred_element_type=st.V.dtype)
         U = phase_bucketed(st.U, st.V, user_groups, lam, alpha, GV,
-                           gather_bf16=gather_bf16)
+                           gather_bf16=gather_bf16,
+                           gather_split=gather_split)
         GU = jnp.einsum("nk,nm->km", U, U, preferred_element_type=U.dtype)
         V = phase_bucketed(st.V, U, item_groups, lam, alpha, GU,
-                           gather_bf16=gather_bf16)
+                           gather_bf16=gather_bf16,
+                           gather_split=gather_split)
         return st._replace(U=U, V=V)
 
     return one
 
 
-@partial(jax.jit, static_argnames=("lam", "gather_bf16"),
+@partial(jax.jit, static_argnames=("lam", "gather_bf16", "gather_split"),
          donate_argnums=(0,))
 def als_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
                        item_groups: BucketedCSR, lam: float,
-                       gather_bf16: bool = False) -> MFState:
-    return als_epoch_fn(user_groups, item_groups, lam, gather_bf16)(state)
+                       gather_bf16: bool = False,
+                       gather_split: bool = False) -> MFState:
+    return als_epoch_fn(user_groups, item_groups, lam, gather_bf16,
+                        gather_split)(state)
 
 
-@partial(jax.jit, static_argnames=("lam", "alpha", "gather_bf16"),
+@partial(jax.jit, static_argnames=("lam", "alpha", "gather_bf16",
+                                   "gather_split"),
          donate_argnums=(0,))
 def ials_epoch_bucketed(state: MFState, user_groups: BucketedCSR,
                         item_groups: BucketedCSR, lam: float, alpha: float,
-                        gather_bf16: bool = False) -> MFState:
+                        gather_bf16: bool = False,
+                        gather_split: bool = False) -> MFState:
     return ials_epoch_fn(user_groups, item_groups, lam, alpha,
-                         gather_bf16)(state)
+                         gather_bf16, gather_split)(state)
 
 
 # ---------------------------------------------------------------------------
