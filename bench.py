@@ -111,7 +111,8 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
               epochs: int, chunk_len: int, seed: int = 0,
               topn_users: int = 0, layout: str = "bucketed",
               algo: str = "als", bf16: bool = False, groups: int = 8,
-              sgd_method: str = "batched", gather_split: bool = False):
+              sgd_method: str = "batched", gather_split: bool = False,
+              batch: int | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -252,7 +253,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             prepare_stream_sgd,
         )
 
-        sgd_batch = 4096 if len(tr) < 10**6 else 65536
+        sgd_batch = batch or (4096 if len(tr) < 10**6 else 65536)
         spath = _cache_path(
             f"stream_{data_tag[4:]}_b{sgd_batch}_capped"
             f"_{_code_hash(_stream_mod)}")
@@ -289,7 +290,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         # table; negatives re-drawn on device per epoch — no layouts
         from ycnr_tpu.models.bpr import BPRTrainer, prepare_bpr_data
 
-        bpr_batch = 4096 if len(tr) < 10**6 else 65536
+        bpr_batch = batch or (4096 if len(tr) < 10**6 else 65536)
         t0 = time.time()
         sgd_data = prepare_bpr_data(tu, ti, bpr_batch, n_users, n_items,
                                     shuffle_rows_seed=0)
@@ -306,7 +307,7 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
         # 3.3 analog); only the padded COO batches are needed — no layouts
         from ycnr_tpu.models.sgd import BiasedSGD, prepare_sgd_data
 
-        sgd_batch = 4096 if len(tr) < 10**6 else 65536
+        sgd_batch = batch or (4096 if len(tr) < 10**6 else 65536)
         trainer = BiasedSGD(lam=0.02, lr=0.008, lr_decay=0.95,
                             batch_size=sgd_batch, seed=seed,
                             grad_mode="mean")
@@ -408,6 +409,11 @@ def main():
     ap.add_argument("--gather-split", action="store_true",
                     help="rank>=128 probe: two half-width gathers + "
                          "block-wise Grams (bitwise-identical math)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="SGD/BPR batch size override (default 65536 at "
+                         "scale; per-row op costs sag ~1.25x at 1M — "
+                         "docs/KERNELS.md stream-BPR refutation — at a "
+                         "sequential-steps-per-epoch convergence cost)")
     ap.add_argument("--sgd-method", choices=["batched", "stream"],
                     default="batched",
                     help="SGD epoch structure (stream = scatter-free "
@@ -476,7 +482,8 @@ def main():
                          layout=args.layout, algo=args.algo,
                          bf16=args.bf16, groups=g,
                          sgd_method=args.sgd_method,
-                         gather_split=args.gather_split)
+                         gather_split=args.gather_split,
+                         batch=args.batch)
 
     if args.algo == "sgd" and args.sgd_method == "stream":
         metric = metric.replace("sgd", "sgd-stream", 1)

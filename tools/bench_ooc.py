@@ -165,12 +165,15 @@ def get_coo(scale, seed=0):
 
 def time_epochs(step, state, epochs, label):
     import jax
+    import jax.numpy as jnp
 
     times = []
     for ep in range(epochs):
         t0 = time.time()
         state = step(state)
-        jax.block_until_ready(state.U)
+        # block_until_ready lies on axon — a scalar readback is the only
+        # reliable device sync here (same as bench.py / train loop)
+        float(jax.device_get(jnp.sum(state.U)))
         dt = time.time() - t0
         times.append(dt)
         log(f"{label} epoch {ep}: {dt:.3f}s")
@@ -196,6 +199,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent XLA compile cache (same location as bench.py) so repeat
+    # invocations skip the remote AOT helper's multi-minute compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     f"/tmp/ycnr_jax_cache.{os.getuid()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from ycnr_tpu.models.base import init_state
@@ -342,8 +353,9 @@ def main():
         state, t_res = time_epochs(res_step, state, args.epochs,
                                    "resident")
         result["resident"] = t_res
-        result["ooc_vs_resident"] = round(
-            t_ooc["steady_s"] / t_res["steady_s"], 2)
+        result["ooc_vs_resident"] = (
+            round(t_ooc["steady_s"] / t_res["steady_s"], 2)
+            if t_res["steady_s"] > 0 else None)
 
     print(json.dumps(result))
 
