@@ -85,11 +85,24 @@ def test_lanes_variant_matches():
         np.testing.assert_allclose(xl, ref, rtol=2e-3, atol=2e-4)
 
 
-def test_large_rank_falls_back_to_panel():
-    # n=128: the lane-axis layout would need a [n, n, 128] VMEM block
-    # (8 MB + double-buffering) -> the dispatcher must fall back to the
-    # batch-first panel tiling with a VMEM-sized tile and stay correct.
+def test_rank128_routes_to_static_hbm():
+    # n=128: the lane-axis layout's [n, n, 128] block (8 MB) cannot ride
+    # the double-buffering input pipeline; the dispatcher must route to
+    # the manually-DMA'd single-buffered static kernel (static_hbm) and
+    # stay correct (rank-128 ALS is 79% solves — tools/attrib_als.py).
     A, b = _spd_batch(4, 128, seed=7)
+    x = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
+                                    interpret=True, variant="static"))
+    ref = np.linalg.solve(A.astype(np.float64),
+                          b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(x, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_huge_rank_falls_back_to_panel():
+    # n=192: the [n, n, 128] block is 18 MB — beyond VMEM even
+    # single-buffered, so the dispatcher falls back to the batch-first
+    # panel tiling with a VMEM-sized tile and stays correct.
+    A, b = _spd_batch(4, 192, seed=11)
     x = np.asarray(pallas_spd_solve(jnp.asarray(A), jnp.asarray(b),
                                     interpret=True, variant="static"))
     ref = np.linalg.solve(A.astype(np.float64),

@@ -37,7 +37,8 @@ if not hits:
     sys.exit("run `python bench.py` once first (needs its cached COO)")
 z = np.load(hits[-1])
 tu, ti, tr = z["tu"], z["ti"], z["tr"]
-NU, NI, R = 138_493, 26_744, 64
+NU, NI = 138_493, 26_744
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 64  # rank (64 default; 128 probes the solve-bound regime)
 sys.stderr.write("building layouts...\n")
 ul = device_bucketed(build_bucketed(tu, ti, tr, NU, NI, 32, R, max_groups=8))
 il = device_bucketed(build_bucketed(ti, tu, tr, NI, NU, 32, R, max_groups=8))

@@ -263,7 +263,8 @@ def _solve_kernel_lanes(a_ref, b_ref, x_ref, invd_ref, n: int,
     jax.lax.fori_loop(0, n, bwd_step, 0)
 
 
-def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16):
+def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16,
+                         mchunk: int | None = None):
     """Fully static batch-on-lanes variant (layout as _solve_kernel_lanes).
 
     Measurement showed the lanes kernel dominated by fori_loop iteration
@@ -272,6 +273,11 @@ def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16):
     updates and both substitutions are straight-line unrolled vector code
     (~700 small [n, B] ops), and only n/panel big trailing updates touch
     [*, n, B] — restricted to the statically-known remaining columns.
+
+    ``mchunk`` bounds the trailing update's [rest, n, B] temporaries to
+    [mchunk, n, B] slabs (needed at n=128 where a full-rest slab is ~7 MB
+    of VMEM temporaries; per-element accumulation order is unchanged, so
+    chunking is numerically identical).
     """
     assert n % panel == 0
     rowv = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # [n, 1]
@@ -293,13 +299,17 @@ def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16):
         rest = n - jp - panel
         if rest == 0:
             break
-        # trailing update only on the statically-known remaining columns
-        upd = None
-        for jj in range(panel):
-            c = pcols[jj]
-            term = c[jp + panel :, :][:, None, :] * c[None, :, :]
-            upd = term if upd is None else upd + term
-        a_ref[jp + panel :, :, :] = a_ref[jp + panel :, :, :] - upd
+        # trailing update only on the statically-known remaining columns,
+        # in slabs of mchunk target columns
+        mc = rest if mchunk is None else mchunk
+        for m0 in range(jp + panel, n, mc):
+            m1 = min(m0 + mc, n)
+            upd = None
+            for jj in range(panel):
+                c = pcols[jj]
+                term = c[m0:m1, :][:, None, :] * c[None, :, :]
+                upd = term if upd is None else upd + term
+            a_ref[m0:m1, :, :] = a_ref[m0:m1, :, :] - upd
 
     # forward substitution: L y = b (all static steps)
     acc = b_ref[:]
@@ -316,6 +326,28 @@ def _solve_kernel_static(a_ref, b_ref, x_ref, n: int, panel: int = 16):
         acc = acc - jnp.where(rowv < j, lrow, 0.0) * xj[None, :]
         acc = jnp.where(rowv == j, xj[None, :], acc)
     x_ref[:] = acc
+
+
+def _solve_kernel_static_hbm(a_hbm, b_ref, x_ref, a_vmem, sem, n: int,
+                             panel: int, tile: int, mchunk: int):
+    """Static kernel with a manually-DMA'd SINGLE-buffered A block.
+
+    At n=128 the lanes layout's [n, n, 128] A block is 8 MB — the normal
+    Pallas input pipeline double-buffers it (16 MB) and cannot fit VMEM,
+    which is why rank 128 fell back to the ~2x-less-efficient batch-first
+    panel kernel (measured 4.8 us/system vs static's 0.3 us at n=64;
+    rank-128 ALS is 79% solves — tools/attrib_als.py 128). Keeping A in
+    HBM (memory_space=ANY) and issuing one explicit HBM->VMEM copy per
+    grid step single-buffers it: the ~10 us transfer per 128 systems is
+    noise against the ~300 us factorization, so no pipelining is needed.
+    """
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        a_hbm.at[:, :, pl.ds(i * tile, tile)], a_vmem, sem)
+    cp.start()
+    cp.wait()
+    _solve_kernel_static(a_vmem, b_ref, x_ref, n=n, panel=panel,
+                         mchunk=mchunk)
 
 
 @functools.partial(jax.jit,
@@ -338,10 +370,17 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
     if variant in ("lanes", "static"):
         # batch rides the lane axis -> the tile must be a multiple of 128
         if vmem_tile < 128:
-            variant = "panel"  # batch-first tiling fits at large n
+            if variant == "static" and n * n * 4 * 128 <= 9 * 2**20:
+                # n=128 class: the A block fits VMEM single-buffered but
+                # not through the double-buffering input pipeline — keep A
+                # in HBM and DMA it explicitly (_solve_kernel_static_hbm)
+                variant = "static_hbm"
+                batch_tile = 128
+            else:
+                variant = "panel"  # batch-first tiling fits at large n
         else:
             batch_tile = max(128, min(batch_tile, vmem_tile) // 128 * 128)
-    if variant not in ("lanes", "static"):
+    if variant not in ("lanes", "static", "static_hbm"):
         batch_tile = min(batch_tile, 128, int(vmem_tile // 8 * 8) or 8)
 
     Bp = -(-B // batch_tile) * batch_tile
@@ -349,6 +388,36 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
         padA = jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (Bp - B, 1, 1))
         A = jnp.concatenate([A, padA], axis=0)
         b = jnp.concatenate([b, jnp.zeros((Bp - B, n), b.dtype)], axis=0)
+    if variant == "static_hbm":
+        At = jnp.transpose(A, (1, 2, 0))  # [n, n, B] (A symmetric)
+        bt = b.T  # [n, B]
+        panel = 16 if n % 16 == 0 else 8
+        # slab the trailing update so its temporaries stay ~2 MB
+        mchunk = max(panel, (2 * 2**20) // (n * batch_tile * 4))
+        kernel = functools.partial(_solve_kernel_static_hbm, n=n,
+                                   panel=panel, tile=batch_tile,
+                                   mchunk=mchunk)
+        xt = pl.pallas_call(
+            kernel,
+            grid=(Bp // batch_tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # [n, n, Bp] in HBM
+                pl.BlockSpec((n, batch_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, batch_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, Bp), A.dtype),
+            scratch_shapes=[pltpu.VMEM((n, n, batch_tile), A.dtype),
+                            pltpu.SemaphoreType.DMA(())],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * n * n * n,
+                bytes_accessed=Bp * (n * n + 2 * n) * 4,
+                transcendentals=Bp * n,
+            ),
+            interpret=interpret,
+        )(At, bt)
+        return xt.T[:B]
     if variant in ("lanes", "static"):
         # batch on the lane axis: transpose in, run, transpose out
         At = jnp.transpose(A, (1, 2, 0))  # [n, n, B] (A symmetric)
