@@ -163,6 +163,28 @@ def test_ials_epoch_parity_f64(layouts):
     assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
 
 
+def test_chunked_stream_parity_f64(coo, layouts):
+    """Chunk granularity is a transport knob, never a math knob: any
+    chunk_blocks (including ones forcing a zero-padded remainder chunk)
+    must reproduce the resident epoch bitwise in float64. Uses a re-pack
+    with a tiny per-block byte target so groups span many blocks (block
+    sizing never changes the per-entity solves)."""
+    u, i, r = coo
+    ures, ires = layouts[:2]
+    small = dict(BUILD, target_bytes=1 << 17)
+    upk = build_packed(u, i, r, NU, NI, **small)
+    ipk = build_packed(i, u, r, NI, NU, **small)
+    assert any(g.n_blocks > 2 for g in upk)  # remainder path is reachable
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                             device_bucketed(ires, jnp.float64), 0.05)
+    for cb in (1, 2, 3):
+        st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+        got = als_epoch_ooc(st, upk, ipk, 0.05, chunk_blocks=cb)
+        assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+        assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
 def test_multi_epoch_rmse_trajectory(coo, layouts):
     """3 OOC epochs in f32 track the resident trajectory and reduce
     RMSE (the end-to-end sanity the train loop relies on)."""

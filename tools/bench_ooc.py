@@ -189,7 +189,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--groups", type=int, default=8)
-    ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="wire chunks kept in flight")
+    ap.add_argument("--chunk-blocks", type=int, default=None,
+                    help="blocks per wire chunk (default: auto ~48 MB)")
     ap.add_argument("--compare", action="store_true",
                     help="also time the resident bucketed epoch")
     ap.add_argument("--probe", action="store_true",
@@ -289,11 +292,13 @@ def main():
     if args.algo == "ials":
         def ooc_step(s):
             return ials_epoch_ooc(s, ug, ig, lam, alpha, gather_bf16=True,
-                                  prefetch=args.prefetch)
+                                  prefetch=args.prefetch,
+                                  chunk_blocks=args.chunk_blocks)
     else:
         def ooc_step(s):
             return als_epoch_ooc(s, ug, ig, lam, gather_bf16=True,
-                                 prefetch=args.prefetch)
+                                 prefetch=args.prefetch,
+                                 chunk_blocks=args.chunk_blocks)
 
     state, t_ooc = time_epochs(ooc_step, state, args.epochs, "ooc")
     hbm1 = device_hbm_stats()
@@ -306,6 +311,26 @@ def main():
             hbm1.get("peak_bytes_in_use", 0) / 2**30, 2)
         result["hbm"]["limit_gb"] = round(
             hbm1.get("bytes_limit", 0) / 2**30, 2)
+    # axon devices expose no memory_stats; the watermark model is exact
+    # by construction (models/ooc.py holds only these live buffers):
+    # factors f32 + the phase's bf16 gather copy, (prefetch+1) in-flight
+    # wire chunks, and one block's decoded+gathered tensors (scan body).
+    k = args.rank
+    group_b = [g.lo.nbytes + g.hi_pos.nbytes + g.hi_val.nbytes +
+               g.rat.nbytes + g.cnt.nbytes + g.eid.nbytes
+               for gr in (ug, ig) for g in gr]
+    per_blk = [b // g.n_blocks for b, g in
+               zip(group_b, [g for gr in (ug, ig) for g in gr])]
+    chunk_b = (args.chunk_blocks * max(per_blk) if args.chunk_blocks
+               else min(48 * 2**20, max(group_b)))
+    slots = max(int(g.cnt.sum(axis=1).max(initial=0))
+                for gr in (ug, ig) for g in gr)  # widest decoded block
+    model = (
+        (nu + ni) * k * 4          # resident f32 factors
+        + max(nu, ni) * k * 2      # bf16 gather copy of the fixed side
+        + (args.prefetch + 1) * chunk_b
+        + int(slots) * (4 + 4 + k * 2 + k * 4))  # oi+rr+gather+solve rows
+    result["hbm"]["model_peak_gb"] = round(model / 2**30, 2)
     del state
 
     if args.compare:

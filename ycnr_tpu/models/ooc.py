@@ -4,24 +4,29 @@ The resident paths (models/bucketed_phase.py) keep the whole rating layout
 in HBM — at ~8 bytes/slot x 2 views / ~0.62 fill a 16 GB v5e chip tops out
 around ~600M ratings. This module removes that bound: the factors stay
 device-resident, and the rating blocks stream host->HBM through every
-epoch in the packed wire format of ops/packed.py, double-buffered so the
-next block's transfer overlaps the current block's compute. Trainable nnz
-is then limited by host RAM/disk — the TPU-native equivalent of the
-reference's "stream ratings from PostgreSQL in portions" (SURVEY.md §1
-L1->L5, §5 long-context, C7 [B:5]).
+epoch in the packed wire format of ops/packed.py — in multi-block CHUNKS
+(one put per wire array per ~48 MB, lax.scan over the chunk on device),
+double-buffered so the next chunk's transfer overlaps the current chunk's
+compute. Trainable nnz is then limited by host RAM/disk — the TPU-native
+equivalent of the reference's "stream ratings from PostgreSQL in
+portions" (SURVEY.md §1 L1->L5, §5 long-context, C7 [B:5]).
 
 Parity: a decoded wire block is bitwise the resident BucketedCSR block
 (ops/packed.py), and the per-block solve is the SAME function
 (bucketed_phase.bucket_solve_rows), so an OOC epoch equals a resident
 epoch exactly in float64 (pinned in tests/test_ooc.py).
 
-Performance model (measured round 3, this v5e tunnel): the wire moves
-~44-130 MB/s depending on entropy, so the epoch is TRANSFER-bound — the
-packed format costs ~35 ns/rating (u16 deltas) + ~18 ns (i8 ratings) per
-view, and on-device decode (~10 ns/slot) plus the solve hide entirely
-under the next block's transfer. On local-PCIe hosts (8-32 GB/s) the same
-path is compute-bound and matches the resident epoch. See docs/KERNELS.md
-"Out-of-core streaming".
+Performance model (measured round 3, this v5e tunnel): the wire itself
+is cheap — a single stream moves ~405 MB/s, so Netflix's 632 MB/epoch is
+~1.6 s of transfer. The measured steady epoch is ~12 s with OR without
+multi-block chunking (12.25 s chunked vs 11.93 s at 6 puts/block), which
+refutes the put-granularity hypothesis: the cost is on-device DECODE —
+unpacking packed rows to the padded rectangle is two scalar-element
+gathers per slot (delta[src], rat[src]), ~300M single-element gathers
+per Netflix epoch that waste the TPU's gather granule. Chunking is kept
+as transport hygiene (fewer dispatches, memmap-friendly views), but the
+decode is the lever — see docs/KERNELS.md "Out-of-core streaming" for
+the attribution and BASELINE.md for the current numbers.
 """
 
 from __future__ import annotations
@@ -70,21 +75,74 @@ def decode_block(lo, hi_pos, hi_val, rat, cnt, R: int, n_other: int,
 @partial(jax.jit,
          static_argnames=("R", "n_other", "lam", "alpha", "gather_bf16"),
          donate_argnums=(0,))
-def _ooc_block_step(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
+def _ooc_chunk_step(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
                     base_gram, R: int, n_other: int, lam: float,
                     alpha: Optional[float], gather_bf16: bool):
-    """decode -> gather -> Gram -> guarded solve -> scatter, one wire
-    block. E is donated (updated in place); the wire buffers cannot alias
-    any output (dtype/shape mismatch) but die with their last Python
+    """_ooc_block_step over a CHUNK of same-shape blocks ([C, ...] leading
+    axis) via lax.scan — one program body regardless of C, so the
+    first-epoch upload wall does not grow with the chunk size.
+
+    Chunking exists for the transport, not the math: shipping C blocks
+    per put cuts per-put dispatch overhead C-fold and keeps full chunks
+    as zero-copy memmap views (measured round 3: steady time is decode-
+    bound either way — 12.25 s chunked vs 11.93 s at 6 puts/block on
+    Netflix — so this is hygiene, not the lever; see the module
+    docstring). The scan body is the block pipeline unchanged
+    (decode -> gather -> Gram -> guarded solve -> scatter). E is donated
+    (updated in place); the wire buffers die with their last Python
     reference when the step retires, so the HBM watermark stays bounded
-    by factors + the in-flight blocks + the gathered tensor."""
-    oi, rr = decode_block(lo, hi_pos, hi_val, rat, cnt, R, n_other,
-                          E.dtype)
-    Fg = F_g[oi]  # [NE, R, k]
-    cntf = cnt.astype(E.dtype)
-    rows = bucket_solve_rows(Fg, rr, cntf, lam, alpha, base_gram,
-                             E.dtype, gather_bf16)
-    return E.at[eid].set(rows.astype(E.dtype))
+    by factors + the in-flight chunks + one block's gathered tensor."""
+    def body(E, blk):
+        blo, bhp, bhv, brat, bcnt, beid = blk
+        oi, rr = decode_block(blo, bhp, bhv, brat, bcnt, R, n_other,
+                              E.dtype)
+        Fg = F_g[oi]
+        rows = bucket_solve_rows(Fg, rr, bcnt.astype(E.dtype), lam, alpha,
+                                 base_gram, E.dtype, gather_bf16)
+        return E.at[beid].set(rows.astype(E.dtype)), None
+
+    E, _ = lax.scan(body, E, (lo, hi_pos, hi_val, rat, cnt, eid))
+    return E
+
+
+# wire bytes per chunk targeted by the auto chunk size: large enough to
+# amortize per-put dispatch overhead to noise against the ~405 MB/s
+# stream rate, small enough that prefetch+1 in-flight chunks stay a
+# rounding error against HBM (~150 MB in flight at the default
+# prefetch=2).
+_CHUNK_TARGET_BYTES = 48 * 2**20
+
+
+def _group_chunks(g, chunk_blocks):
+    """Yield [C, ...]-leading chunk tuples of g's wire arrays.
+
+    Full chunks are contiguous zero-copy views (memmap-friendly); the
+    final partial chunk is padded with zero blocks (cnt=0 rows decode to
+    all-padding, and the pad eid targets one-past-the-last factor row, an
+    out-of-bounds scatter that XLA drops — the same contract as the
+    padding rows inside real blocks)."""
+    nb = g.n_blocks
+    if chunk_blocks is None:
+        per_block = max(1, (g.lo.nbytes + g.hi_pos.nbytes +
+                            g.hi_val.nbytes + g.rat.nbytes + g.cnt.nbytes +
+                            g.eid.nbytes) // nb)
+        chunk_blocks = int(_CHUNK_TARGET_BYTES // per_block)
+    C = max(1, min(nb, chunk_blocks))
+    names = ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid")
+    for c0 in range(0, nb - nb % C, C):
+        yield tuple(getattr(g, n)[c0:c0 + C] for n in names)
+    rem = nb % C
+    if rem:
+        out = []
+        for n in names:
+            a = np.asarray(getattr(g, n)[nb - rem:])
+            pad = np.zeros((C - rem,) + a.shape[1:], a.dtype)
+            if n == "eid":
+                # one past the factor table's last row in every caller
+                # (E has n_entities rows; real eids are < n_entities)
+                pad += np.int32(2**31 - 2)
+            out.append(np.concatenate([a, pad], axis=0))
+        yield tuple(out)
 
 
 @partial(jax.jit, static_argnames=("bf16",))
@@ -97,62 +155,67 @@ def _global_gram(F):
     return jnp.einsum("nk,nm->km", F, F, preferred_element_type=F.dtype)
 
 
-def _put_block(g, b):
-    """Queue one wire block's host->device transfers (async)."""
-    return (jax.device_put(g.lo[b]), jax.device_put(g.hi_pos[b]),
-            jax.device_put(g.hi_val[b]), jax.device_put(g.rat[b]),
-            jax.device_put(g.cnt[b]), jax.device_put(g.eid[b]))
-
-
 def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
                  lam: float, alpha: Optional[float] = None,
                  base_gram=None, gather_bf16: bool = False,
-                 prefetch: int = 2) -> jnp.ndarray:
-    """Re-solve all entity rows of E against F, streaming wire blocks.
+                 prefetch: int = 2,
+                 chunk_blocks: Optional[int] = None) -> jnp.ndarray:
+    """Re-solve all entity rows of E against F, streaming wire chunks.
 
-    ``prefetch`` blocks are kept in flight: jax.device_put is async, so
-    block b+1 (and b+2) move over the wire while block b's program runs.
-    E is consumed (donated); use the returned array.
+    ``prefetch`` chunks are kept in flight: jax.device_put is async, so
+    chunk c+1 (and c+2) move over the wire while chunk c's program runs.
+    ``chunk_blocks`` is the number of same-shape blocks shipped per put
+    (default: auto-sized to ~48 MB of wire per chunk — see
+    _ooc_chunk_step on why granularity is a transport lever). E is
+    consumed (donated); use the returned array.
     """
     F_g = _cast_gather(F, gather_bf16)
     for g in groups:
-        nb = g.n_blocks
-        q = {b: _put_block(g, b) for b in range(min(prefetch, nb))}
-        for b in range(nb):
-            blk = q.pop(b)
-            if b + prefetch < nb:
-                q[b + prefetch] = _put_block(g, b + prefetch)
-            E = _ooc_block_step(E, F_g, *blk, base_gram, g.R, g.n_other,
+        chunks = _group_chunks(g, chunk_blocks)
+        q = []
+        for ch in chunks:
+            q.append(tuple(jax.device_put(a) for a in ch))
+            if len(q) <= prefetch:
+                continue
+            E = _ooc_chunk_step(E, F_g, *q.pop(0), base_gram, g.R,
+                                g.n_other, lam, alpha, gather_bf16)
+        for ch in q:
+            E = _ooc_chunk_step(E, F_g, *ch, base_gram, g.R, g.n_other,
                                 lam, alpha, gather_bf16)
     return E
 
 
 def als_epoch_ooc(state: MFState, user_groups: PackedCSR,
                   item_groups: PackedCSR, lam: float,
-                  gather_bf16: bool = False, prefetch: int = 2) -> MFState:
+                  gather_bf16: bool = False, prefetch: int = 2,
+                  chunk_blocks: Optional[int] = None) -> MFState:
     """One ALS-WR sweep with both rating views streamed from host.
 
     Same math as models/bucketed_phase.als_epoch_bucketed (shared block
     body); state is consumed (donated factor buffers)."""
     U = phase_packed(state.U, state.V, user_groups, lam,
-                     gather_bf16=gather_bf16, prefetch=prefetch)
+                     gather_bf16=gather_bf16, prefetch=prefetch,
+                     chunk_blocks=chunk_blocks)
     V = phase_packed(state.V, U, item_groups, lam,
-                     gather_bf16=gather_bf16, prefetch=prefetch)
+                     gather_bf16=gather_bf16, prefetch=prefetch,
+                     chunk_blocks=chunk_blocks)
     return state._replace(U=U, V=V)
 
 
 def ials_epoch_ooc(state: MFState, user_groups: PackedCSR,
                    item_groups: PackedCSR, lam: float, alpha: float,
-                   gather_bf16: bool = False,
-                   prefetch: int = 2) -> MFState:
+                   gather_bf16: bool = False, prefetch: int = 2,
+                   chunk_blocks: Optional[int] = None) -> MFState:
     """One iALS sweep, streamed; the global base Grams are computed on
     device per phase (resident factors), exactly as the resident path."""
     GV = _global_gram(state.V)
     U = phase_packed(state.U, state.V, user_groups, lam, alpha, GV,
-                     gather_bf16=gather_bf16, prefetch=prefetch)
+                     gather_bf16=gather_bf16, prefetch=prefetch,
+                     chunk_blocks=chunk_blocks)
     GU = _global_gram(U)
     V = phase_packed(state.V, U, item_groups, lam, alpha, GU,
-                     gather_bf16=gather_bf16, prefetch=prefetch)
+                     gather_bf16=gather_bf16, prefetch=prefetch,
+                     chunk_blocks=chunk_blocks)
     return state._replace(U=U, V=V)
 
 
