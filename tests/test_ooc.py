@@ -18,10 +18,11 @@ from ycnr_tpu.models.bucketed_phase import (als_epoch_bucketed,
                                             device_bucketed,
                                             ials_epoch_bucketed)
 from ycnr_tpu.models.ooc import (als_epoch_ooc, decode_block,
-                                 ials_epoch_ooc)
+                                 decode_block_rect, ials_epoch_ooc)
 from ycnr_tpu.ops.bucketed import build_bucketed
 from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
-                                 packed_stats, rating_wire_kind)
+                                 build_rect, packed_stats,
+                                 rating_wire_kind, rect_from_packed)
 
 NU, NI = 700, 300
 BUILD = dict(rank_hint=16, target_bytes=1 << 20, max_groups=4)
@@ -42,6 +43,12 @@ def layouts(coo):
             build_packed(i, u, r, NI, NU, **BUILD))
 
 
+@pytest.fixture(scope="module")
+def rect_layouts(layouts):
+    return (tuple(rect_from_packed(g) for g in layouts[2]),
+            tuple(rect_from_packed(g) for g in layouts[3]))
+
+
 def test_decode_blocks_bitwise(layouts):
     """Every decoded wire block equals its resident twin exactly."""
     for res, pk in ((layouts[0], layouts[2]), (layouts[1], layouts[3])):
@@ -60,6 +67,86 @@ def test_decode_blocks_bitwise(layouts):
                 assert np.array_equal(g_p.eid[b], g_r.entity_ids[b])
                 assert np.array_equal(g_p.cnt[b].astype(np.float32),
                                       g_r.entity_cnt[b])
+
+
+def test_decode_rect_blocks_bitwise(layouts, rect_layouts):
+    """RECT wire decode (gather-free) equals the resident blocks exactly
+    — same contract as the packed decode, different transport."""
+    for res, rc in ((layouts[0], rect_layouts[0]),
+                    (layouts[1], rect_layouts[1])):
+        for g_r, g_p in zip(res, rc):
+            assert g_p.lo.ndim == 3 and g_p.lo.shape[2] == g_p.R
+            for b in range(g_p.n_blocks):
+                oi, rr = decode_block_rect(
+                    jnp.asarray(g_p.lo[b]), jnp.asarray(g_p.hi_pos[b]),
+                    jnp.asarray(g_p.hi_val[b]), jnp.asarray(g_p.rat[b]),
+                    jnp.asarray(g_p.cnt[b]), g_p.R, g_p.n_other,
+                    jnp.float32)
+                assert np.array_equal(np.asarray(oi), g_r.other_idx[b])
+                assert np.array_equal(np.asarray(rr), g_r.rating[b])
+
+
+def test_rect_hi_overflow_exact():
+    """Rect wire reconstructs ids exactly past 2^16-wide catalogs (the
+    sparse overflow positions are remapped into the flattened rect)."""
+    rng = np.random.default_rng(0)
+    n_other = 500_000
+    e = np.repeat(np.arange(40), 25)
+    o = rng.integers(0, n_other, len(e)).astype(np.int64)
+    r = np.full(len(e), 3.0, np.float32)
+    res = build_bucketed(e, o, r, 40, n_other, **BUILD)
+    rc = build_rect(e, o, r, 40, n_other, **BUILD)
+    assert any(g.hi_val.any() for g in rc), "test must exercise overflow"
+    for g_r, g_p in zip(res, rc):
+        for b in range(g_p.n_blocks):
+            oi, _ = decode_block_rect(
+                jnp.asarray(g_p.lo[b]), jnp.asarray(g_p.hi_pos[b]),
+                jnp.asarray(g_p.hi_val[b]), jnp.asarray(g_p.rat[b]),
+                jnp.asarray(g_p.cnt[b]), g_p.R, g_p.n_other, jnp.float32)
+            assert np.array_equal(np.asarray(oi), g_r.other_idx[b])
+
+
+def test_als_epoch_parity_f64_rect(layouts, rect_layouts):
+    """Streamed ALS epoch over RECT wire == resident epoch, bitwise f64
+    — including the chunked remainder path (cb=2 forces a zero-padded
+    pad block through the scan)."""
+    ures, ires = layouts[:2]
+    urc, irc = rect_layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                             device_bucketed(ires, jnp.float64), 0.05)
+    for cb in (None, 2):
+        st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+        got = als_epoch_ooc(st, urc, irc, 0.05, chunk_blocks=cb)
+        assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+        assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_ials_epoch_parity_f64_rect(layouts, rect_layouts):
+    ures, ires = layouts[:2]
+    urc, irc = rect_layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = ials_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                              device_bucketed(ires, jnp.float64),
+                              0.05, 20.0)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = ials_epoch_ooc(st, urc, irc, 0.05, 20.0)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_rect_memmap_roundtrip(layouts, tmp_path):
+    """rect_from_packed(out_dir=...) memmaps lo/rat to disk; the memmap
+    arrays decode identically to the in-RAM expansion."""
+    g = layouts[2][0]
+    a = rect_from_packed(g)
+    b = rect_from_packed(g, out_dir=str(tmp_path), gi=0)
+    assert isinstance(b.lo, np.memmap) and isinstance(b.rat, np.memmap)
+    for name, x, y in zip(a._fields, a, b):
+        if isinstance(x, np.ndarray):
+            assert np.array_equal(x, np.asarray(y)), name
+        else:
+            assert x == y, name
 
 
 def test_stream_builder_bitwise(coo, layouts, tmp_path):

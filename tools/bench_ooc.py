@@ -53,7 +53,9 @@ def save_packed(groups, d: str, nnz: int):
     meta = {"n_groups": len(groups), "nnz": nnz, "groups": []}
     for gi, g in enumerate(groups):
         meta["groups"].append({"R": g.R, "n_other": g.n_other,
-                               "rating_kind": g.rating_kind})
+                               "rating_kind": g.rating_kind,
+                               "fmt": "rect" if g.lo.ndim == 3
+                               else "packed"})
         for name in ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid"):
             arr = getattr(g, name)
             fp = os.path.join(d, f"g{gi}.{name}.npy")
@@ -71,7 +73,7 @@ def save_packed(groups, d: str, nnz: int):
 
 
 def load_packed(d: str):
-    from ycnr_tpu.ops.packed import PackedGroup
+    from ycnr_tpu.ops.packed import PackedGroup, RectGroup
 
     mp = os.path.join(d, "meta.json")
     if not os.path.exists(mp):
@@ -85,9 +87,10 @@ def load_packed(d: str):
                                   mmap_mode="r")
                     for name in ("lo", "hi_pos", "hi_val", "rat", "cnt",
                                  "eid")}
-            groups.append(PackedGroup(R=gm["R"], n_other=gm["n_other"],
-                                      rating_kind=gm["rating_kind"],
-                                      **arrs))
+            cls = (RectGroup if gm.get("fmt", "packed") == "rect"
+                   else PackedGroup)
+            groups.append(cls(R=gm["R"], n_other=gm["n_other"],
+                              rating_kind=gm["rating_kind"], **arrs))
         return tuple(groups), int(meta["nnz"])
     except Exception as e:
         log(f"packed cache load failed ({e}); rebuilding")
@@ -193,6 +196,10 @@ def main():
                     help="wire chunks kept in flight")
     ap.add_argument("--chunk-blocks", type=int, default=None,
                     help="blocks per wire chunk (default: auto ~48 MB)")
+    ap.add_argument("--wire", choices=["rect", "packed"], default="rect",
+                    help="wire format: rect (padded rectangles, gather-"
+                    "free decode — the fast default) or packed (minimal "
+                    "bytes at rest, per-slot gather decode)")
     ap.add_argument("--compare", action="store_true",
                     help="also time the resident bucketed epoch")
     ap.add_argument("--probe", action="store_true",
@@ -216,12 +223,13 @@ def main():
     from ycnr_tpu.models.ooc import (als_epoch_ooc, device_hbm_stats,
                                      ials_epoch_ooc)
     from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
-                                     packed_stats)
+                                     build_rect, packed_stats,
+                                     rect_from_packed)
     import ycnr_tpu.ops.packed as _packed_mod
 
     log(f"devices: {jax.devices()}")
     result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
-              "wire_MBps": wire_probe()}
+              "wire": args.wire, "wire_MBps": wire_probe()}
     log(f"wire probe: {result['wire_MBps']}")
     if args.probe:
         print(json.dumps(result))
@@ -232,9 +240,10 @@ def main():
     kw = dict(rank_hint=args.rank,
               target_bytes=args.target_mb * 2**20, max_groups=args.groups)
 
+    wtag = "" if args.wire == "packed" else "_rect"
     if args.scale == "b1":
         tag = (f"b1_{nu}x{ni}x{nr}_g{args.groups}_t{args.target_mb}"
-               f"_{_code_hash(_packed_mod)}")
+               f"{wtag}_{_code_hash(_packed_mod)}")
         d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
         ug, nnz_u = load_packed(d_u)
         ig, nnz_i = load_packed(d_i)
@@ -248,6 +257,12 @@ def main():
                     b1_portions(nu, ni, nr), n_e, n_o,
                     portions2=b1_portions(nu, ni, nr),
                     out_dir=os.path.join(d, "wire"), view=view, **kw)
+                if args.wire == "rect":
+                    # expand group by group straight into the cache dir:
+                    # rect_from_packed memmaps g{gi}.{lo,rat}.npy at the
+                    # exact paths save_packed keeps in place
+                    g = tuple(rect_from_packed(gg, out_dir=d, gi=gi)
+                              for gi, gg in enumerate(g))
                 save_packed(g, d, nnz)
                 log(f"{view} wire built in {time.time() - t0:.0f}s: "
                     f"{packed_stats(g, nnz)}")
@@ -264,14 +279,15 @@ def main():
         tu, ti, tr, nu, ni = get_coo(args.scale)
         nnz = len(tr)
         tag = (f"{args.scale}_{nnz}_g{args.groups}_t{args.target_mb}"
-               f"_{_code_hash(_packed_mod)}")
+               f"{wtag}_{_code_hash(_packed_mod)}")
         d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
         ug, _ = load_packed(d_u)
         ig, _ = load_packed(d_i)
         if ug is None or ig is None:
             t0 = time.time()
-            ug = build_packed(tu, ti, tr, nu, ni, **kw)
-            ig = build_packed(ti, tu, tr, ni, nu, **kw)
+            build = build_rect if args.wire == "rect" else build_packed
+            ug = build(tu, ti, tr, nu, ni, **kw)
+            ig = build(ti, tu, tr, ni, nu, **kw)
             log(f"wire built in {time.time() - t0:.0f}s")
             save_packed(ug, d_u, nnz)
             save_packed(ig, d_i, nnz)

@@ -180,6 +180,10 @@ def _add_train_overrides(p):
                         "host->HBM each epoch (factors stay resident) so "
                         "nnz is bounded by host RAM, not device memory "
                         "(single-chip als/ials)")
+    p.add_argument("--ooc-wire", choices=["rect", "packed"], default=None,
+                   help="OOC wire format (default rect: padded "
+                        "rectangles, gather-free decode — fastest; "
+                        "packed: ~1/fill fewer host bytes at rest)")
     p.add_argument("--fused-epochs", type=int, metavar="K",
                    help="fuse K epochs + their RMSE evals into one device "
                         "program (single-chip ALS/iALS; ~7%% wall saved per "
@@ -281,6 +285,8 @@ def _build_cfg(args):
         cfg = cfg.replace(fused_epochs=args.fused_epochs)
     if getattr(args, "ooc", False):
         cfg = cfg.replace(ooc=True)
+    if getattr(args, "ooc_wire", None):
+        cfg = cfg.replace(ooc_wire=args.ooc_wire)
     if args.out is not None:
         cfg = cfg.replace(out_dir=args.out)
     elif not cfg.out_dir and not (file_cfg and "out_dir" in file_cfg):

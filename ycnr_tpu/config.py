@@ -191,6 +191,10 @@ class RunConfig:
     # streaming, SURVEY.md L1->L5). Single-chip ALS/iALS only; epochs are
     # wire-bandwidth-bound (docs/KERNELS.md "Out-of-core streaming").
     ooc: bool = False
+    # OOC wire format: "rect" (padded rectangles, gather-free device
+    # decode — ~4x faster epochs, measured) or "packed" (~1/fill fewer
+    # bytes at rest when host RAM/disk binds)
+    ooc_wire: str = "rect"
     measure_serving: bool = False  # time top-N for all users after training
     # serving scorer for measure_serving / offline top-N: exact | fused |
     # fused32 (fused = Pallas kernel, ops/pallas_topn.py; falls back to

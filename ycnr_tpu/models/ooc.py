@@ -72,6 +72,30 @@ def decode_block(lo, hi_pos, hi_val, rat, cnt, R: int, n_other: int,
     return oi, rr
 
 
+def decode_block_rect(lo, hi_pos, hi_val, rat, cnt, R: int, n_other: int,
+                      dtype):
+    """RECT wire block -> (oi [NE,R], rr [NE,R]) with NO per-slot gathers.
+
+    The rectangle arrives already padded (ops/packed.RectGroup), so the
+    decode is: one sparse scatter-add of the 16-bit overflow corrections,
+    a row-wise cumsum to rebuild absolute ids, and the padding masks.
+    Padding slots carry delta 0 (cumsum holds the row's last id) and are
+    masked to n_other / rating 0 — bitwise the packed decode_block and
+    the resident layout (tests/test_ooc.py)."""
+    NE = cnt.shape[0]
+    delta = (lo.astype(jnp.int32).reshape(-1).at[hi_pos]
+             .add(hi_val * (1 << 16)).reshape(NE, R))
+    col = lax.broadcasted_iota(jnp.int32, (NE, R), 1)
+    valid = col < cnt[:, None]
+    oi = jnp.where(valid, jnp.cumsum(delta, axis=1), n_other)
+    if rat.dtype == jnp.int8:
+        rr = rat.astype(dtype) * jnp.asarray(0.5, dtype)
+    else:
+        rr = rat.astype(dtype)
+    rr = jnp.where(valid, rr, 0)
+    return oi, rr
+
+
 @partial(jax.jit,
          static_argnames=("R", "n_other", "lam", "alpha", "gather_bf16"),
          donate_argnums=(0,))
@@ -94,8 +118,10 @@ def _ooc_chunk_step(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
     by factors + the in-flight chunks + one block's gathered tensor."""
     def body(E, blk):
         blo, bhp, bhv, brat, bcnt, beid = blk
-        oi, rr = decode_block(blo, bhp, bhv, brat, bcnt, R, n_other,
-                              E.dtype)
+        # inside the scan the chunk axis is stripped: rect lo is [NE, R]
+        # (2-D), packed lo is the [S] stream (1-D)
+        dec = decode_block_rect if blo.ndim == 2 else decode_block
+        oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, E.dtype)
         Fg = F_g[oi]
         rows = bucket_solve_rows(Fg, rr, bcnt.astype(E.dtype), lam, alpha,
                                  base_gram, E.dtype, gather_bf16)

@@ -73,6 +73,46 @@ class PackedGroup(NamedTuple):
 PackedCSR = Tuple[PackedGroup, ...]
 
 
+class RectGroup(NamedTuple):
+    """One rung group in RECT wire format: the padded rectangles ship
+    as-is, so the device decode needs no per-slot gathers (the packed
+    format's unpack was two single-element gathers per slot — measured
+    as ~85% of the OOC epoch, docs/KERNELS.md "Out-of-core streaming").
+
+    lo      [NB, NE, R] uint16  low 16 bits of the within-row id delta
+                                (col 0 = the absolute id's low bits;
+                                padding slots: 0)
+    hi_pos  [NB, H]     int32   flattened [NE*R] positions whose delta
+                                overflows 16 bits (padding: (0, 0) —
+                                a scatter-add no-op)
+    hi_val  [NB, H]     int32   delta >> 16 at those positions
+    rat     [NB, NE, R] int8|f32 encoded rating (padding slots: 0)
+    cnt     [NB, NE]    int32   per-row rating count (padding rows: 0)
+    eid     [NB, NE]    int32   global entity ids (padding: n_entities)
+
+    Wire cost is slots*(2+1) bytes vs the packed format's ~nnz*(2+1):
+    1/fill (~1.3-1.6x) more bytes — but the padding is zeros, which the
+    transport compresses, and the wire rides under compute via prefetch.
+    """
+
+    lo: np.ndarray
+    hi_pos: np.ndarray
+    hi_val: np.ndarray
+    rat: np.ndarray
+    cnt: np.ndarray
+    eid: np.ndarray
+    R: int
+    n_other: int
+    rating_kind: str
+
+    @property
+    def n_blocks(self) -> int:
+        return self.lo.shape[0]
+
+
+RectCSR = Tuple[RectGroup, ...]
+
+
 def rating_wire_kind(rating: np.ndarray) -> str:
     """"half" when every rating is a half-star exactly representable as
     int8 (2r integral, |2r| <= 127), else "raw" float32. int8 -> f32 * 0.5
@@ -395,6 +435,67 @@ def build_packed_stream(
         groups.append(PackedGroup(lo, hi_pos, hi_val, rat, cnt2, eid2,
                                   int(R), int(n_other), rating_kind))
     return tuple(groups)
+
+
+def rect_from_packed(g: PackedGroup, out_dir: Optional[str] = None,
+                     gi: int = 0) -> RectGroup:
+    """Expand one packed group to the RECT wire format on the host —
+    the same nnz-sized scatter the device decode used to pay every
+    epoch, paid ONCE here (and cached to disk by the callers).
+
+    Bitwise contract: decode_block_rect(rect) == decode_block(packed)
+    slot for slot (pinned in tests/test_ooc.py)."""
+    nb, ne = g.cnt.shape
+    R = g.R
+
+    def _alloc(name, shape, dtype):
+        if out_dir is None:
+            return np.zeros(shape, dtype)
+        os.makedirs(out_dir, exist_ok=True)
+        return np.lib.format.open_memmap(
+            os.path.join(out_dir, name + ".npy"), mode="w+", dtype=dtype,
+            shape=shape)
+
+    lo = _alloc(f"g{gi}.lo", (nb, ne, R), np.uint16)
+    rat = _alloc(f"g{gi}.rat", (nb, ne, R), g.rat.dtype)
+    his = []
+    for b in range(nb):
+        c = np.asarray(g.cnt[b], np.int64)
+        n_real = int(c.sum())
+        if n_real == 0:
+            his.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
+            continue
+        starts = np.cumsum(c) - c
+        rows = np.repeat(np.arange(ne, dtype=np.int64), c)
+        cols = np.arange(n_real, dtype=np.int64) - np.repeat(starts, c)
+        flat = rows * R + cols  # packed position p lives at rect flat[p]
+        lo[b].reshape(-1)[flat] = np.asarray(g.lo[b][:n_real])
+        rat[b].reshape(-1)[flat] = np.asarray(g.rat[b][:n_real])
+        hp = np.asarray(g.hi_pos[b])
+        hv = np.asarray(g.hi_val[b])
+        m = hv != 0
+        his.append((flat[hp[m]].astype(np.int32), hv[m].astype(np.int32)))
+    H = max(1, max((len(hp) for hp, _ in his), default=1))
+    hi_pos = np.zeros((nb, H), np.int32)
+    hi_val = np.zeros((nb, H), np.int32)
+    for b, (hp, hv) in enumerate(his):
+        hi_pos[b, : len(hp)] = hp
+        hi_val[b, : len(hp)] = hv
+    return RectGroup(lo, hi_pos, hi_val, rat, g.cnt, g.eid, int(R),
+                     int(g.n_other), g.rating_kind)
+
+
+def build_rect(entity_idx, other_idx, rating, n_entities: int,
+               n_other: int, rank_hint: int = 64, *,
+               out_dir: Optional[str] = None, **kw) -> RectCSR:
+    """build_packed + rect expansion: the default OOC wire (fast decode);
+    use build_packed directly when host RAM/disk is the binding
+    constraint (rect is 1/fill larger at rest). Positional signature
+    mirrors build_packed (rank_hint 6th) so callers can swap them."""
+    pk = build_packed(entity_idx, other_idx, rating, n_entities, n_other,
+                      rank_hint=rank_hint, **kw)
+    return tuple(rect_from_packed(g, out_dir=out_dir, gi=gi)
+                 for gi, g in enumerate(pk))
 
 
 def packed_stats(groups: PackedCSR, nnz: int) -> dict:

@@ -131,6 +131,9 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     metrics = MetricsLogger(os.path.join(out, "metrics.jsonl") if out else None,
                             append=bool(resume))
 
+    if cfg.ooc and cfg.ooc_wire not in ("rect", "packed"):
+        raise ValueError(f"ooc_wire must be 'rect' or 'packed', got "
+                         f"{cfg.ooc_wire!r}")
     if cfg.mesh.n_shards > 1:
         if cfg.ooc:
             raise ValueError(
@@ -173,15 +176,19 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     if cfg.algorithm in ("als", "ials"):
         if cfg.ooc:
             # out-of-core: wire-format layouts stay on host, blocks stream
-            # to HBM through each epoch (models/ooc.py)
-            from ycnr_tpu.ops.packed import build_packed
+            # to HBM through each epoch (models/ooc.py). rect = padded
+            # rectangles with a gather-free device decode (the fast
+            # default); packed = minimal bytes at rest for hosts where
+            # RAM/disk binds (docs/KERNELS.md "Out-of-core streaming")
+            from ycnr_tpu.ops.packed import build_packed, build_rect
 
-            dul = build_packed(ds.train_u, ds.train_i, ds.train_r,
-                               ds.n_users, ds.n_items, params.rank,
-                               max_groups=cfg.data.max_groups)
-            dil = build_packed(ds.train_i, ds.train_u, ds.train_r,
-                               ds.n_items, ds.n_users, params.rank,
-                               max_groups=cfg.data.max_groups)
+            build = build_rect if cfg.ooc_wire == "rect" else build_packed
+            dul = build(ds.train_u, ds.train_i, ds.train_r,
+                        ds.n_users, ds.n_items, params.rank,
+                        max_groups=cfg.data.max_groups)
+            dil = build(ds.train_i, ds.train_u, ds.train_r,
+                        ds.n_items, ds.n_users, params.rank,
+                        max_groups=cfg.data.max_groups)
         else:
             # single-chip fast path: bucketed (segsum-free) layout
             from ycnr_tpu.models.bucketed_phase import device_bucketed
