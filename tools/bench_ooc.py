@@ -117,26 +117,45 @@ def wire_probe():
     return out
 
 
-def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0):
+def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0,
+                spool_dir=None):
     """Deterministic portion stream for the beyond-HBM run: power-law-ish
     popularity via squared uniforms (cheap at 1e9 on one vCPU — the
     inverse-CDF zipf of data/synthetic.py costs ~3x more), ratings from a
     planted bias model so ALS has real structure to fit. Duplicate (u,i)
     pairs are allowed (extra rating rows — same ALS math), matching what
-    a portioned DB SELECT without global dedup would ship."""
+    a portioned DB SELECT without global dedup would ship.
+
+    ``spool_dir``: persist each generated portion as int32/f32 .npy files
+    and serve memmap views on later passes — the two wire builds iterate
+    the stream 4x, and regeneration (not IO) is the single-vCPU cost."""
     n_port = -(-n_ratings // portion)
-    # planted biases (regenerated per call — deterministic in seed)
-    rb = np.random.default_rng(seed + 10_007)
-    bu = rb.normal(0.0, 0.5, n_users).astype(np.float32)
-    bi = rb.normal(0.0, 0.5, n_items).astype(np.float32)
+    bu = bi = None
     for p in range(n_port):
+        if spool_dir is not None:
+            fps = [os.path.join(spool_dir, f"p{p}.{c}.npy")
+                   for c in ("u", "i", "r")]
+            if all(os.path.exists(fp) for fp in fps):
+                u, i, r = (np.load(fp, mmap_mode="r") for fp in fps)
+                yield u, i, r
+                continue
+        if bu is None:
+            # planted biases (regenerated per call — deterministic in seed)
+            rb = np.random.default_rng(seed + 10_007)
+            bu = rb.normal(0.0, 0.5, n_users).astype(np.float32)
+            bi = rb.normal(0.0, 0.5, n_items).astype(np.float32)
         rng = np.random.default_rng(seed + p)
         m = min(portion, n_ratings - p * portion)
-        u = (rng.random(m) ** 2 * n_users).astype(np.int64)
-        i = (rng.random(m) ** 2 * n_items).astype(np.int64)
+        u = (rng.random(m) ** 2 * n_users).astype(np.int32)
+        i = (rng.random(m) ** 2 * n_items).astype(np.int32)
         r = 3.5 + bu[u] + bi[i] + rng.normal(0.0, 0.4, m).astype(np.float32)
         r = np.clip(np.round(r * 2.0), 1, 10).astype(np.float32) * 0.5
-        yield u, i.astype(np.int64), r
+        if spool_dir is not None:
+            os.makedirs(spool_dir, exist_ok=True)
+            for fp, a in zip(fps, (u, i, r)):
+                np.save(fp + ".tmp.npy", a)
+                os.replace(fp + ".tmp.npy", fp)
+        yield u, i, r
         del u, i, r
 
 
@@ -250,12 +269,13 @@ def main():
         nnz = nnz_u
         if ug is None or ig is None:
             nnz = nr  # b1_portions ships exactly n_ratings (no dedup)
+            spool = _packed_dir(f"b1_spool_{nu}x{ni}x{nr}")
             for view, d in (("entity", d_u), ("other", d_i)):
                 t0 = time.time()
                 n_e, n_o = (nu, ni) if view == "entity" else (ni, nu)
                 g = build_packed_stream(
-                    b1_portions(nu, ni, nr), n_e, n_o,
-                    portions2=b1_portions(nu, ni, nr),
+                    b1_portions(nu, ni, nr, spool_dir=spool), n_e, n_o,
+                    portions2=b1_portions(nu, ni, nr, spool_dir=spool),
                     out_dir=os.path.join(d, "wire"), view=view, **kw)
                 if args.wire == "rect":
                     # expand group by group straight into the cache dir:
