@@ -54,22 +54,23 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    import ycnr_tpu.ops.packed as _packed_mod
-    from bench import _code_hash
     from ycnr_tpu.models.base import init_state
     from ycnr_tpu.models.ooc import (_group_chunks, als_epoch_ooc,
                                      decode_block, decode_block_rect)
 
     nu, ni, nr = SCALES[args.scale]
     wtag = "" if args.wire == "packed" else "_rect"
-    tag = (f"{args.scale}_{{nnz}}_g{args.groups}_t{args.target_mb}"
-           f"{wtag}_{_code_hash(_packed_mod)}")
     # nnz differs from nr (dedup); find the cache dir by glob
     base = os.path.dirname(_packed_dir("x"))
     import glob
     pat = os.path.join(base, f"packed_{args.scale}_*_g{args.groups}"
                              f"_t{args.target_mb}{wtag}_*_u")
     hits = sorted(glob.glob(pat))
+    if args.wire == "packed":
+        # the packed glob's trailing wildcard also matches rect dirs
+        # (..._t{T}_rect_{hash}_u) — drop them or we'd silently time the
+        # RECT wire and label it packed
+        hits = [h for h in hits if "_rect_" not in os.path.basename(h)]
     if not hits:
         raise SystemExit(f"no cached wire matches {pat}; run "
                          f"tools/bench_ooc.py first")
@@ -77,6 +78,11 @@ def main():
     d_i = d_u[:-2] + "_i"
     ug, nnz = load_packed(d_u)
     ig, _ = load_packed(d_i)
+    want_ndim = 3 if args.wire == "rect" else 2  # group-level lo shape
+    for g in (*ug, *ig):
+        assert g.lo.ndim == want_ndim, (
+            f"cache {d_u} holds a {'rect' if g.lo.ndim == 3 else 'packed'}"
+            f" wire but --wire {args.wire} was requested")
     log(f"wire: {d_u}")
     if args.ram:
         t0 = time.time()

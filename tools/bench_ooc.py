@@ -159,6 +159,82 @@ def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0,
         del u, i, r
 
 
+def build_or_load_wire(scale, wire, groups, target_mb, rank=64, seed=0,
+                       portion=50_000_000):
+    """Build (or load from the shared cache) both OOC wire views.
+
+    Pure host work — safe under JAX_PLATFORMS=cpu, which is exactly how
+    tools/prep_ooc_cache.py calls it to pre-warm the caches without
+    holding the TPU (same tags by construction, including the wire-format
+    tag and the b1 portion spool). Returns (ug, ig, nnz).
+
+    Disk footprint at --scale b1: the spool holds the raw generated
+    portions (~12 GB per 1e9 ratings) so the 4 stream passes of the two
+    wire builds regenerate nothing; the two wire caches add ~2x the wire
+    size. The spool dir is keyed by (shape, seed, portion) so changing
+    the generator params can never serve stale portions."""
+    from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
+                                     build_rect, rect_from_packed)
+    import ycnr_tpu.ops.packed as _packed_mod
+
+    nu, ni, nr = SCALES[scale]
+    kw = dict(rank_hint=rank, target_bytes=target_mb * 2**20,
+              max_groups=groups)
+    wtag = "" if wire == "packed" else "_rect"
+    if scale == "b1":
+        tag = (f"b1_{nu}x{ni}x{nr}_g{groups}_t{target_mb}"
+               f"{wtag}_{_code_hash(_packed_mod)}")
+        d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
+        ug, nnz = load_packed(d_u)
+        ig, _ = load_packed(d_i)
+        if ug is None or ig is None:
+            nnz = nr  # b1_portions ships exactly n_ratings (no dedup)
+            spool = _packed_dir(
+                f"b1_spool_{nu}x{ni}x{nr}_s{seed}_p{portion}")
+            for view, d in (("entity", d_u), ("other", d_i)):
+                t0 = time.time()
+                n_e, n_o = (nu, ni) if view == "entity" else (ni, nu)
+                ports = lambda: b1_portions(nu, ni, nr, portion=portion,
+                                            seed=seed, spool_dir=spool)
+                g = build_packed_stream(
+                    ports(), n_e, n_o, portions2=ports(),
+                    out_dir=os.path.join(d, "wire"), view=view, **kw)
+                if wire == "rect":
+                    # expand group by group straight into the cache dir:
+                    # rect_from_packed memmaps g{gi}.{lo,rat}.npy at the
+                    # exact paths save_packed keeps in place
+                    g = tuple(rect_from_packed(gg, out_dir=d, gi=gi)
+                              for gi, gg in enumerate(g))
+                save_packed(g, d, nnz)
+                from ycnr_tpu.ops.packed import packed_stats
+                log(f"{view} wire built in {time.time() - t0:.0f}s: "
+                    f"{packed_stats(g, nnz)}")
+                del g
+                # the builder's intermediates under wire/ are superseded
+                # by save_packed's canonical copies — reclaim the disk
+                import shutil
+                shutil.rmtree(os.path.join(d, "wire"), ignore_errors=True)
+            ug, _ = load_packed(d_u)
+            ig, _ = load_packed(d_i)
+        return ug, ig, nnz
+    tu, ti, tr, nu, ni = get_coo(scale, seed)
+    nnz = len(tr)
+    tag = (f"{scale}_{nnz}_g{groups}_t{target_mb}"
+           f"{wtag}_{_code_hash(_packed_mod)}")
+    d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
+    ug, _ = load_packed(d_u)
+    ig, _ = load_packed(d_i)
+    if ug is None or ig is None:
+        t0 = time.time()
+        build = build_rect if wire == "rect" else build_packed
+        ug = build(tu, ti, tr, nu, ni, **kw)
+        ig = build(ti, tu, tr, ni, nu, **kw)
+        log(f"wire built in {time.time() - t0:.0f}s")
+        save_packed(ug, d_u, nnz)
+        save_packed(ig, d_i, nnz)
+    return ug, ig, nnz
+
+
 def get_coo(scale, seed=0):
     """ml20m/netflix COO via bench.py's shared cache (same tag -> the
     blob bench.py already built is reused, and vice versa)."""
@@ -241,10 +317,7 @@ def main():
     from ycnr_tpu.models.base import init_state
     from ycnr_tpu.models.ooc import (als_epoch_ooc, device_hbm_stats,
                                      ials_epoch_ooc)
-    from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
-                                     build_rect, packed_stats,
-                                     rect_from_packed)
-    import ycnr_tpu.ops.packed as _packed_mod
+    from ycnr_tpu.ops.packed import packed_stats
 
     log(f"devices: {jax.devices()}")
     result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
@@ -256,63 +329,11 @@ def main():
 
     nu, ni, nr = SCALES[args.scale]
     lam, alpha = 0.05, 40.0
-    kw = dict(rank_hint=args.rank,
-              target_bytes=args.target_mb * 2**20, max_groups=args.groups)
 
-    wtag = "" if args.wire == "packed" else "_rect"
-    if args.scale == "b1":
-        tag = (f"b1_{nu}x{ni}x{nr}_g{args.groups}_t{args.target_mb}"
-               f"{wtag}_{_code_hash(_packed_mod)}")
-        d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
-        ug, nnz_u = load_packed(d_u)
-        ig, nnz_i = load_packed(d_i)
-        nnz = nnz_u
-        if ug is None or ig is None:
-            nnz = nr  # b1_portions ships exactly n_ratings (no dedup)
-            spool = _packed_dir(f"b1_spool_{nu}x{ni}x{nr}")
-            for view, d in (("entity", d_u), ("other", d_i)):
-                t0 = time.time()
-                n_e, n_o = (nu, ni) if view == "entity" else (ni, nu)
-                g = build_packed_stream(
-                    b1_portions(nu, ni, nr, spool_dir=spool), n_e, n_o,
-                    portions2=b1_portions(nu, ni, nr, spool_dir=spool),
-                    out_dir=os.path.join(d, "wire"), view=view, **kw)
-                if args.wire == "rect":
-                    # expand group by group straight into the cache dir:
-                    # rect_from_packed memmaps g{gi}.{lo,rat}.npy at the
-                    # exact paths save_packed keeps in place
-                    g = tuple(rect_from_packed(gg, out_dir=d, gi=gi)
-                              for gi, gg in enumerate(g))
-                save_packed(g, d, nnz)
-                log(f"{view} wire built in {time.time() - t0:.0f}s: "
-                    f"{packed_stats(g, nnz)}")
-                del g
-                # the builder's intermediates under wire/ are superseded
-                # by save_packed's canonical copies — reclaim the disk
-                import shutil
-                shutil.rmtree(os.path.join(d, "wire"), ignore_errors=True)
-            ug, _ = load_packed(d_u)
-            ig, _ = load_packed(d_i)
-        st_u = packed_stats(ug, nnz)
-        st_i = packed_stats(ig, nnz)
-    else:
-        tu, ti, tr, nu, ni = get_coo(args.scale)
-        nnz = len(tr)
-        tag = (f"{args.scale}_{nnz}_g{args.groups}_t{args.target_mb}"
-               f"{wtag}_{_code_hash(_packed_mod)}")
-        d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
-        ug, _ = load_packed(d_u)
-        ig, _ = load_packed(d_i)
-        if ug is None or ig is None:
-            t0 = time.time()
-            build = build_rect if args.wire == "rect" else build_packed
-            ug = build(tu, ti, tr, nu, ni, **kw)
-            ig = build(ti, tu, tr, ni, nu, **kw)
-            log(f"wire built in {time.time() - t0:.0f}s")
-            save_packed(ug, d_u, nnz)
-            save_packed(ig, d_i, nnz)
-        st_u = packed_stats(ug, nnz)
-        st_i = packed_stats(ig, nnz)
+    ug, ig, nnz = build_or_load_wire(args.scale, args.wire, args.groups,
+                                     args.target_mb, rank=args.rank)
+    st_u = packed_stats(ug, nnz)
+    st_i = packed_stats(ig, nnz)
     log(f"user wire: {st_u}")
     log(f"item wire: {st_i}")
     wire_mb = (st_u["wire_bytes"] + st_i["wire_bytes"]) / 2**20
@@ -378,6 +399,8 @@ def main():
         import ycnr_tpu.data.synthetic as _synth_mod
         import ycnr_tpu.ops.bucketed as _bucketed_mod
 
+        # cache hit — the wire build above already generated this COO
+        tu, ti, tr, nu, ni = get_coo(args.scale)
         # same key scheme as bench.py so the blob is shared with it
         lp = _cache_path(
             f"lay_{nu}x{ni}x{SCALES[args.scale][2]}_s0"

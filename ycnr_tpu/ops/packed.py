@@ -473,6 +473,11 @@ def rect_from_packed(g: PackedGroup, out_dir: Optional[str] = None,
         rat[b].reshape(-1)[flat] = np.asarray(g.rat[b][:n_real])
         hp = np.asarray(g.hi_pos[b])
         hv = np.asarray(g.hi_val[b])
+        # invariant from _encode_rows: real hi entries are nonzero (an id
+        # delta >= 1<<16 has hi >= 1) and hi_pos/hi_val pad with (0, 0) —
+        # so hv != 0 separates real corrections from padding exactly. If
+        # the encoder ever emits zero/signed hi values, track per-block hi
+        # lengths here instead.
         m = hv != 0
         his.append((flat[hp[m]].astype(np.int32), hv[m].astype(np.int32)))
     H = max(1, max((len(hp) for hp, _ in his), default=1))
