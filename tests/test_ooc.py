@@ -294,6 +294,95 @@ def test_multi_epoch_rmse_trajectory(coo, layouts):
     assert hist_o[-1] < hist_o[0]
 
 
+def test_hbm_resident_wire_parity_f64(layouts):
+    """A wire pinned on device (wire_to_device) must run the SAME epoch
+    as the streamed wire, bitwise in f64 — zero host traffic is a
+    transport change, never a math change."""
+    from ycnr_tpu.models.ooc import group_resident, wire_to_device
+
+    ures, ires, upk, ipk = layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
+                             device_bucketed(ires, jnp.float64), 0.05)
+    du, di, pinned = wire_to_device(upk, ipk)
+    assert all(group_resident(g) for g in (*du, *di))
+    from ycnr_tpu.models.ooc import wire_nbytes
+
+    assert pinned == wire_nbytes(upk, ipk)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = als_epoch_ooc(st, du, di, 0.05)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_partial_residency_budget_split(layouts):
+    """A budget that fits only some groups pins the largest ones, leaves
+    the rest on host, and the MIXED epoch still matches bitwise."""
+    from ycnr_tpu.models.ooc import group_resident, wire_to_device
+
+    ures, ires, upk, ipk = layouts
+    sizes = sorted((sum(getattr(g, n).nbytes for n in
+                        ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid"))
+                    for g in (*upk, *ipk)), reverse=True)
+    budget = sizes[0] + sizes[1] + sizes[2] // 2  # exactly 2 groups fit
+    du, di, pinned = wire_to_device(upk, ipk, budget)
+    n_res = sum(group_resident(g) for g in (*du, *di))
+    assert 0 < n_res < len(du) + len(di)
+    assert pinned <= budget
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_ooc(st, upk, ipk, 0.05)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = als_epoch_ooc(st, du, di, 0.05)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_rmse_wire_matches_padded_coo(coo, layouts):
+    """rmse_wire (train RMSE straight off the wire, for beyond-HBM runs
+    where no COO copy exists) agrees with the padded-COO evaluator."""
+    from ycnr_tpu.models.base import rmse_padded
+    from ycnr_tpu.models.ooc import rmse_wire, wire_to_device
+    from ycnr_tpu.ops.layout import pad_coo
+
+    u, i, r = coo
+    upk, ipk = layouts[2], layouts[3]
+    st = init_state(NU, NI, 16, seed=5)
+    st = als_epoch_ooc(st, upk, ipk, 0.05)
+    want = float(rmse_padded(st, *pad_coo(u, i, r, NU, NI)))
+    got = rmse_wire(st, upk, len(r))
+    assert abs(got - want) < 1e-5
+    # resident wire: same value
+    du, di, _ = wire_to_device(upk, ipk)
+    got_dev = rmse_wire(st, du, len(r))
+    assert abs(got_dev - want) < 1e-5
+
+
+def test_train_loop_ooc_residency(coo, tmp_path):
+    """The CLI-level train path with ooc_residency='auto' pins the wire
+    (tiny dataset -> everything fits), logs the residency event, and
+    produces a descending RMSE."""
+    import dataclasses
+
+    from ycnr_tpu.config import get_preset
+    from ycnr_tpu.train.loop import train
+
+    cfg = get_preset("ml100k-als")
+    cfg = cfg.replace(
+        ooc=True, ooc_wire="packed", ooc_residency="auto",
+        data=dataclasses.replace(cfg.data, source="synthetic"),
+        als=dataclasses.replace(cfg.als, epochs=2),
+        out_dir=str(tmp_path), log_train_rmse=False)
+    res = train(cfg)
+    assert res.rmse_history[-1] < res.rmse_history[0]
+    import json as _json
+
+    recs = [_json.loads(x) for x in
+            open(tmp_path / cfg.name / "metrics.jsonl")]
+    ev = [x for x in recs if x.get("event") == "ooc_residency"]
+    assert ev and ev[0]["hbm_pinned_bytes"] > 0
+    assert ev[0]["streamed_bytes"] == 0
+
+
 def test_wire_stats(coo, layouts):
     u, _, _ = coo
     stats = packed_stats(layouts[2], len(u))

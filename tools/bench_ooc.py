@@ -291,10 +291,23 @@ def main():
                     help="wire chunks kept in flight")
     ap.add_argument("--chunk-blocks", type=int, default=None,
                     help="blocks per wire chunk (default: auto ~48 MB)")
-    ap.add_argument("--wire", choices=["rect", "packed"], default="rect",
-                    help="wire format: rect (padded rectangles, gather-"
-                    "free decode — the fast default) or packed (minimal "
-                    "bytes at rest, per-slot gather decode)")
+    ap.add_argument("--wire", choices=["rect", "packed"], default="packed",
+                    help="wire format: packed (minimal bytes — the "
+                    "default: the tunnel wire AND the HBM pin are byte-"
+                    "bound, docs/KERNELS.md) or rect (padded rectangles, "
+                    "gather-free decode, for fast local links)")
+    ap.add_argument("--residency", choices=["host", "auto", "device"],
+                    default="host",
+                    help="wire residency: host = stream every epoch "
+                    "(measures the wire-bound tier), auto/device = pin "
+                    "groups in HBM via models.ooc.wire_to_device "
+                    "(measures the HBM-compressed tier)")
+    ap.add_argument("--rmse", action="store_true",
+                    help="also compute train RMSE from the wire after "
+                    "each epoch (timed separately)")
+    ap.add_argument("--budget-gb", type=float, default=None,
+                    help="override the auto residency budget (GB of HBM "
+                    "for pinned wire groups)")
     ap.add_argument("--compare", action="store_true",
                     help="also time the resident bucketed epoch")
     ap.add_argument("--probe", action="store_true",
@@ -342,6 +355,22 @@ def main():
                   wire_bytes_per_rating=round(
                       (st_u["wire_bytes"] + st_i["wire_bytes"]) / nnz, 2))
 
+    if args.residency != "host":
+        from ycnr_tpu.models.ooc import auto_wire_budget, wire_to_device
+
+        budget = (int(args.budget_gb * 2**30) if args.budget_gb
+                  else None if args.residency == "device"
+                  else auto_wire_budget(nu, ni, args.rank))
+        t0 = time.time()
+        ug, ig, pinned = wire_to_device(ug, ig, budget)
+        jax.block_until_ready(ug[0].lo)
+        result["residency"] = {
+            "mode": args.residency,
+            "hbm_pinned_mb": round(pinned / 2**20, 1),
+            "streamed_mb": round(wire_mb - pinned / 2**20, 1),
+            "pin_upload_s": round(time.time() - t0, 3)}
+        log(f"residency: {result['residency']}")
+
     hbm0 = device_hbm_stats()
     state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
     jax.block_until_ready(state.U)
@@ -357,11 +386,40 @@ def main():
                                  prefetch=args.prefetch,
                                  chunk_blocks=args.chunk_blocks)
 
-    state, t_ooc = time_epochs(ooc_step, state, args.epochs, "ooc")
+    if args.rmse:
+        from ycnr_tpu.models.ooc import rmse_wire
+
+        rmses, rmse_times = [], []
+        for ep in range(args.epochs):
+            t0 = time.time()
+            state = ooc_step(state)
+            float(jax.device_get(jnp.sum(state.U)))
+            dt = time.time() - t0
+            t0 = time.time()
+            rm = rmse_wire(state, ug, nnz)
+            rmse_times.append(round(time.time() - t0, 3))
+            rmses.append(round(rm, 6))
+            log(f"ooc epoch {ep}: {dt:.3f}s rmse {rm:.4f} "
+                f"(+{rmse_times[-1]:.3f}s eval)")
+            if ep == 0:
+                t_ooc = {"first_s": round(dt, 3), "steady_s": None}
+            else:
+                t_ooc["steady_s"] = (round(dt, 3)
+                                     if t_ooc["steady_s"] is None
+                                     else min(t_ooc["steady_s"],
+                                              round(dt, 3)))
+        result["rmse_per_epoch"] = rmses
+        result["rmse_eval_s"] = min(rmse_times[1:]) if len(rmse_times) > 1 \
+            else rmse_times[0]
+        if len(rmses) > 1 and not rmses[-1] < rmses[0]:
+            log(f"WARNING: RMSE not descending: {rmses}")
+    else:
+        state, t_ooc = time_epochs(ooc_step, state, args.epochs, "ooc")
     hbm1 = device_hbm_stats()
     result["ooc"] = t_ooc
-    result["ooc"]["wire_MBps_effective"] = round(
-        wire_mb / t_ooc["steady_s"], 1)
+    if t_ooc.get("steady_s"):
+        result["ooc"]["wire_MBps_effective"] = round(
+            wire_mb / t_ooc["steady_s"], 1)
     result["hbm"] = {"before": hbm0, "after_peak": hbm1}
     if hbm1:
         result["hbm"]["peak_gb"] = round(
@@ -380,12 +438,17 @@ def main():
                zip(group_b, [g for gr in (ug, ig) for g in gr])]
     chunk_b = (args.chunk_blocks * max(per_blk) if args.chunk_blocks
                else min(48 * 2**20, max(group_b)))
-    slots = max(int(g.cnt.sum(axis=1).max(initial=0))
+    slots = max(int(np.asarray(g.cnt).sum(axis=1).max(initial=0))
                 for gr in (ug, ig) for g in gr)  # widest decoded block
+    pinned_b = (result.get("residency", {}).get("hbm_pinned_mb", 0)
+                * 2**20)
+    streamed_any = any(not isinstance(g.lo, jax.Array)
+                       for gr in (ug, ig) for g in gr)
     model = (
         (nu + ni) * k * 4          # resident f32 factors
         + max(nu, ni) * k * 2      # bf16 gather copy of the fixed side
-        + (args.prefetch + 1) * chunk_b
+        + int(pinned_b)            # HBM-pinned wire groups
+        + (args.prefetch + 1) * chunk_b * streamed_any
         + int(slots) * (4 + 4 + k * 2 + k * 4))  # oi+rr+gather+solve rows
     result["hbm"]["model_peak_gb"] = round(model / 2**30, 2)
     del state

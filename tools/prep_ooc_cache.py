@@ -32,9 +32,9 @@ from tools.bench_ooc import SCALES, build_or_load_wire, get_coo
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=list(SCALES), default="netflix")
-    ap.add_argument("--wire", choices=["rect", "packed"], default="rect",
+    ap.add_argument("--wire", choices=["rect", "packed"], default="packed",
                     help="wire format — must match the bench_ooc run "
-                    "this pre-build is for (rect is both defaults)")
+                    "this pre-build is for (packed is both defaults)")
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--target-mb", type=int, default=192)

@@ -176,14 +176,21 @@ def _add_train_overrides(p):
                    help="checkpoint array storage (default npz; orbax = "
                         "JAX-ecosystem TensorStore format)")
     p.add_argument("--ooc", action="store_true",
-                   help="out-of-core training: stream rating blocks "
-                        "host->HBM each epoch (factors stay resident) so "
-                        "nnz is bounded by host RAM, not device memory "
-                        "(single-chip als/ials)")
+                   help="out-of-core training: rating layout in compact "
+                        "wire form — HBM-pinned groups up to the device "
+                        "budget, the rest streamed host->HBM each epoch "
+                        "— so nnz is bounded by host RAM, not device "
+                        "memory (single-chip als/ials)")
     p.add_argument("--ooc-wire", choices=["rect", "packed"], default=None,
-                   help="OOC wire format (default rect: padded "
-                        "rectangles, gather-free decode — fastest; "
-                        "packed: ~1/fill fewer host bytes at rest)")
+                   help="OOC wire format (default packed: minimal bytes "
+                        "— the wire and the HBM pin are byte-bound; "
+                        "rect: gather-free decode for fast local links)")
+    p.add_argument("--ooc-residency", choices=["auto", "device", "host"],
+                   default=None,
+                   help="OOC wire residency (default auto: pin whole "
+                        "wire groups in HBM under the device budget, "
+                        "stream the rest; host = pure streaming; device "
+                        "= pin everything)")
     p.add_argument("--fused-epochs", type=int, metavar="K",
                    help="fuse K epochs + their RMSE evals into one device "
                         "program (single-chip ALS/iALS; ~7%% wall saved per "
@@ -287,6 +294,8 @@ def _build_cfg(args):
         cfg = cfg.replace(ooc=True)
     if getattr(args, "ooc_wire", None):
         cfg = cfg.replace(ooc_wire=args.ooc_wire)
+    if getattr(args, "ooc_residency", None):
+        cfg = cfg.replace(ooc_residency=args.ooc_residency)
     if args.out is not None:
         cfg = cfg.replace(out_dir=args.out)
     elif not cfg.out_dir and not (file_cfg and "out_dir" in file_cfg):

@@ -184,17 +184,25 @@ class RunConfig:
     # boundaries. Prefer a value dividing `epochs` (a partial tail block
     # compiles a second program — minutes of upload on a remote TPU).
     fused_epochs: int = 1
-    # out-of-core training (models/ooc.py): keep only the factors resident
-    # and stream the rating layout host->HBM through every epoch in the
-    # packed wire format (ops/packed.py) — bounds trainable nnz by host
-    # RAM/disk instead of device memory (the reference's portioned DB
-    # streaming, SURVEY.md L1->L5). Single-chip ALS/iALS only; epochs are
-    # wire-bandwidth-bound (docs/KERNELS.md "Out-of-core streaming").
+    # out-of-core training (models/ooc.py): keep only the factors (and as
+    # much of the compressed wire as fits) resident and stream the rest
+    # host->HBM through every epoch (ops/packed.py) — bounds trainable
+    # nnz by host RAM/disk instead of device memory (the reference's
+    # portioned DB streaming, SURVEY.md L1->L5). Single-chip ALS/iALS
+    # only; streamed groups are wire-bandwidth-bound, HBM-pinned groups
+    # run at near-resident speed (docs/KERNELS.md "Out-of-core
+    # streaming").
     ooc: bool = False
-    # OOC wire format: "rect" (padded rectangles, gather-free device
-    # decode — ~4x faster epochs, measured) or "packed" (~1/fill fewer
-    # bytes at rest when host RAM/disk binds)
-    ooc_wire: str = "rect"
+    # OOC wire format: "packed" (minimal bytes — the default: both the
+    # host wire and the HBM-pinned footprint are byte-bound) or "rect"
+    # (padded rectangles, gather-free device decode — for hosts with a
+    # fast local link where the decode, not the wire, binds)
+    ooc_wire: str = "packed"
+    # OOC wire residency: "auto" pins whole wire groups in HBM under
+    # auto_wire_budget (largest first) and streams the remainder;
+    # "host" forces pure streaming (the pre-round-4 behavior); "device"
+    # pins everything (fails on HBM exhaustion rather than falling back)
+    ooc_residency: str = "auto"
     measure_serving: bool = False  # time top-N for all users after training
     # serving scorer for measure_serving / offline top-N: exact | fused |
     # fused32 (fused = Pallas kernel, ops/pallas_topn.py; falls back to

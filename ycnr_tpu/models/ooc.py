@@ -16,17 +16,28 @@ Parity: a decoded wire block is bitwise the resident BucketedCSR block
 (bucketed_phase.bucket_solve_rows), so an OOC epoch equals a resident
 epoch exactly in float64 (pinned in tests/test_ooc.py).
 
-Performance model (measured round 3, this v5e tunnel): the wire itself
-is cheap — a single stream moves ~405 MB/s, so Netflix's 632 MB/epoch is
-~1.6 s of transfer. The measured steady epoch is ~12 s with OR without
-multi-block chunking (12.25 s chunked vs 11.93 s at 6 puts/block), which
-refutes the put-granularity hypothesis: the cost is on-device DECODE —
-unpacking packed rows to the padded rectangle is two scalar-element
-gathers per slot (delta[src], rat[src]), ~300M single-element gathers
-per Netflix epoch that waste the TPU's gather granule. Chunking is kept
-as transport hygiene (fewer dispatches, memmap-friendly views), but the
-decode is the lever — see docs/KERNELS.md "Out-of-core streaming" for
-the attribution and BASELINE.md for the current numbers.
+Performance model (REVISED round 4 — the round-3 model was wrong): the
+host->device wire on this tunneled v5e moves ~40 MB/s for u16/f32 and
+~22 MB/s for int8, measured with a scalar-readback sync (the round-3
+"405 MB/s" probe trusted block_until_ready, which returns at enqueue
+here — it measured the enqueue, not the transfer). A streamed epoch is
+therefore TRANSFER-bound, not decode-bound: round-4 attribution at
+Netflix scale puts the RECT epoch at puts 24.5 s / decode +0 s /
+compute +0.8 s. Consequences, in order:
+
+* BYTES are the lever. The packed wire (~6.6 B/rating both views)
+  beats RECT (~9.75 B/rating) whenever the wire binds, so packed is
+  the streaming default; RECT is kept for hosts with a real local PCIe
+  link where the decode (not the wire) would bind.
+* The real win is not to ship at all: `wire_to_device` pins whole wire
+  groups in HBM (2.6-3x smaller than the decoded resident layout) and
+  the epoch decodes them on device, block by block — same program,
+  zero transfer. One v5e chip then trains ~1.5-2B ratings at near-
+  resident speed; only nnz beyond that streams at the wire rate.
+* Chunking (multi-block puts) remains transport hygiene only.
+
+See docs/KERNELS.md "Out-of-core streaming" for the measurements and
+BASELINE.md for the current numbers.
 """
 
 from __future__ import annotations
@@ -181,15 +192,84 @@ def _global_gram(F):
     return jnp.einsum("nk,nm->km", F, F, preferred_element_type=F.dtype)
 
 
+_WIRE_NAMES = ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid")
+
+
+def wire_nbytes(*group_tuples) -> int:
+    """Total wire bytes across any number of PackedCSR/RectCSR tuples."""
+    return sum(getattr(g, n).nbytes
+               for gs in group_tuples for g in gs for n in _WIRE_NAMES)
+
+
+def group_resident(g) -> bool:
+    """True when g's wire arrays live in device memory (HBM)."""
+    return isinstance(g.lo, jax.Array)
+
+
+def auto_wire_budget(n_users: int, n_items: int, rank: int,
+                     hbm_bytes: Optional[int] = None) -> int:
+    """HBM bytes available for pinning wire groups on one chip.
+
+    Starts from the chip's reported limit (axon devices report none —
+    assume a 16 GB v5e) and reserves: f32 factors+biases, the phase's
+    bf16 gather copy, ~3 blocks of decoded+gathered tensors (192 MB
+    decoded target each, ~4x that gathered at rank<=64 bf16), and a
+    1.5 GB runtime margin (XLA scratch, donation slack)."""
+    if hbm_bytes is None:
+        stats = device_hbm_stats()
+        hbm_bytes = stats.get("bytes_limit", 16 * 10**9)
+    k = rank
+    reserve = (
+        (n_users + n_items + 2) * (k * 4 + k * 2 + 8)  # factors + bf16 + biases
+        + 3 * (192 * 2**20) * (1 + k // 16)            # in-flight block tensors
+        + 1_500_000_000)
+    return max(0, hbm_bytes - reserve)
+
+
+def wire_to_device(user_groups: PackedCSR, item_groups: PackedCSR,
+                   budget_bytes: Optional[int] = None):
+    """Pin wire groups in HBM so epochs skip the host wire entirely.
+
+    The wire is 2.6-3x smaller than the decoded resident layout
+    (~3 B/slot vs 8), so pinning it raises the single-chip trainable
+    bound from ~600M to ~1.5-2B ratings while the epoch stays the SAME
+    program (the decode runs on device either way). Greedy largest-
+    first whole-group placement under ``budget_bytes`` (None = pin
+    everything); groups that don't fit keep their host arrays and
+    stream as before — phase_packed dispatches per group.
+
+    Returns (user_groups, item_groups, resident_bytes)."""
+    tagged = ([("u", i, g) for i, g in enumerate(user_groups)]
+              + [("i", i, g) for i, g in enumerate(item_groups)])
+    sizes = {(s, i): sum(getattr(g, n).nbytes for n in _WIRE_NAMES)
+             for s, i, g in tagged}
+    out = {"u": list(user_groups), "i": list(item_groups)}
+    spent = 0
+    for s, i, g in sorted(tagged, key=lambda t: -sizes[(t[0], t[1])]):
+        b = sizes[(s, i)]
+        if group_resident(g):
+            spent += b
+            continue
+        if budget_bytes is not None and spent + b > budget_bytes:
+            continue
+        out[s][i] = g._replace(
+            **{n: jax.device_put(np.ascontiguousarray(getattr(g, n)))
+               for n in _WIRE_NAMES})
+        spent += b
+    return tuple(out["u"]), tuple(out["i"]), spent
+
+
 def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
                  lam: float, alpha: Optional[float] = None,
                  base_gram=None, gather_bf16: bool = False,
                  prefetch: int = 2,
                  chunk_blocks: Optional[int] = None) -> jnp.ndarray:
-    """Re-solve all entity rows of E against F, streaming wire chunks.
+    """Re-solve all entity rows of E against F from the wire format.
 
-    ``prefetch`` chunks are kept in flight: jax.device_put is async, so
-    chunk c+1 (and c+2) move over the wire while chunk c's program runs.
+    Per-group dispatch: a group pinned in HBM (wire_to_device) runs as
+    ONE scan over its blocks — zero host traffic; a host-resident group
+    streams in chunks with ``prefetch`` puts in flight (jax.device_put
+    is async, so chunk c+1 moves while chunk c's program runs).
     ``chunk_blocks`` is the number of same-shape blocks shipped per put
     (default: auto-sized to ~48 MB of wire per chunk — see
     _ooc_chunk_step on why granularity is a transport lever). E is
@@ -197,6 +277,11 @@ def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
     """
     F_g = _cast_gather(F, gather_bf16)
     for g in groups:
+        if group_resident(g):
+            E = _ooc_chunk_step(E, F_g, g.lo, g.hi_pos, g.hi_val, g.rat,
+                                g.cnt, g.eid, base_gram, g.R, g.n_other,
+                                lam, alpha, gather_bf16)
+            continue
         chunks = _group_chunks(g, chunk_blocks)
         q = []
         for ch in chunks:
@@ -243,6 +328,54 @@ def ials_epoch_ooc(state: MFState, user_groups: PackedCSR,
                      gather_bf16=gather_bf16, prefetch=prefetch,
                      chunk_blocks=chunk_blocks)
     return state._replace(U=U, V=V)
+
+
+@partial(jax.jit, static_argnames=("R", "n_other"))
+def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
+                       R: int, n_other: int):
+    """Sum of squared prediction errors over a chunk of wire blocks.
+
+    Same decode as the training step; predictions are the row-wise dots
+    E[eid] . F[oi] (padding slots gather the zero factor row at n_other
+    and carry rating 0, but are masked explicitly so they contribute
+    exactly nothing even if E[eid] is nonzero)."""
+    def body(acc, blk):
+        blo, bhp, bhv, brat, bcnt, beid = blk
+        dec = decode_block_rect if blo.ndim == 2 else decode_block
+        oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, jnp.float32)
+        valid = (lax.broadcasted_iota(jnp.int32, oi.shape, 1)
+                 < bcnt[:, None])
+        pred = jnp.einsum("urk,uk->ur", F_g[oi].astype(jnp.float32),
+                          E[beid].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        err = jnp.where(valid, rr - pred, 0.0)
+        # per-block jnp.sum is tree-reduced (accurate in f32); the f64
+        # accumulation across chunks happens on host in rmse_wire
+        return acc + jnp.sum(err * err), None
+
+    acc, _ = lax.scan(body, jnp.float32(0),
+                      (lo, hi_pos, hi_val, rat, cnt, eid))
+    return acc
+
+
+def rmse_wire(state: MFState, user_groups: PackedCSR, nnz: int,
+              chunk_blocks: Optional[int] = None,
+              prefetch: int = 2) -> float:
+    """Train RMSE straight from the wire format (one view covers every
+    rating exactly once). Used by the beyond-HBM bench/CLI paths where
+    no COO copy of the training set exists on host or device."""
+    acc = 0.0  # f64 host accumulation of per-chunk f32 tree-sums
+    for g in user_groups:
+        if group_resident(g):
+            acc += float(jax.device_get(_wire_sq_err_chunk(
+                state.U, state.V, g.lo, g.hi_pos, g.hi_val, g.rat,
+                g.cnt, g.eid, g.R, g.n_other)))
+            continue
+        for ch in _group_chunks(g, chunk_blocks):
+            dv = tuple(jax.device_put(a) for a in ch)
+            acc += float(jax.device_get(_wire_sq_err_chunk(
+                state.U, state.V, *dv, g.R, g.n_other)))
+    return (acc / max(nnz, 1)) ** 0.5
 
 
 def device_hbm_stats() -> dict:

@@ -134,6 +134,9 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     if cfg.ooc and cfg.ooc_wire not in ("rect", "packed"):
         raise ValueError(f"ooc_wire must be 'rect' or 'packed', got "
                          f"{cfg.ooc_wire!r}")
+    if cfg.ooc and cfg.ooc_residency not in ("auto", "device", "host"):
+        raise ValueError(f"ooc_residency must be 'auto', 'device' or "
+                         f"'host', got {cfg.ooc_residency!r}")
     if cfg.mesh.n_shards > 1:
         if cfg.ooc:
             raise ValueError(
@@ -175,11 +178,16 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             n_test_int=n_test)
     if cfg.algorithm in ("als", "ials"):
         if cfg.ooc:
-            # out-of-core: wire-format layouts stay on host, blocks stream
-            # to HBM through each epoch (models/ooc.py). rect = padded
-            # rectangles with a gather-free device decode (the fast
-            # default); packed = minimal bytes at rest for hosts where
-            # RAM/disk binds (docs/KERNELS.md "Out-of-core streaming")
+            # out-of-core: rating layouts in compact wire form
+            # (models/ooc.py). packed = minimal bytes (the default —
+            # both the host wire and the HBM pin are byte-bound); rect
+            # = gather-free device decode for fast local links. Under
+            # "auto"/"device" residency, whole groups are pinned in HBM
+            # (near-resident epochs, 2.6-3x less HBM than the decoded
+            # layout); the remainder streams host->HBM each epoch
+            # (docs/KERNELS.md "Out-of-core streaming")
+            from ycnr_tpu.models.ooc import (auto_wire_budget,
+                                             wire_nbytes, wire_to_device)
             from ycnr_tpu.ops.packed import build_packed, build_rect
 
             build = build_rect if cfg.ooc_wire == "rect" else build_packed
@@ -189,6 +197,15 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             dil = build(ds.train_i, ds.train_u, ds.train_r,
                         ds.n_items, ds.n_users, params.rank,
                         max_groups=cfg.data.max_groups)
+            if cfg.ooc_residency != "host":
+                budget = (None if cfg.ooc_residency == "device"
+                          else auto_wire_budget(ds.n_users, ds.n_items,
+                                                params.rank))
+                total = wire_nbytes(dul, dil)
+                dul, dil, pinned = wire_to_device(dul, dil, budget)
+                metrics.log(event="ooc_residency", wire_bytes=total,
+                            hbm_pinned_bytes=pinned,
+                            streamed_bytes=total - pinned)
         else:
             # single-chip fast path: bucketed (segsum-free) layout
             from ycnr_tpu.models.bucketed_phase import device_bucketed
