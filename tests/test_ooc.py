@@ -304,13 +304,22 @@ def test_hbm_resident_wire_parity_f64(layouts):
     st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
     ref = als_epoch_bucketed(st, device_bucketed(ures, jnp.float64),
                              device_bucketed(ires, jnp.float64), 0.05)
-    du, di, pinned = wire_to_device(upk, ipk)
+    du, di, pinned = wire_to_device(upk, ipk, pin_format="keep")
     assert all(group_resident(g) for g in (*du, *di))
     from ycnr_tpu.models.ooc import wire_nbytes
 
     assert pinned == wire_nbytes(upk, ipk)
     st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
     got = als_epoch_ooc(st, du, di, 0.05)
+    assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
+    assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+    # pin_format="auto" upgrades packed groups to RECT on the way in —
+    # a transport/format change only, still bitwise
+    da, dia, pinned_a = wire_to_device(upk, ipk)
+    assert all(group_resident(g) and g.lo.ndim == 3 for g in (*da, *dia))
+    assert pinned_a >= pinned  # rect ships the padding slots
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = als_epoch_ooc(st, da, dia, 0.05)
     assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
     assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
 

@@ -308,6 +308,11 @@ def main():
     ap.add_argument("--budget-gb", type=float, default=None,
                     help="override the auto residency budget (GB of HBM "
                     "for pinned wire groups)")
+    ap.add_argument("--pin-format", choices=["auto", "keep"],
+                    default="auto",
+                    help="auto = upgrade pinned groups to RECT (gather-"
+                    "free decode) when the budget allows, packed "
+                    "fallback; keep = pin in the loaded format")
     ap.add_argument("--compare", action="store_true",
                     help="also time the resident bucketed epoch")
     ap.add_argument("--probe", action="store_true",
@@ -362,12 +367,22 @@ def main():
                   else None if args.residency == "device"
                   else auto_wire_budget(nu, ni, args.rank))
         t0 = time.time()
-        ug, ig, pinned = wire_to_device(ug, ig, budget)
+        ug, ig, pinned = wire_to_device(ug, ig, budget,
+                                        pin_format=args.pin_format)
         jax.block_until_ready(ug[0].lo)
+        host_mb = sum(
+            getattr(g, n).nbytes
+            for gr in (ug, ig) for g in gr
+            for n in ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid")
+            if not isinstance(g.lo, jax.Array)) / 2**20
         result["residency"] = {
             "mode": args.residency,
+            "formats": sorted({("rect" if g.lo.ndim == 3 else "packed")
+                               + (":hbm" if isinstance(g.lo, jax.Array)
+                                  else ":host")
+                               for gr in (ug, ig) for g in gr}),
             "hbm_pinned_mb": round(pinned / 2**20, 1),
-            "streamed_mb": round(wire_mb - pinned / 2**20, 1),
+            "streamed_mb": round(host_mb, 1),
             "pin_upload_s": round(time.time() - t0, 3)}
         log(f"residency: {result['residency']}")
 

@@ -226,35 +226,72 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
     return max(0, hbm_bytes - reserve)
 
 
-def wire_to_device(user_groups: PackedCSR, item_groups: PackedCSR,
-                   budget_bytes: Optional[int] = None):
+def _rect_bytes_estimate(g) -> int:
+    """Upper bound on g's wire bytes after rect_from_packed (exact for
+    lo/rat/cnt/eid; hi uses the packed H, which conversion can only
+    shrink — it drops padding entries)."""
+    if g.lo.ndim == 3:  # already rect
+        return sum(getattr(g, n).nbytes for n in _WIRE_NAMES)
+    nb, ne = g.cnt.shape
+    slot = 2 + (1 if g.rat.dtype == np.int8 else 4)
+    return (nb * ne * g.R * slot + g.hi_pos.nbytes + g.hi_val.nbytes
+            + g.cnt.nbytes + g.eid.nbytes)
+
+
+def wire_to_device(user_groups, item_groups,
+                   budget_bytes: Optional[int] = None,
+                   pin_format: str = "auto"):
     """Pin wire groups in HBM so epochs skip the host wire entirely.
 
     The wire is 2.6-3x smaller than the decoded resident layout
     (~3 B/slot vs 8), so pinning it raises the single-chip trainable
-    bound from ~600M to ~1.5-2B ratings while the epoch stays the SAME
+    bound from ~600M to ~1.5B+ ratings while the epoch stays the SAME
     program (the decode runs on device either way). Greedy largest-
     first whole-group placement under ``budget_bytes`` (None = pin
     everything); groups that don't fit keep their host arrays and
     stream as before — phase_packed dispatches per group.
 
+    ``pin_format`` encodes the measured cost ladder (Netflix rank 64,
+    docs/KERNELS.md "Out-of-core streaming": rect-pinned 2.47 s/epoch
+    == resident 2.44; packed-pinned 7.73 — the per-slot gather decode
+    costs real time once the wire is free; streamed 12-22 s at the
+    ~40 MB/s tunnel wire):
+
+      "auto"  pin as RECT (gather-free decode, 1/fill more bytes) when
+              the budget allows, fall back to pinning the group PACKED
+              when only that fits, stream otherwise
+      "keep"  pin groups in the format they arrived in
+
     Returns (user_groups, item_groups, resident_bytes)."""
+    from ycnr_tpu.ops.packed import rect_from_packed
+
     tagged = ([("u", i, g) for i, g in enumerate(user_groups)]
               + [("i", i, g) for i, g in enumerate(item_groups)])
     sizes = {(s, i): sum(getattr(g, n).nbytes for n in _WIRE_NAMES)
              for s, i, g in tagged}
     out = {"u": list(user_groups), "i": list(item_groups)}
     spent = 0
+
+    def pin(g):
+        return g._replace(
+            **{n: jax.device_put(np.ascontiguousarray(getattr(g, n)))
+               for n in _WIRE_NAMES})
+
     for s, i, g in sorted(tagged, key=lambda t: -sizes[(t[0], t[1])]):
         b = sizes[(s, i)]
         if group_resident(g):
             spent += b
             continue
+        rb = _rect_bytes_estimate(g) if pin_format == "auto" else None
+        if (pin_format == "auto" and g.lo.ndim != 3
+                and (budget_bytes is None or spent + rb <= budget_bytes)):
+            rg = rect_from_packed(g)
+            out[s][i] = pin(rg)
+            spent += sum(getattr(rg, n).nbytes for n in _WIRE_NAMES)
+            continue
         if budget_bytes is not None and spent + b > budget_bytes:
             continue
-        out[s][i] = g._replace(
-            **{n: jax.device_put(np.ascontiguousarray(getattr(g, n)))
-               for n in _WIRE_NAMES})
+        out[s][i] = pin(g)
         spent += b
     return tuple(out["u"]), tuple(out["i"]), spent
 

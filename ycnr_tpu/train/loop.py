@@ -198,14 +198,17 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                         ds.n_items, ds.n_users, params.rank,
                         max_groups=cfg.data.max_groups)
             if cfg.ooc_residency != "host":
+                from ycnr_tpu.models.ooc import group_resident
+
                 budget = (None if cfg.ooc_residency == "device"
                           else auto_wire_budget(ds.n_users, ds.n_items,
                                                 params.rank))
-                total = wire_nbytes(dul, dil)
                 dul, dil, pinned = wire_to_device(dul, dil, budget)
-                metrics.log(event="ooc_residency", wire_bytes=total,
+                streamed = wire_nbytes(
+                    [g for g in (*dul, *dil) if not group_resident(g)])
+                metrics.log(event="ooc_residency",
                             hbm_pinned_bytes=pinned,
-                            streamed_bytes=total - pinned)
+                            streamed_bytes=streamed)
         else:
             # single-chip fast path: bucketed (segsum-free) layout
             from ycnr_tpu.models.bucketed_phase import device_bucketed
