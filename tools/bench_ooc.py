@@ -365,7 +365,8 @@ def main():
 
         budget = (int(args.budget_gb * 2**30) if args.budget_gb
                   else None if args.residency == "device"
-                  else auto_wire_budget(nu, ni, args.rank))
+                  else auto_wire_budget(nu, ni, args.rank,
+                                        groups=(ug, ig)))
         t0 = time.time()
         ug, ig, pinned = wire_to_device(ug, ig, budget,
                                         pin_format=args.pin_format)

@@ -107,6 +107,49 @@ def decode_block_rect(lo, hi_pos, hi_val, rat, cnt, R: int, n_other: int,
     return oi, rr
 
 
+# Cap on the per-step gathered-rows tensor (F_g[oi]: [rows, R, k]) — the
+# block's dominant temp at 32x the decoded slot bytes (k=64 bf16). Blocks
+# whose gather would exceed this solve in row sub-chunks via an inner scan
+# instead: at b1 scale the 192 MB decoded-block target means 24M slots =
+# a 3.1 GB gather, which OOMed on top of ~9.5 GB of factors+pinned wire
+# (the chip's measured allocatable is 15 GB). NE is a multiple of 8 by
+# layout alignment, so power-of-two splits divide evenly; each sub-chunk
+# keeps >=3M slots of MXU work, so this costs nothing measurable.
+_GATHER_CHUNK_BYTES = 512 * 2**20
+
+
+def _row_split(NE: int, R: int, k: int, itemsize: int) -> int:
+    """Static sub-chunk count for one block's gather+solve (1 = whole)."""
+    s = 1
+    while (NE % (2 * s) == 0 and s < 64
+           and (NE // s) * R * k * itemsize > _GATHER_CHUNK_BYTES):
+        s *= 2
+    return s
+
+
+def _gather_solve(F_g, oi, rr, cntf, base_gram, lam, alpha, acc_t,
+                  gather_bf16):
+    """F_g[oi] -> normal equations -> solved rows, sub-chunked over rows
+    when the gathered tensor would exceed _GATHER_CHUNK_BYTES."""
+    NE, R = oi.shape
+    k = F_g.shape[1]
+    s = _row_split(NE, R, k, F_g.dtype.itemsize)
+    if s == 1:
+        return bucket_solve_rows(F_g[oi], rr, cntf, lam, alpha,
+                                 base_gram, acc_t, gather_bf16)
+
+    def sub(_, t):
+        soi, srr, scnt = t
+        return None, bucket_solve_rows(F_g[soi], srr, scnt, lam, alpha,
+                                       base_gram, acc_t, gather_bf16)
+
+    q = NE // s
+    _, rows = lax.scan(sub, None, (oi.reshape(s, q, R),
+                                   rr.reshape(s, q, R),
+                                   cntf.reshape(s, q)))
+    return rows.reshape(NE, k)
+
+
 @partial(jax.jit,
          static_argnames=("R", "n_other", "lam", "alpha", "gather_bf16"),
          donate_argnums=(0,))
@@ -126,16 +169,16 @@ def _ooc_chunk_step(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
     (decode -> gather -> Gram -> guarded solve -> scatter). E is donated
     (updated in place); the wire buffers die with their last Python
     reference when the step retires, so the HBM watermark stays bounded
-    by factors + the in-flight chunks + one block's gathered tensor."""
+    by factors + the in-flight chunks + one sub-chunk's gathered tensor
+    (_gather_solve caps it at _GATHER_CHUNK_BYTES)."""
     def body(E, blk):
         blo, bhp, bhv, brat, bcnt, beid = blk
         # inside the scan the chunk axis is stripped: rect lo is [NE, R]
         # (2-D), packed lo is the [S] stream (1-D)
         dec = decode_block_rect if blo.ndim == 2 else decode_block
         oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, E.dtype)
-        Fg = F_g[oi]
-        rows = bucket_solve_rows(Fg, rr, bcnt.astype(E.dtype), lam, alpha,
-                                 base_gram, E.dtype, gather_bf16)
+        rows = _gather_solve(F_g, oi, rr, bcnt.astype(E.dtype),
+                             base_gram, lam, alpha, E.dtype, gather_bf16)
         return E.at[beid].set(rows.astype(E.dtype)), None
 
     E, _ = lax.scan(body, E, (lo, hi_pos, hi_val, rat, cnt, eid))
@@ -207,21 +250,37 @@ def group_resident(g) -> bool:
 
 
 def auto_wire_budget(n_users: int, n_items: int, rank: int,
-                     hbm_bytes: Optional[int] = None) -> int:
+                     hbm_bytes: Optional[int] = None,
+                     groups=()) -> int:
     """HBM bytes available for pinning wire groups on one chip.
 
-    Starts from the chip's reported limit (axon devices report none —
-    assume a 16 GB v5e) and reserves: f32 factors+biases, the phase's
-    bf16 gather copy, ~3 blocks of decoded+gathered tensors (192 MB
-    decoded target each, ~4x that gathered at rank<=64 bf16), and a
-    1.5 GB runtime margin (XLA scratch, donation slack)."""
+    Starts from the chip's reported limit (axon devices report none — a
+    1 GB-step allocation probe on this tunnel's v5e holds 15 GB and OOMs
+    at 16, so assume 15 GB allocatable) and reserves: f32 factors+biases,
+    the phase's bf16 gather copy, the LARGEST block's in-flight tensors
+    (computed exactly from ``groups`` when given: decode temps are
+    ~20 B/decoded slot and the gathered factor rows are capped at
+    _GATHER_CHUNK_BYTES by _gather_solve's row sub-chunking; else a 1 GB
+    allowance), streamed chunk buffers, and a 1.5 GB runtime margin (XLA
+    scratch, donation slack)."""
     if hbm_bytes is None:
         stats = device_hbm_stats()
-        hbm_bytes = stats.get("bytes_limit", 16 * 10**9)
+        hbm_bytes = stats.get("bytes_limit", 15 * 10**9)
     k = rank
+    if groups:
+        inflight = 0
+        for gr in groups:
+            for g in gr:
+                NE, R = int(g.cnt.shape[1]), int(g.R)
+                s = _row_split(NE, R, k, 2)
+                inflight = max(inflight,
+                               NE * R * 20 + (NE // s) * R * k * 2)
+    else:
+        inflight = 1_000_000_000
     reserve = (
-        (n_users + n_items + 2) * (k * 4 + k * 2 + 8)  # factors + bf16 + biases
-        + 3 * (192 * 2**20) * (1 + k // 16)            # in-flight block tensors
+        (n_users + n_items + 2) * (k * 4 + k * 2 + 8)  # factors+bf16+biases
+        + inflight
+        + 3 * 48 * 2**20                               # streamed chunks
         + 1_500_000_000)
     return max(0, hbm_bytes - reserve)
 
@@ -367,9 +426,9 @@ def ials_epoch_ooc(state: MFState, user_groups: PackedCSR,
     return state._replace(U=U, V=V)
 
 
-@partial(jax.jit, static_argnames=("R", "n_other"))
+@partial(jax.jit, static_argnames=("R", "n_other", "gather_bf16"))
 def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
-                       R: int, n_other: int):
+                       R: int, n_other: int, gather_bf16: bool = True):
     """Sum of squared prediction errors over a chunk of wire blocks.
 
     Same decode as the training step; predictions are the row-wise dots
@@ -380,15 +439,36 @@ def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
         blo, bhp, bhv, brat, bcnt, beid = blk
         dec = decode_block_rect if blo.ndim == 2 else decode_block
         oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, jnp.float32)
-        valid = (lax.broadcasted_iota(jnp.int32, oi.shape, 1)
-                 < bcnt[:, None])
-        pred = jnp.einsum("urk,uk->ur", F_g[oi].astype(jnp.float32),
-                          E[beid].astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
-        err = jnp.where(valid, rr - pred, 0.0)
-        # per-block jnp.sum is tree-reduced (accurate in f32); the f64
-        # accumulation across chunks happens on host in rmse_wire
-        return acc + jnp.sum(err * err), None
+        # the gathered tensor is the block's biggest buffer — gather in
+        # bf16 by default like the train step (accumulate f32), and cap
+        # it by the same row sub-chunking as _gather_solve
+        gdt = jnp.bfloat16 if gather_bf16 else E.dtype
+        NE = bcnt.shape[0]
+        s = _row_split(NE, R, int(F_g.shape[1]), jnp.dtype(gdt).itemsize)
+
+        def sq_err(soi, srr, scnt, seid):
+            valid = (lax.broadcasted_iota(jnp.int32, soi.shape, 1)
+                     < scnt[:, None])
+            pred = jnp.einsum("urk,uk->ur", F_g[soi].astype(gdt),
+                              E[seid].astype(gdt),
+                              preferred_element_type=jnp.float32)
+            err = jnp.where(valid, srr - pred, 0.0)
+            # per-chunk jnp.sum is tree-reduced (accurate in f32); the
+            # f64 accumulation across chunks happens on host in rmse_wire
+            return jnp.sum(err * err)
+
+        if s == 1:
+            return acc + sq_err(oi, rr, bcnt, beid), None
+        q = NE // s
+
+        def sub(a, t):
+            return a + sq_err(*t), None
+
+        a2, _ = lax.scan(sub, acc, (oi.reshape(s, q, R),
+                                    rr.reshape(s, q, R),
+                                    bcnt.reshape(s, q),
+                                    beid.reshape(s, q)))
+        return a2, None
 
     acc, _ = lax.scan(body, jnp.float32(0),
                       (lo, hi_pos, hi_val, rat, cnt, eid))
@@ -397,21 +477,23 @@ def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
 
 def rmse_wire(state: MFState, user_groups: PackedCSR, nnz: int,
               chunk_blocks: Optional[int] = None,
-              prefetch: int = 2) -> float:
+              gather_bf16: bool = True) -> float:
     """Train RMSE straight from the wire format (one view covers every
     rating exactly once). Used by the beyond-HBM bench/CLI paths where
-    no COO copy of the training set exists on host or device."""
+    no COO copy of the training set exists on host or device.
+    ``gather_bf16=False`` predicts in the factor dtype (exact vs the
+    padded-COO evaluator, ~2x the in-flight bytes)."""
     acc = 0.0  # f64 host accumulation of per-chunk f32 tree-sums
     for g in user_groups:
         if group_resident(g):
             acc += float(jax.device_get(_wire_sq_err_chunk(
                 state.U, state.V, g.lo, g.hi_pos, g.hi_val, g.rat,
-                g.cnt, g.eid, g.R, g.n_other)))
+                g.cnt, g.eid, g.R, g.n_other, gather_bf16)))
             continue
         for ch in _group_chunks(g, chunk_blocks):
             dv = tuple(jax.device_put(a) for a in ch)
             acc += float(jax.device_get(_wire_sq_err_chunk(
-                state.U, state.V, *dv, g.R, g.n_other)))
+                state.U, state.V, *dv, g.R, g.n_other, gather_bf16)))
     return (acc / max(nnz, 1)) ** 0.5
 
 

@@ -202,7 +202,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
                 budget = (None if cfg.ooc_residency == "device"
                           else auto_wire_budget(ds.n_users, ds.n_items,
-                                                params.rank))
+                                                params.rank,
+                                                groups=(dul, dil)))
                 dul, dil, pinned = wire_to_device(dul, dil, budget)
                 streamed = wire_nbytes(
                     [g for g in (*dul, *dil) if not group_resident(g)])
