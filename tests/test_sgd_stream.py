@@ -164,3 +164,50 @@ def test_stream_convergence_matches_shuffled_reference():
     # both genuinely learned, and the trajectories agree closely
     assert a < 0.55 and b < 0.55, (a, b)
     assert abs(a - b) < 0.02, (a, b)
+
+
+def test_stream_ooc_epoch_bitwise_parity():
+    """The out-of-core epoch (host-resident stream, chunked device_put,
+    shared _epoch_scan body) must reproduce the resident epoch BITWISE
+    in float64 for the same batch order — including a permuted order,
+    a chunk size that forces a padded final chunk, and multiple epochs
+    chained through donation."""
+    from ycnr_tpu.models.sgd_stream import sgd_stream_epoch_ooc
+
+    nu, ni, k, B = 300, 80, 8, 64
+    u, i, r = synthetic_ratings(nu, ni, 4000, true_rank=3, seed=7)
+    st0 = _state(nu, ni, k, 5, mu=float(np.mean(r)))
+    dev, _ = prepare_stream_sgd(u, i, r, B, nu, ni, seed=2, dtype=DT)
+    host, _ = prepare_stream_sgd(u, i, r, B, nu, ni, seed=2, dtype=DT,
+                                 device=False)
+    assert isinstance(host.ul, np.ndarray) and host.tile == dev.tile
+    nb = dev.ul.shape[0]
+    order = np.random.default_rng(11).permutation(nb).astype(np.int32)
+
+    ref, got = _clone(st0), _clone(st0)
+    for ep in range(2):
+        lr = 0.01 * 0.9**ep
+        ref = sgd_stream_epoch(ref, dev.ul, dev.ib, dev.rb, dev.wu,
+                               dev.wi, dev.u_lo, jnp.asarray(order),
+                               0.02, lr, dev.tile)
+        # chunk_batches=3 with nb % 5 != 0 exercises the no-op padding
+        got = sgd_stream_epoch_ooc(got, host, order, 0.02, lr,
+                                   chunk_batches=3)
+    assert nb % 3 != 0
+    for f in ("U", "V", "bu", "bi"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)))
+
+
+def test_stream_ooc_trainer_dispatch():
+    """StreamSGD.epoch routes host-resident data through the OOC epoch
+    and keeps determinism (same seed+epoch => bitwise same result)."""
+    nu, ni, k, B = 60, 30, 4, 64
+    u, i, r = synthetic_ratings(nu, ni, 700, true_rank=2, seed=4)
+    st0 = _state(nu, ni, k, 2)
+    data, _ = prepare_stream_sgd(u, i, r, B, nu, ni, seed=1, dtype=DT,
+                                 device=False)
+    tr = StreamSGD(lam=0.02, lr=0.02, seed=9)
+    a = tr.epoch(_clone(st0), data, 0)
+    b = tr.epoch(_clone(st0), data, 0)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))

@@ -230,6 +230,21 @@ def _cast_gather(F, bf16: bool):
     return F.astype(jnp.bfloat16) if bf16 else F
 
 
+# Phase-wide bf16 gather copies above this size are skipped (gather runs
+# in the factor dtype instead). The copy buys ~1.2x per gathered row, but
+# it is a SECOND resident copy of the factor for the whole phase — at
+# 1e9-rating scale U's bf16 copy alone is 1.28 GB on top of 8.7 GB of
+# pinned wire + 2.6 GB f32 U, which pushed the b1 epoch over the chip's
+# ~15 GB allocatable (measured OOM, round 4). 512 MB keeps the copy for
+# every item-side factor and for user factors up to ~4M users at k=64.
+_BF16_COPY_MAX_BYTES = 512 * 2**20
+
+
+def _phase_bf16(F, gather_bf16: bool) -> bool:
+    return bool(gather_bf16) and F.nbytes * 2 // F.dtype.itemsize \
+        <= _BF16_COPY_MAX_BYTES
+
+
 @jax.jit
 def _global_gram(F):
     return jnp.einsum("nk,nm->km", F, F, preferred_element_type=F.dtype)
@@ -267,18 +282,25 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
         stats = device_hbm_stats()
         hbm_bytes = stats.get("bytes_limit", 15 * 10**9)
     k = rank
+    # a phase's bf16 gather copy only exists while it fits the cap
+    # (_phase_bf16); per view, the gathered dtype follows the same rule
+    bf16 = {n: (n * k * 2 if n * k * 2 <= _BF16_COPY_MAX_BYTES else 0)
+            for n in (n_users, n_items)}
     if groups:
         inflight = 0
-        for gr in groups:
+        # view 0 (user rows) gathers the item factor and vice versa
+        for gr, n_f in zip(groups, (n_items, n_users)):
+            isz = 2 if bf16[n_f] else 4
             for g in gr:
                 NE, R = int(g.cnt.shape[1]), int(g.R)
-                s = _row_split(NE, R, k, 2)
+                s = _row_split(NE, R, k, isz)
                 inflight = max(inflight,
-                               NE * R * 20 + (NE // s) * R * k * 2)
+                               NE * R * 20 + (NE // s) * R * k * isz)
     else:
         inflight = 1_000_000_000
     reserve = (
-        (n_users + n_items + 2) * (k * 4 + k * 2 + 8)  # factors+bf16+biases
+        (n_users + n_items + 2) * (k * 4 + 8)          # f32 factors+biases
+        + bf16[n_users] + bf16[n_items]                # phase gather copies
         + inflight
         + 3 * 48 * 2**20                               # streamed chunks
         + 1_500_000_000)
@@ -370,7 +392,12 @@ def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
     (default: auto-sized to ~48 MB of wire per chunk — see
     _ooc_chunk_step on why granularity is a transport lever). E is
     consumed (donated); use the returned array.
+
+    ``gather_bf16`` is honored only while F's bf16 copy stays under
+    _BF16_COPY_MAX_BYTES; beyond that the phase gathers in the factor
+    dtype (slightly slower per row, no second factor-sized buffer).
     """
+    gather_bf16 = _phase_bf16(F, gather_bf16)
     F_g = _cast_gather(F, gather_bf16)
     for g in groups:
         if group_resident(g):

@@ -81,7 +81,7 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
                        n_users: int, n_items: int, seed: int = 0,
                        dtype=jnp.float32, grad_mode: str = "capped",
                        tile: int | None = None, passes: int | None = None,
-                       cap: int = 32):
+                       cap: int = 32, device: bool = True):
     """Build the stream (host, once per dataset).
 
     Returns (StreamSGDData, order) where ``order`` maps stream position ->
@@ -213,43 +213,35 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
         wi = np.minimum(wdt(1.0) / wi_m, t) * wi_m * m
     else:
         wu = wi = m
+    # device=False keeps the stream on host (numpy) for the out-of-core
+    # epoch (sgd_stream_epoch_ooc) — HBM then holds only the factors
+    put = jax.device_put if device else np.ascontiguousarray
+    ndt = np.dtype(dtype)
     data = StreamSGDData(
-        ul=jnp.asarray(ul.reshape(nb, batch_size)),
-        ib=jnp.asarray(is_.reshape(nb, batch_size).astype(np.int32)),
-        rb=jnp.asarray(rs.reshape(nb, batch_size), dtype),
-        wu=jnp.asarray(wu.reshape(nb, batch_size), dtype),
-        wi=jnp.asarray(wi.reshape(nb, batch_size), dtype),
-        u_lo=jnp.asarray(u_lo),
+        ul=put(ul.reshape(nb, batch_size)),
+        ib=put(is_.reshape(nb, batch_size).astype(np.int32)),
+        rb=put(rs.reshape(nb, batch_size).astype(ndt)),
+        wu=put(wu.reshape(nb, batch_size).astype(ndt)),
+        wi=put(wi.reshape(nb, batch_size).astype(ndt)),
+        u_lo=put(u_lo),
         n_real=n, tile=tile, grad_mode=grad_mode)
     return data, order
 
 
-def stream_epoch_core(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
-                      lam, lr, tile: int) -> MFState:
-    """One epoch over the stream in batch order ``order`` ([NB] int32
-    permutation — reshuffled per epoch for stochasticity).
+def _epoch_scan(Ue, Ve, mu, xs, lam_, lr, tile: int, n_items: int):
+    """Scan the batch body over xs = (ul, ib, rb, wu, wi, u_lo) slabs.
+
+    THE single copy of the per-batch update math, shared by the resident
+    epoch (whole epoch in one scan) and the out-of-core streamed epoch
+    (one scan per host chunk) so their float64 parity is bitwise by
+    construction — the same association order either way.
 
     Per rating, exactly 4 per-row ops: tile gather, V gather, tile
     segment-sum, item segment-sum (sorted). Biases ride as column k of
-    the extended factor tables, built once per epoch.
-
-    Unjitted core: ``lam``/``lr`` are plain arithmetic inputs, so callers
-    may pass them TRACED (the tune sweep runs many (lam, lr) models inside
-    one program) — the jitted wrapper below keeps lam static for the
-    single-model path.
-    """
-    n_items = state.n_items
-    k = state.U.shape[1]
-    lr = jnp.asarray(lr, state.U.dtype)
-    lam_ = jnp.asarray(lam, state.U.dtype)
-    # extended tables: factors with the bias as column k
-    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
-    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    the extended factor tables."""
+    k = Ue.shape[1] - 1
     one_col = (jax.lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
                == k).astype(Ue.dtype)  # [1, k+1] selector of the bias col
-    # materialize the epoch's batch order once (leading-axis gather)
-    xs = (ul[order], ib[order], rb[order], wu[order], wi[order],
-          u_lo[order])
 
     def body(carry, xs_b):
         Ue, Ve = carry
@@ -258,7 +250,7 @@ def stream_epoch_core(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
         Ut = lax.dynamic_slice(Ue, (lo, zero), (tile, k + 1))
         ue = Ut[ulb]  # [B, k+1] gather from the tile        (per-row op 1)
         ve = Ve[ibb]  # [B, k+1] gather from the item table  (per-row op 2)
-        pred = (state.mu + ue[:, k] + ve[:, k]
+        pred = (mu + ue[:, k] + ve[:, k]
                 + jnp.einsum("nk,nk->n", ue[:, :k], ve[:, :k]))
         e = rbb - pred  # weights carry the padding mask
         # gradient rows, uniform across factor cols and the bias col:
@@ -276,6 +268,30 @@ def stream_epoch_core(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
         return (Ue, Ve), None
 
     (Ue, Ve), _ = lax.scan(body, (Ue, Ve), xs)
+    return Ue, Ve
+
+
+def stream_epoch_core(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
+                      lam, lr, tile: int) -> MFState:
+    """One epoch over the stream in batch order ``order`` ([NB] int32
+    permutation — reshuffled per epoch for stochasticity).
+
+    Unjitted core: ``lam``/``lr`` are plain arithmetic inputs, so callers
+    may pass them TRACED (the tune sweep runs many (lam, lr) models inside
+    one program) — the jitted wrapper below keeps lam static for the
+    single-model path.
+    """
+    lr = jnp.asarray(lr, state.U.dtype)
+    lam_ = jnp.asarray(lam, state.U.dtype)
+    # extended tables: factors with the bias as column k
+    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
+    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    # materialize the epoch's batch order once (leading-axis gather)
+    xs = (ul[order], ib[order], rb[order], wu[order], wi[order],
+          u_lo[order])
+    Ue, Ve = _epoch_scan(Ue, Ve, state.mu, xs, lam_, lr, tile,
+                         state.n_items)
+    k = state.U.shape[1]
     return state._replace(U=Ue[:, :k], V=Ve[:, :k],
                           bu=Ue[:, k], bi=Ve[:, k])
 
@@ -285,6 +301,84 @@ def sgd_stream_epoch(state: MFState, ul, ib, rb, wu, wi, u_lo, order,
                      lam: float, lr, tile: int) -> MFState:
     return stream_epoch_core(state, ul, ib, rb, wu, wi, u_lo, order,
                              lam, lr, tile)
+
+
+# ------------------------- out-of-core streamed epoch (SURVEY §3.3) ----
+#
+# The reference streams the SGD rating partition from the DB for every
+# worker; the resident path above instead holds the whole [NB, B] stream
+# in HBM (~20 B/rating — the bound models/ooc.py:4-12 documents for ALS
+# applies here at ~2.5x the rate). The OOC tier keeps the stream on HOST
+# (numpy/memmap) and ships permuted chunks of batches ahead of the scan,
+# exactly like models/ooc.phase_packed's streamed tier: HBM holds only
+# the extended factor tables + (prefetch+1) in-flight chunks. On this
+# tunnel's ~40 MB/s wire the streamed epoch is wire-bound (docs/KERNELS.md
+# "Out-of-core streaming" has the measured rates); on a PCIe-class host
+# wire it approaches the resident epoch. Parity: bitwise vs the resident
+# epoch in float64 for the SAME batch order (shared _epoch_scan body).
+
+_SGD_CHUNK_TARGET_BYTES = 48 * 2**20
+
+
+@partial(jax.jit, static_argnames=("lam", "tile", "n_items"),
+         donate_argnums=(0, 1))
+def _sgd_chunk_step(Ue, Ve, mu, ul, ib, rb, wu, wi, u_lo,
+                    lam: float, lr, tile: int, n_items: int):
+    lam_ = jnp.asarray(lam, Ue.dtype)
+    return _epoch_scan(Ue, Ve, mu, (ul, ib, rb, wu, wi, u_lo),
+                       lam_, lr.astype(Ue.dtype), tile, n_items)
+
+
+def sgd_stream_epoch_ooc(state: MFState, data: StreamSGDData, order,
+                         lam: float, lr,
+                         chunk_batches: int | None = None,
+                         prefetch: int = 2) -> MFState:
+    """One stream-SGD epoch with the stream resident on HOST.
+
+    ``data`` holds numpy (or memmapped) arrays — prepare_stream_sgd with
+    device=False. ``order`` is the epoch's [NB] batch permutation; the
+    host gathers each chunk's batches in permuted order (host-bandwidth
+    cheap next to the wire), so the trajectory is IDENTICAL to the
+    resident epoch under the same order. The final short chunk is padded
+    with zero-weight no-op batches to keep one compiled chunk shape.
+    """
+    names = ("ul", "ib", "rb", "wu", "wi", "u_lo")
+    NB, B = data.ul.shape
+    if chunk_batches is None:
+        per_batch = 4 + B * sum(
+            np.asarray(getattr(data, n)).dtype.itemsize
+            for n in names[:-1])
+        chunk_batches = max(1, min(NB, _SGD_CHUNK_TARGET_BYTES
+                                   // per_batch))
+    order = np.asarray(order, np.int64)
+    k = state.U.shape[1]
+    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
+    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    lr_ = jnp.asarray(lr, Ue.dtype)
+    mu = jnp.asarray(state.mu, Ue.dtype)
+
+    def step(Ue, Ve, ch):
+        return _sgd_chunk_step(Ue, Ve, mu, *ch, lam, lr_, data.tile,
+                               state.n_items)
+
+    q = []
+    for c0 in range(0, NB, chunk_batches):
+        sel = order[c0:c0 + chunk_batches]
+        pad = chunk_batches - len(sel)
+        ch = []
+        for n in names:
+            a = np.asarray(getattr(data, n))[sel]
+            if pad:  # zero weights make the pad batches exact no-ops
+                a = np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            ch.append(jax.device_put(a))
+        q.append(tuple(ch))
+        if len(q) > prefetch:
+            Ue, Ve = step(Ue, Ve, q.pop(0))
+    for ch in q:
+        Ue, Ve = step(Ue, Ve, ch)
+    return state._replace(U=Ue[:, :k], V=Ve[:, :k],
+                          bu=Ue[:, k], bi=Ve[:, k])
 
 
 class StreamSGD:
@@ -313,6 +407,9 @@ class StreamSGD:
         nb = data.ul.shape[0]
         key = jax.random.key(self.seed + 7919 * epoch_idx)
         order = jax.random.permutation(key, nb)
+        if isinstance(data.ul, np.ndarray):  # host stream -> OOC epoch
+            return sgd_stream_epoch_ooc(state, data, np.asarray(order),
+                                        self.lam, self.lr_at(epoch_idx))
         return sgd_stream_epoch(state, data.ul, data.ib, data.rb, data.wu,
                                 data.wi, data.u_lo, order, self.lam,
                                 self.lr_at(epoch_idx), data.tile)

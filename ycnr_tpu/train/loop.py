@@ -223,10 +223,11 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 ds.train_i, ds.train_u, ds.train_r, ds.n_items, ds.n_users,
                 cfg.data.chunk_len, params.rank,
                 max_groups=cfg.data.max_groups), dtype)
-    elif cfg.ooc:
-        raise ValueError("ooc=True supports the als/ials solvers only "
-                         "(the SGD/BPR streams are already per-batch "
-                         "device data)")
+    elif cfg.ooc and not (cfg.algorithm == "sgd"
+                          and cfg.sgd.method == "stream"):
+        raise ValueError("ooc=True supports als/ials and stream-SGD "
+                         "(--sgd-method stream); the batched-SGD/BPR "
+                         "layouts are per-batch device data")
     elif cfg.algorithm == "bpr":
         from ycnr_tpu.models.bpr import BPRTrainer, prepare_bpr_data
 
@@ -252,10 +253,12 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         gm = "capped" if cfg.sgd.grad_mode == "sum" else cfg.sgd.grad_mode
         trainer = StreamSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             seed=cfg.seed, grad_mode=gm)
+        # ooc: the stream stays on host (numpy); StreamSGD.epoch routes
+        # it through the chunked-device_put OOC epoch (sgd_stream.py)
         sgd_data, _ = prepare_stream_sgd(
             ds.train_u, ds.train_i, ds.train_r, cfg.sgd.batch_size,
             ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype,
-            grad_mode=gm)
+            grad_mode=gm, device=not cfg.ooc)
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed,
