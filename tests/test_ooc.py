@@ -242,19 +242,55 @@ def test_als_epoch_parity_row_subchunked(layouts, monkeypatch):
     """The gather-size cap (models/ooc._gather_solve row sub-chunking,
     added after a 1e9-rating run OOMed on the 3.1 GB per-block gather)
     is a memory knob, never a math knob: forcing every block to split
-    must reproduce the unsplit epoch bitwise in float64."""
+    over ROWS must reproduce the unsplit epoch bitwise in float64 (row
+    splits keep each entity's reduction whole)."""
     import ycnr_tpu.models.ooc as ooc
 
     ures, ires, upk, ipk = layouts
     st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
     ref = als_epoch_ooc(st, upk, ipk, 0.05)
     monkeypatch.setattr(ooc, "_GATHER_CHUNK_BYTES", 1)
+    # rows only: pin s_r=1 so this stays the bitwise-neutral split
+    real_plan = ooc._split_plan
+    monkeypatch.setattr(ooc, "_split_plan",
+                        lambda NE, R, k, isz: (real_plan(NE, R, k, isz)[0],
+                                               1))
     assert all(ooc._row_split(int(g.cnt.shape[1]), int(g.R), 16, 8) > 1
                for g in upk)  # the cap actually engages at this size
     st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
     got = als_epoch_ooc(st, upk, ipk, 0.05)
     assert np.array_equal(np.asarray(ref.U), np.asarray(got.U))
     assert np.array_equal(np.asarray(ref.V), np.asarray(got.V))
+
+
+def test_als_epoch_parity_rating_split_accumulate(layouts, monkeypatch):
+    """Mega-entity blocks exhaust NE's divisibility, so _gather_solve
+    also split-accumulates the Gram/RHS over R-chunks (SURVEY.md §5's
+    blockwise analog). That reassociates each entity's sum — forcing it
+    everywhere must agree with the unsplit f64 epoch to reduction-order
+    tightness, and the split must actually engage."""
+    import ycnr_tpu.models.ooc as ooc
+
+    ures, ires, upk, ipk = layouts
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    ref = als_epoch_ooc(st, upk, ipk, 0.05)
+    monkeypatch.setattr(ooc, "_GATHER_CHUNK_BYTES", 1)
+    assert any(ooc._split_plan(int(g.cnt.shape[1]), int(g.R), 16, 8)[1]
+               > 1 for g in upk)
+    st = init_state(NU, NI, 16, seed=5, dtype=jnp.float64)
+    got = als_epoch_ooc(st, upk, ipk, 0.05)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.V), np.asarray(ref.V),
+                               rtol=1e-11, atol=1e-12)
+    # the RMSE evaluator shares the split plan — its value must not move
+    from ycnr_tpu.models.ooc import rmse_wire
+
+    nnz = int(sum(np.asarray(g.cnt).sum() for g in upk))
+    split_rm = rmse_wire(got, upk, nnz, gather_bf16=False)
+    monkeypatch.setattr(ooc, "_GATHER_CHUNK_BYTES", 512 * 2**20)
+    assert abs(rmse_wire(got, upk, nnz, gather_bf16=False)
+               - split_rm) < 1e-9
 
 
 def test_ials_epoch_parity_f64(layouts):

@@ -60,6 +60,15 @@ def bucket_solve_rows(Fg: jnp.ndarray, rr: jnp.ndarray, cnt: jnp.ndarray,
     Fg [NE, R, k] gathered other-factor rows; rr [NE, R] ratings in the
     factor dtype; cnt [NE] float rating counts (0 for padding slots).
     """
+    A, b = bucket_normal_eq(Fg, rr, alpha, acc_t, gather_bf16)
+    return bucket_finish_solve(A, b, cnt, lam, alpha, base_gram)
+
+
+def bucket_normal_eq(Fg, rr, alpha, acc_t, gather_bf16):
+    """The accumulable part of bucket_solve_rows: per-entity partial
+    normal equations over Fg's R axis — no base Gram, no regularizer, so
+    chunks of an entity's R axis can be summed (models/ooc._gather_solve
+    split-accumulates mega-entity blocks through this)."""
     if gather_bf16:
         rr = rr.astype(jnp.bfloat16)
     if alpha is None:
@@ -67,16 +76,23 @@ def bucket_solve_rows(Fg: jnp.ndarray, rr: jnp.ndarray, cnt: jnp.ndarray,
                        preferred_element_type=acc_t)
         b = jnp.einsum("urk,ur->uk", Fg, rr,
                        preferred_element_type=acc_t)
-        reg = lam * cnt + (cnt == 0)
     else:
         w = alpha * rr
         A = jnp.einsum("urk,ur,urm->ukm", Fg, w, Fg,
                        preferred_element_type=acc_t)
-        A = A + base_gram[None]
         b = jnp.einsum("urk,ur->uk", Fg, (1.0 + w).astype(Fg.dtype),
                        preferred_element_type=acc_t)
         # padding rows gather the zero factor row, so the +1 in the
         # rhs weight contributes nothing there
+    return A, b
+
+
+def bucket_finish_solve(A, b, cnt, lam, alpha, base_gram):
+    """Regularize + solve fully-accumulated normal equations."""
+    if alpha is None:
+        reg = lam * cnt + (cnt == 0)
+    else:
+        A = A + base_gram[None]
         reg = jnp.full_like(cnt, lam)
     return guarded_batched_solve(A, b, reg)
 

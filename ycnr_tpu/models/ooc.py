@@ -51,7 +51,11 @@ import numpy as np
 from jax import lax
 
 from ycnr_tpu.models.base import MFState
-from ycnr_tpu.models.bucketed_phase import bucket_solve_rows
+from ycnr_tpu.models.bucketed_phase import (
+    bucket_finish_solve,
+    bucket_normal_eq,
+    bucket_solve_rows,
+)
 from ycnr_tpu.ops.packed import PackedCSR
 
 
@@ -115,7 +119,7 @@ def decode_block_rect(lo, hi_pos, hi_val, rat, cnt, R: int, n_other: int,
 # (the chip's measured allocatable is 15 GB). NE is a multiple of 8 by
 # layout alignment, so power-of-two splits divide evenly; each sub-chunk
 # keeps >=3M slots of MXU work, so this costs nothing measurable.
-_GATHER_CHUNK_BYTES = 512 * 2**20
+_GATHER_CHUNK_BYTES = 256 * 2**20
 
 
 def _row_split(NE: int, R: int, k: int, itemsize: int) -> int:
@@ -127,23 +131,63 @@ def _row_split(NE: int, R: int, k: int, itemsize: int) -> int:
     return s
 
 
+def _split_plan(NE: int, R: int, k: int, itemsize: int):
+    """(s_ne, s_r) static sub-chunk counts bounding one block's gathered
+    tensor near _GATHER_CHUNK_BYTES.
+
+    Row (NE) splits come first — they keep every per-entity reduction
+    whole, so they are bitwise-neutral — but their depth is limited by
+    NE's power-of-two divisibility, which skinny-tall mega-entity blocks
+    exhaust (the b1 item view has R up to 2.2M with NE=8: s_ne caps at 8
+    leaving a 570 MB f32 gather -> measured OOM). The R axis then splits
+    too and the Gram/RHS accumulate over R-chunks (bucket_normal_eq) —
+    SURVEY.md §5's split-accumulate for mega-entities; this reassociates
+    the per-entity sum (f64 agreement ~1e-15, pinned in tests, not
+    bitwise)."""
+    s_ne = _row_split(NE, R, k, itemsize)
+    s_r = 1
+    while (R % (2 * s_r) == 0 and s_r < 4096
+           and (NE // s_ne) * (R // s_r) * k * itemsize
+           > _GATHER_CHUNK_BYTES):
+        s_r *= 2
+    return s_ne, s_r
+
+
 def _gather_solve(F_g, oi, rr, cntf, base_gram, lam, alpha, acc_t,
                   gather_bf16):
     """F_g[oi] -> normal equations -> solved rows, sub-chunked over rows
-    when the gathered tensor would exceed _GATHER_CHUNK_BYTES."""
+    (and, for mega-entity blocks, split-accumulated over the rating
+    axis) when the gathered tensor would exceed _GATHER_CHUNK_BYTES."""
     NE, R = oi.shape
     k = F_g.shape[1]
-    s = _row_split(NE, R, k, F_g.dtype.itemsize)
-    if s == 1:
+    s, sr = _split_plan(NE, R, k, F_g.dtype.itemsize)
+    if s == 1 and sr == 1:
         return bucket_solve_rows(F_g[oi], rr, cntf, lam, alpha,
                                  base_gram, acc_t, gather_bf16)
+    q, qr = NE // s, R // sr
 
     def sub(_, t):
-        soi, srr, scnt = t
-        return None, bucket_solve_rows(F_g[soi], srr, scnt, lam, alpha,
-                                       base_gram, acc_t, gather_bf16)
+        soi, srr, scnt = t  # [q, R]
+        if sr == 1:
+            return None, bucket_solve_rows(F_g[soi], srr, scnt, lam,
+                                           alpha, base_gram, acc_t,
+                                           gather_bf16)
 
-    q = NE // s
+        def acc_step(carry, tt):
+            A, b = carry
+            coi, crr = tt  # [q, qr] one R-chunk of every entity
+            dA, db = bucket_normal_eq(F_g[coi], crr, alpha, acc_t,
+                                      gather_bf16)
+            return (A + dA, b + db), None
+
+        (A, b), _ = lax.scan(
+            acc_step,
+            (jnp.zeros((q, k, k), acc_t), jnp.zeros((q, k), acc_t)),
+            (soi.reshape(q, sr, qr).swapaxes(0, 1),
+             srr.reshape(q, sr, qr).swapaxes(0, 1)))
+        return None, bucket_finish_solve(A, b, scnt, lam, alpha,
+                                         base_gram)
+
     _, rows = lax.scan(sub, None, (oi.reshape(s, q, R),
                                    rr.reshape(s, q, R),
                                    cntf.reshape(s, q)))
@@ -293,9 +337,10 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
             isz = 2 if bf16[n_f] else 4
             for g in gr:
                 NE, R = int(g.cnt.shape[1]), int(g.R)
-                s = _row_split(NE, R, k, isz)
-                inflight = max(inflight,
-                               NE * R * 20 + (NE // s) * R * k * isz)
+                s, sr = _split_plan(NE, R, k, isz)
+                inflight = max(
+                    inflight,
+                    NE * R * 20 + (NE // s) * (R // sr) * k * isz)
     else:
         inflight = 1_000_000_000
     reserve = (
@@ -471,10 +516,14 @@ def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
         # it by the same row sub-chunking as _gather_solve
         gdt = jnp.bfloat16 if gather_bf16 else E.dtype
         NE = bcnt.shape[0]
-        s = _row_split(NE, R, int(F_g.shape[1]), jnp.dtype(gdt).itemsize)
+        s, sr = _split_plan(NE, R, int(F_g.shape[1]),
+                            jnp.dtype(gdt).itemsize)
+        q, qr = NE // s, R // sr
 
-        def sq_err(soi, srr, scnt, seid):
-            valid = (lax.broadcasted_iota(jnp.int32, soi.shape, 1)
+        def sq_err(soi, srr, scnt, seid, pos0):
+            # slot validity is by GLOBAL position within the entity row,
+            # so R-chunks carry their offset
+            valid = (pos0 + lax.broadcasted_iota(jnp.int32, soi.shape, 1)
                      < scnt[:, None])
             pred = jnp.einsum("urk,uk->ur", F_g[soi].astype(gdt),
                               E[seid].astype(gdt),
@@ -484,12 +533,23 @@ def _wire_sq_err_chunk(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
             # f64 accumulation across chunks happens on host in rmse_wire
             return jnp.sum(err * err)
 
-        if s == 1:
-            return acc + sq_err(oi, rr, bcnt, beid), None
-        q = NE // s
+        if s == 1 and sr == 1:
+            return acc + sq_err(oi, rr, bcnt, beid, 0), None
 
         def sub(a, t):
-            return a + sq_err(*t), None
+            soi, srr, scnt, seid = t  # [q, R]
+            if sr == 1:
+                return a + sq_err(soi, srr, scnt, seid, 0), None
+
+            def rsub(a2, tt):
+                coi, crr, pos0 = tt
+                return a2 + sq_err(coi, crr, scnt, seid, pos0), None
+
+            a3, _ = lax.scan(rsub, a,
+                             (soi.reshape(q, sr, qr).swapaxes(0, 1),
+                              srr.reshape(q, sr, qr).swapaxes(0, 1),
+                              jnp.arange(sr, dtype=jnp.int32) * qr))
+            return a3, None
 
         a2, _ = lax.scan(sub, acc, (oi.reshape(s, q, R),
                                     rr.reshape(s, q, R),
