@@ -99,8 +99,20 @@ def load_packed(d: str):
 
 def wire_probe():
     """Measured host->device wire speed for the two entropy extremes the
-    packed format ships (u16 deltas compress; int8 noise does not)."""
+    packed format ships (u16 deltas compress; int8 noise does not).
+
+    Sync is a scalar readback of a program CONSUMING the transferred
+    buffer — `block_until_ready` returns at enqueue on this tunneled
+    v5e and once reported a fictitious ~400 MB/s here (docs/KERNELS.md
+    "The wire rate, measured correctly"); a jitted reduce over the
+    device buffer cannot run before the transfer completes."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def consume(a):
+        return jnp.sum(a[:: max(1, a.shape[0] // 1024)]
+                       .astype(jnp.float32))
 
     rng = np.random.default_rng(0)
     out = {}
@@ -109,10 +121,18 @@ def wire_probe():
         ("i8_noise", rng.integers(-128, 128, 1 << 25).astype(np.int8)),
         ("f32_noise", rng.random(1 << 23, dtype=np.float32)),
     ):
-        jax.device_put(arr[: 1 << 16]).block_until_ready()  # warm path
+        # keep the native dtypes: the tunnel's rate is per-ELEMENT-ish
+        # (int8 moves half the MB/s of u16), so byte views would erase
+        # exactly the distinction this probe exists to measure
+        warm = arr[: 1 << 16]
+        float(jax.device_get(consume(jax.device_put(warm))))
         t0 = time.time()
-        jax.device_put(arr).block_until_ready()
+        float(jax.device_get(consume(jax.device_put(arr))))
         dt = time.time() - t0
+        # subtract the dispatch+readback floor measured on the warm put
+        t0 = time.time()
+        float(jax.device_get(consume(jax.device_put(warm))))
+        dt = max(dt - (time.time() - t0), 1e-9)
         out[name] = round(arr.nbytes / dt / 2**20, 1)
     return out
 
@@ -280,10 +300,82 @@ def time_epochs(step, state, epochs, label):
                    "steady_s": round(steady, 3)}
 
 
+def run_sgd_ooc(args, result):
+    """OOC stream-SGD measurement: stream on HOST (prepare_stream_sgd
+    device=False), permuted chunks shipped ahead of the scan
+    (models/sgd_stream.sgd_stream_epoch_ooc). Reports the streamed
+    bytes/epoch so the wire-bound model (bytes / ~40 MB/s) is checkable,
+    plus the resident stream epoch when --compare."""
+    import jax
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models.base import init_state
+    from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
+
+    tu, ti, tr, nu, ni = get_coo(args.scale)
+    nnz = len(tr)
+    batch = 65_536
+    t0 = time.time()
+    data, _ = prepare_stream_sgd(tu, ti, tr, batch, nu, ni, seed=0,
+                                 device=False)
+    log(f"stream prep (host): {time.time() - t0:.0f}s, "
+        f"NB={data.ul.shape[0]} tile={data.tile}")
+    stream_b = sum(np.asarray(getattr(data, n)).nbytes
+                   for n in ("ul", "ib", "rb", "wu", "wi", "u_lo"))
+    result.update(nnz=nnz, n_users=nu, n_items=ni, batch=batch,
+                  stream_mb_per_epoch=round(stream_b / 2**20, 1),
+                  stream_bytes_per_rating=round(stream_b / nnz, 2))
+    trainer = StreamSGD(lam=0.02, lr=0.01, seed=0)
+    state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32,
+                       mu=float(np.mean(tr)))
+    jax.block_until_ready(state.U)
+
+    class _Box:
+        pass
+
+    ep = _Box()
+    ep.i = 0
+
+    def step(s):
+        s = trainer.epoch(s, data, ep.i)
+        ep.i += 1
+        return s
+
+    state, t_ooc = time_epochs(step, state, args.epochs, "ooc-sgd")
+    result["ooc"] = t_ooc
+    if t_ooc.get("steady_s"):
+        result["ooc"]["wire_MBps_effective"] = round(
+            stream_b / 2**20 / t_ooc["steady_s"], 1)
+    from ycnr_tpu.models.ooc import device_hbm_stats
+
+    result["hbm"] = device_hbm_stats()
+    if args.compare:
+        dev = data._replace(**{n: jax.device_put(np.asarray(getattr(data, n)))
+                               for n in ("ul", "ib", "rb", "wu", "wi",
+                                         "u_lo")})
+        state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32,
+                           mu=float(np.mean(tr)))
+        jax.block_until_ready(state.U)
+        ep.i = 0
+
+        def rstep(s):
+            s = trainer.epoch(s, dev, ep.i)
+            ep.i += 1
+            return s
+
+        state, t_res = time_epochs(rstep, state, args.epochs,
+                                   "resident-sgd")
+        result["resident"] = t_res
+        result["ooc_vs_resident"] = (
+            round(t_ooc["steady_s"] / t_res["steady_s"], 2)
+            if t_res["steady_s"] > 0 else None)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=list(SCALES), default="netflix")
-    ap.add_argument("--algo", choices=["als", "ials"], default="als")
+    ap.add_argument("--algo", choices=["als", "ials", "sgd"], default="als")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--groups", type=int, default=8)
@@ -343,6 +435,11 @@ def main():
     log(f"wire probe: {result['wire_MBps']}")
     if args.probe:
         print(json.dumps(result))
+        return
+
+    if args.algo == "sgd":
+        del result["wire"]  # sgd streams [NB, B] batch slabs, not the wire
+        run_sgd_ooc(args, result)
         return
 
     nu, ni, nr = SCALES[args.scale]

@@ -167,6 +167,43 @@ def pallas_take_gather(table, idx, tile=2048):
     return lambda: run(table, idx)
 
 
+def pallas_taa_gather(table, idx, tile=2048):
+    """take_along_axis with row-broadcast 2-D indices — the other gather
+    form Mosaic might vectorize (measured round 4: rejected at lowering
+    with a bare AssertionError on this jax/libtpu)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = idx.shape[0]
+    n, w = table.shape
+    assert m % tile == 0
+
+    def kernel(idx_ref, table_ref, out_ref):
+        out_ref[:] = jnp.take_along_axis(
+            table_ref[:], idx_ref[:].astype(jnp.int32), axis=0)
+
+    gather = pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, w), table.dtype),
+    )
+
+    @jax.jit
+    def run(t, i):
+        i2 = jnp.broadcast_to(i[:, None], (m, w))
+        return jnp.sum(gather(i2, t).astype(jnp.float32))
+
+    return lambda: run(table, idx)
+
+
 def pallas_fused_gram(table, idx, rat, R=32, tile_ne=256):
     """Fused gather->Gram: one kernel gathers a [tile_ne, R] slot tile's
     rows and accumulates per-entity A = sum v v^T + rhs, never writing
@@ -282,7 +319,8 @@ def main():
                 ts / (M * args.steps) * 1e9, 2)
 
             for name, builder in (("pallas_loop", pallas_loop_gather),
-                                  ("pallas_take", pallas_take_gather)):
+                                  ("pallas_take", pallas_take_gather),
+                                  ("pallas_taa", pallas_taa_gather)):
                 try:
                     fn = builder(table, idx, args.tile) \
                         if name == "pallas_loop" else builder(table, idx)
