@@ -102,7 +102,7 @@ def main():
     def pass_puts():
         acc = None
         for g in (*ug, *ig):
-            for ch in _group_chunks(g, args.chunk_blocks):
+            for _, _, ch in _group_chunks(g, args.chunk_blocks):
                 dv = tuple(jax.device_put(a) for a in ch)
                 s = consume(*dv)
                 acc = s if acc is None else acc + s
@@ -126,7 +126,7 @@ def main():
     def pass_decode():
         acc = None
         for g in (*ug, *ig):
-            for ch in _group_chunks(g, args.chunk_blocks):
+            for _, _, ch in _group_chunks(g, args.chunk_blocks):
                 dv = tuple(jax.device_put(a) for a in ch)
                 s = decode_chunk(*dv, g.R, g.n_other)
                 acc = s if acc is None else acc + s

@@ -457,6 +457,14 @@ def main():
                   wire_bytes_per_rating=round(
                       (st_u["wire_bytes"] + st_i["wire_bytes"]) / nnz, 2))
 
+    # writeback plans BEFORE pinning, while the eids are host memmaps
+    # (PhasePlan reads them; post-pin it would pull 10s of MB back over
+    # the tunnel)
+    from ycnr_tpu.models.ooc import PhasePlan
+
+    u_plan = PhasePlan(ug, nu)
+    i_plan = PhasePlan(ig, ni)
+
     if args.residency != "host":
         from ycnr_tpu.models.ooc import auto_wire_budget, wire_to_device
 
@@ -492,12 +500,14 @@ def main():
         def ooc_step(s):
             return ials_epoch_ooc(s, ug, ig, lam, alpha, gather_bf16=True,
                                   prefetch=args.prefetch,
-                                  chunk_blocks=args.chunk_blocks)
+                                  chunk_blocks=args.chunk_blocks,
+                                  u_plan=u_plan, i_plan=i_plan)
     else:
         def ooc_step(s):
             return als_epoch_ooc(s, ug, ig, lam, gather_bf16=True,
                                  prefetch=args.prefetch,
-                                 chunk_blocks=args.chunk_blocks)
+                                 chunk_blocks=args.chunk_blocks,
+                                 u_plan=u_plan, i_plan=i_plan)
 
     if args.rmse:
         from ycnr_tpu.models.ooc import rmse_wire
@@ -541,8 +551,9 @@ def main():
             hbm1.get("bytes_limit", 0) / 2**30, 2)
     # axon devices expose no memory_stats; the watermark model is exact
     # by construction (models/ooc.py holds only these live buffers):
-    # factors f32 + the phase's bf16 gather copy, (prefetch+1) in-flight
-    # wire chunks, and one block's decoded+gathered tensors (scan body).
+    # factors f32 + the phase's bf16 gather copy + the larger view's
+    # wire-ordered solve table Ep, (prefetch+1) in-flight wire chunks,
+    # and one block's decoded+gathered tensors (scan body).
     k = args.rank
     group_b = [g.lo.nbytes + g.hi_pos.nbytes + g.hi_val.nbytes +
                g.rat.nbytes + g.cnt.nbytes + g.eid.nbytes
@@ -560,6 +571,8 @@ def main():
     model = (
         (nu + ni) * k * 4          # resident f32 factors
         + max(nu, ni) * k * 2      # bf16 gather copy of the fixed side
+        + max(u_plan.rows + u_plan.scratch,
+              i_plan.rows + i_plan.scratch) * k * 4  # solve table Ep
         + int(pinned_b)            # HBM-pinned wire groups
         + (args.prefetch + 1) * chunk_b * streamed_any
         + int(slots) * (4 + 4 + k * 2 + k * 4))  # oi+rr+gather+solve rows

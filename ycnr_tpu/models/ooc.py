@@ -36,6 +36,21 @@ compute +0.8 s. Consequences, in order:
   resident speed; only nnz beyond that streams at the wire rate.
 * Chunking (multi-block puts) remains transport hygiene only.
 
+Scatter-free phases (round 4): XLA's TPU scatter wants the [n_entities,
+k] operand in a transposed tile layout, so a scatter-into-factor program
+carries TWO full layout-change copies of the factor table (entry + root
+— measured via AOT memory_analysis: 5.5 GB of temps at the 1e9-rating
+scale's 10M-user table, the direct cause of the round-4 b1 OOM; at
+Netflix scale the same copies are 123 MB and invisible). The phase
+therefore never scatters: wire blocks hold CONSECUTIVE entities
+(ops/packed.py builds eid from the group's degree-sorted entity list),
+so each block's solved rows land in a wire-ordered table Ep via
+`lax.dynamic_update_slice` (in-place on the donated carry), and the
+entity-ordered factor is assembled once per phase by a chunked GATHER
+through the inverse permutation (PhasePlan.inv) that recycles the old
+factor's donated buffer. Gathers impose no layout constraint; the
+per-program temp footprint drops to the decode+solve working set.
+
 See docs/KERNELS.md "Out-of-core streaming" for the measurements and
 BASELINE.md for the current numbers.
 """
@@ -197,36 +212,40 @@ def _gather_solve(F_g, oi, rr, cntf, base_gram, lam, alpha, acc_t,
 @partial(jax.jit,
          static_argnames=("R", "n_other", "lam", "alpha", "gather_bf16"),
          donate_argnums=(0,))
-def _ooc_chunk_step(E, F_g, lo, hi_pos, hi_val, rat, cnt, eid,
+def _ooc_chunk_step(Ep, F_g, lo, hi_pos, hi_val, rat, cnt, off,
                     base_gram, R: int, n_other: int, lam: float,
                     alpha: Optional[float], gather_bf16: bool):
-    """_ooc_block_step over a CHUNK of same-shape blocks ([C, ...] leading
-    axis) via lax.scan — one program body regardless of C, so the
-    first-epoch upload wall does not grow with the chunk size.
+    """Solve a CHUNK of same-shape blocks ([C, ...] leading axis) into the
+    wire-ordered table Ep via lax.scan — one program body regardless of C,
+    so the first-epoch upload wall does not grow with the chunk size.
 
     Chunking exists for the transport, not the math: shipping C blocks
     per put cuts per-put dispatch overhead C-fold and keeps full chunks
     as zero-copy memmap views (measured round 3: steady time is decode-
     bound either way — 12.25 s chunked vs 11.93 s at 6 puts/block on
     Netflix — so this is hygiene, not the lever; see the module
-    docstring). The scan body is the block pipeline unchanged
-    (decode -> gather -> Gram -> guarded solve -> scatter). E is donated
-    (updated in place); the wire buffers die with their last Python
-    reference when the step retires, so the HBM watermark stays bounded
-    by factors + the in-flight chunks + one sub-chunk's gathered tensor
-    (_gather_solve caps it at _GATHER_CHUNK_BYTES)."""
-    def body(E, blk):
-        blo, bhp, bhv, brat, bcnt, beid = blk
+    docstring). The scan body is the block pipeline
+    (decode -> gather -> Gram -> guarded solve) ending in a
+    dynamic_update_slice at the block's wire-order row offset ``off`` —
+    NOT a scatter; see the module docstring on why (the scatter layout
+    flip carries two factor-table copies, the round-4 b1 OOM). Ep is
+    donated (updated in place); the wire buffers die with their last
+    Python reference when the step retires, so the HBM watermark stays
+    bounded by factors + Ep + the in-flight chunks + one sub-chunk's
+    gathered tensor (_gather_solve caps it at _GATHER_CHUNK_BYTES)."""
+    def body(Ep, blk):
+        blo, bhp, bhv, brat, bcnt, boff = blk
         # inside the scan the chunk axis is stripped: rect lo is [NE, R]
         # (2-D), packed lo is the [S] stream (1-D)
         dec = decode_block_rect if blo.ndim == 2 else decode_block
-        oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, E.dtype)
-        rows = _gather_solve(F_g, oi, rr, bcnt.astype(E.dtype),
-                             base_gram, lam, alpha, E.dtype, gather_bf16)
-        return E.at[beid].set(rows.astype(E.dtype)), None
+        oi, rr = dec(blo, bhp, bhv, brat, bcnt, R, n_other, Ep.dtype)
+        rows = _gather_solve(F_g, oi, rr, bcnt.astype(Ep.dtype),
+                             base_gram, lam, alpha, Ep.dtype, gather_bf16)
+        return lax.dynamic_update_slice(
+            Ep, rows.astype(Ep.dtype), (boff, jnp.int32(0))), None
 
-    E, _ = lax.scan(body, E, (lo, hi_pos, hi_val, rat, cnt, eid))
-    return E
+    Ep, _ = lax.scan(body, Ep, (lo, hi_pos, hi_val, rat, cnt, off))
+    return Ep
 
 
 # wire bytes per chunk targeted by the auto chunk size: large enough to
@@ -238,13 +257,14 @@ _CHUNK_TARGET_BYTES = 48 * 2**20
 
 
 def _group_chunks(g, chunk_blocks):
-    """Yield [C, ...]-leading chunk tuples of g's wire arrays.
+    """Yield (c0, n_real, [C, ...]-leading chunk tuple) of g's wire arrays.
 
-    Full chunks are contiguous zero-copy views (memmap-friendly); the
-    final partial chunk is padded with zero blocks (cnt=0 rows decode to
-    all-padding, and the pad eid targets one-past-the-last factor row, an
-    out-of-bounds scatter that XLA drops — the same contract as the
-    padding rows inside real blocks)."""
+    ``c0`` is the chunk's first block index within the group and
+    ``n_real`` how many of its C blocks are real. Full chunks are
+    contiguous zero-copy views (memmap-friendly); the final partial chunk
+    is padded with zero blocks (cnt=0 rows decode to all-padding; the pad
+    eid is an out-of-bounds sentinel and the train path routes pad blocks
+    to the Ep scratch region — see phase_packed)."""
     nb = g.n_blocks
     if chunk_blocks is None:
         per_block = max(1, (g.lo.nbytes + g.hi_pos.nbytes +
@@ -254,7 +274,7 @@ def _group_chunks(g, chunk_blocks):
     C = max(1, min(nb, chunk_blocks))
     names = ("lo", "hi_pos", "hi_val", "rat", "cnt", "eid")
     for c0 in range(0, nb - nb % C, C):
-        yield tuple(getattr(g, n)[c0:c0 + C] for n in names)
+        yield c0, C, tuple(getattr(g, n)[c0:c0 + C] for n in names)
     rem = nb % C
     if rem:
         out = []
@@ -266,7 +286,77 @@ def _group_chunks(g, chunk_blocks):
                 # (E has n_entities rows; real eids are < n_entities)
                 pad += np.int32(2**31 - 2)
             out.append(np.concatenate([a, pad], axis=0))
-        yield tuple(out)
+        yield nb - rem, rem, tuple(out)
+
+
+class PhasePlan:
+    """Wire-order writeback plan for one view's phase (scatter-free OOC).
+
+    Blocks hold consecutive entities of the group's degree-sorted list
+    (ops/packed.py: eid = ents reshaped, padding only at the group tail),
+    so block b of group g owns rows [offs[g][b], offs[g][b]+NE) of a
+    wire-ordered table Ep with ``rows`` real rows plus ``scratch`` spare
+    rows (the dump target for chunk-pad blocks; every row written there
+    is a cnt=0 padding solve = exactly 0). ``inv`` maps entity id ->
+    wire-order row; entities in no block (cold) and the spare zero row
+    map to the sentinel ``rows`` and keep their previous factor values
+    through _assemble — bitwise the old scatter semantics."""
+
+    __slots__ = ("offs", "rows", "scratch", "inv")
+
+    def __init__(self, groups, n_entities: int, device: bool = True):
+        offs, base = [], 0
+        scratch = 1
+        inv = np.full(n_entities + 1, 0, np.int32)  # filled below
+        pos_of = np.full(n_entities + 1, -1, np.int64)
+        for g in groups:
+            nb, NE = g.cnt.shape
+            offs.append(base + np.arange(nb, dtype=np.int32) * NE)
+            eids = np.asarray(g.eid).ravel()
+            valid = eids < n_entities
+            pos_of[eids[valid]] = base + np.nonzero(valid)[0]
+            base += nb * NE
+            scratch = max(scratch, NE)
+        self.rows = int(base)
+        self.scratch = int(scratch)
+        inv = np.where(pos_of >= 0, pos_of, base).astype(np.int32)
+        if device:
+            self.inv = jax.device_put(inv)
+            self.offs = tuple(jax.device_put(o) for o in offs)
+        else:
+            self.inv = inv
+            self.offs = tuple(offs)
+
+
+# rows per assemble-gather chunk: bounds the gather+old+new temp triple
+# near 3 x 256 MB at k=64 f32 while keeping the program count at one
+# (lax.scan over chunk starts inside a single jit).
+_ASSEMBLE_CHUNK_ROWS = 2**20
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _assemble(E, Ep, inv, sent):
+    """Entity-ordered factor from the wire-ordered solve table.
+
+    E (donated, recycled in place) supplies the previous values for rows
+    whose inv == sent (cold entities + the spare zero row — the old
+    scatter semantics: untouched); every other row gathers Ep[inv].
+    Chunked dynamic slice/update so the temp working set stays ~3 chunk
+    buffers regardless of the table size (10M+ rows at the 1e9 scale)."""
+    n1, k = E.shape
+    ch = min(n1, _ASSEMBLE_CHUNK_ROWS)
+    starts = list(range(0, n1 - ch + 1, ch))
+    if n1 % ch and n1 > ch:
+        starts.append(n1 - ch)  # overlap tail: overlapped rows recompute
+
+    def body(E, a):
+        invc = lax.dynamic_slice_in_dim(inv, a, ch, 0)
+        old = lax.dynamic_slice_in_dim(E, a, ch, 0)
+        new = jnp.where((invc == sent)[:, None], old, Ep[invc])
+        return lax.dynamic_update_slice_in_dim(E, new, a, 0), None
+
+    E, _ = lax.scan(body, E, jnp.asarray(starts, jnp.int32))
+    return E
 
 
 @partial(jax.jit, static_argnames=("bf16",))
@@ -316,12 +406,16 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
     Starts from the chip's reported limit (axon devices report none — a
     1 GB-step allocation probe on this tunnel's v5e holds 15 GB and OOMs
     at 16, so assume 15 GB allocatable) and reserves: f32 factors+biases,
-    the phase's bf16 gather copy, the LARGEST block's in-flight tensors
-    (computed exactly from ``groups`` when given: decode temps are
-    ~20 B/decoded slot and the gathered factor rows are capped at
-    _GATHER_CHUNK_BYTES by _gather_solve's row sub-chunking; else a 1 GB
-    allowance), streamed chunk buffers, and a 1.5 GB runtime margin (XLA
-    scratch, donation slack)."""
+    the phase's bf16 gather copy, the larger view's wire-ordered solve
+    table Ep (factor-sized — the scatter-free phase's one standing cost),
+    the LARGEST block's in-flight tensors (computed exactly from
+    ``groups`` when given: decode temps are ~20 B/decoded slot, the
+    gathered factor rows are capped at _GATHER_CHUNK_BYTES by
+    _gather_solve's sub-chunking, and the normal-equations chain holds
+    ~3 copies of the [q, k, k] accumulator through regularize/symmetrize;
+    else a 1.5 GB allowance), the assemble-gather chunk triple, streamed
+    chunk buffers, and a 1 GB runtime margin (XLA scratch, donation
+    slack)."""
     if hbm_bytes is None:
         stats = device_hbm_stats()
         hbm_bytes = stats.get("bytes_limit", 15 * 10**9)
@@ -340,15 +434,18 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
                 s, sr = _split_plan(NE, R, k, isz)
                 inflight = max(
                     inflight,
-                    NE * R * 20 + (NE // s) * (R // sr) * k * isz)
+                    NE * R * 20 + (NE // s) * (R // sr) * k * isz
+                    + 3 * (NE // s) * k * k * 4)
     else:
-        inflight = 1_000_000_000
+        inflight = 1_500_000_000
     reserve = (
         (n_users + n_items + 2) * (k * 4 + 8)          # f32 factors+biases
         + bf16[n_users] + bf16[n_items]                # phase gather copies
+        + (max(n_users, n_items) + 2**20) * k * 4      # Ep (+ pad slack)
+        + 3 * _ASSEMBLE_CHUNK_ROWS * k * 4             # assemble chunks
         + inflight
         + 3 * 48 * 2**20                               # streamed chunks
-        + 1_500_000_000)
+        + 1_000_000_000)
     return max(0, hbm_bytes - reserve)
 
 
@@ -359,7 +456,7 @@ def _rect_bytes_estimate(g) -> int:
     if g.lo.ndim == 3:  # already rect
         return sum(getattr(g, n).nbytes for n in _WIRE_NAMES)
     nb, ne = g.cnt.shape
-    slot = 2 + (1 if g.rat.dtype == np.int8 else 4)
+    slot = 2 + np.dtype(g.rat.dtype).itemsize  # u16 delta + rating
     return (nb * ne * g.R * slot + g.hi_pos.nbytes + g.hi_val.nbytes
             + g.cnt.nbytes + g.eid.nbytes)
 
@@ -426,7 +523,8 @@ def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
                  lam: float, alpha: Optional[float] = None,
                  base_gram=None, gather_bf16: bool = False,
                  prefetch: int = 2,
-                 chunk_blocks: Optional[int] = None) -> jnp.ndarray:
+                 chunk_blocks: Optional[int] = None,
+                 plan: Optional[PhasePlan] = None) -> jnp.ndarray:
     """Re-solve all entity rows of E against F from the wire format.
 
     Per-group dispatch: a group pinned in HBM (wire_to_device) runs as
@@ -436,65 +534,86 @@ def phase_packed(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
     ``chunk_blocks`` is the number of same-shape blocks shipped per put
     (default: auto-sized to ~48 MB of wire per chunk — see
     _ooc_chunk_step on why granularity is a transport lever). E is
-    consumed (donated); use the returned array.
+    consumed (donated into the final assembly); use the returned array.
+
+    Blocks write into a wire-ordered table Ep at their PhasePlan offsets
+    (dynamic_update_slice, never scatter — module docstring), and the
+    entity-ordered factor is gathered out once at the end. ``plan`` is
+    rebuilt from the group eids when None; epoch drivers should build it
+    once (device=True) so the inverse permutation is not re-uploaded
+    every epoch.
 
     ``gather_bf16`` is honored only while F's bf16 copy stays under
     _BF16_COPY_MAX_BYTES; beyond that the phase gathers in the factor
     dtype (slightly slower per row, no second factor-sized buffer).
     """
+    if plan is None:
+        plan = PhasePlan(groups, E.shape[0] - 1)
     gather_bf16 = _phase_bf16(F, gather_bf16)
     F_g = _cast_gather(F, gather_bf16)
-    for g in groups:
+    sent = jnp.int32(plan.rows)
+    Ep = jnp.zeros((plan.rows + plan.scratch, E.shape[1]), E.dtype)
+    for g, goff in zip(groups, plan.offs):
         if group_resident(g):
-            E = _ooc_chunk_step(E, F_g, g.lo, g.hi_pos, g.hi_val, g.rat,
-                                g.cnt, g.eid, base_gram, g.R, g.n_other,
-                                lam, alpha, gather_bf16)
+            Ep = _ooc_chunk_step(Ep, F_g, g.lo, g.hi_pos, g.hi_val, g.rat,
+                                 g.cnt, goff, base_gram, g.R, g.n_other,
+                                 lam, alpha, gather_bf16)
             continue
-        chunks = _group_chunks(g, chunk_blocks)
+        goff_h = np.asarray(goff)
         q = []
-        for ch in chunks:
-            q.append(tuple(jax.device_put(a) for a in ch))
+        for c0, n_real, ch in _group_chunks(g, chunk_blocks):
+            C = ch[4].shape[0]
+            off = np.full(C, plan.rows, np.int32)  # pad -> scratch
+            off[:n_real] = goff_h[c0:c0 + n_real]
+            dv = tuple(jax.device_put(a) for a in ch[:5])
+            q.append(dv + (jax.device_put(off),))
             if len(q) <= prefetch:
                 continue
-            E = _ooc_chunk_step(E, F_g, *q.pop(0), base_gram, g.R,
-                                g.n_other, lam, alpha, gather_bf16)
+            Ep = _ooc_chunk_step(Ep, F_g, *q.pop(0), base_gram, g.R,
+                                 g.n_other, lam, alpha, gather_bf16)
         for ch in q:
-            E = _ooc_chunk_step(E, F_g, *ch, base_gram, g.R, g.n_other,
-                                lam, alpha, gather_bf16)
-    return E
+            Ep = _ooc_chunk_step(Ep, F_g, *ch, base_gram, g.R, g.n_other,
+                                 lam, alpha, gather_bf16)
+    return _assemble(E, Ep, plan.inv, sent)
 
 
 def als_epoch_ooc(state: MFState, user_groups: PackedCSR,
                   item_groups: PackedCSR, lam: float,
                   gather_bf16: bool = False, prefetch: int = 2,
-                  chunk_blocks: Optional[int] = None) -> MFState:
+                  chunk_blocks: Optional[int] = None,
+                  u_plan: Optional[PhasePlan] = None,
+                  i_plan: Optional[PhasePlan] = None) -> MFState:
     """One ALS-WR sweep with both rating views streamed from host.
 
     Same math as models/bucketed_phase.als_epoch_bucketed (shared block
-    body); state is consumed (donated factor buffers)."""
+    body); state is consumed (donated factor buffers). Pass the two
+    PhasePlans when running many epochs so the inverse permutations stay
+    device-resident."""
     U = phase_packed(state.U, state.V, user_groups, lam,
                      gather_bf16=gather_bf16, prefetch=prefetch,
-                     chunk_blocks=chunk_blocks)
+                     chunk_blocks=chunk_blocks, plan=u_plan)
     V = phase_packed(state.V, U, item_groups, lam,
                      gather_bf16=gather_bf16, prefetch=prefetch,
-                     chunk_blocks=chunk_blocks)
+                     chunk_blocks=chunk_blocks, plan=i_plan)
     return state._replace(U=U, V=V)
 
 
 def ials_epoch_ooc(state: MFState, user_groups: PackedCSR,
                    item_groups: PackedCSR, lam: float, alpha: float,
                    gather_bf16: bool = False, prefetch: int = 2,
-                   chunk_blocks: Optional[int] = None) -> MFState:
+                   chunk_blocks: Optional[int] = None,
+                   u_plan: Optional[PhasePlan] = None,
+                   i_plan: Optional[PhasePlan] = None) -> MFState:
     """One iALS sweep, streamed; the global base Grams are computed on
     device per phase (resident factors), exactly as the resident path."""
     GV = _global_gram(state.V)
     U = phase_packed(state.U, state.V, user_groups, lam, alpha, GV,
                      gather_bf16=gather_bf16, prefetch=prefetch,
-                     chunk_blocks=chunk_blocks)
+                     chunk_blocks=chunk_blocks, plan=u_plan)
     GU = _global_gram(U)
     V = phase_packed(state.V, U, item_groups, lam, alpha, GU,
                      gather_bf16=gather_bf16, prefetch=prefetch,
-                     chunk_blocks=chunk_blocks)
+                     chunk_blocks=chunk_blocks, plan=i_plan)
     return state._replace(U=U, V=V)
 
 
@@ -577,7 +696,7 @@ def rmse_wire(state: MFState, user_groups: PackedCSR, nnz: int,
                 state.U, state.V, g.lo, g.hi_pos, g.hi_val, g.rat,
                 g.cnt, g.eid, g.R, g.n_other, gather_bf16)))
             continue
-        for ch in _group_chunks(g, chunk_blocks):
+        for _, _, ch in _group_chunks(g, chunk_blocks):
             dv = tuple(jax.device_put(a) for a in ch)
             acc += float(jax.device_get(_wire_sq_err_chunk(
                 state.U, state.V, *dv, g.R, g.n_other, gather_bf16)))

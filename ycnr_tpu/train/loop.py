@@ -197,6 +197,11 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             dil = build(ds.train_i, ds.train_u, ds.train_r,
                         ds.n_items, ds.n_users, params.rank,
                         max_groups=cfg.data.max_groups)
+            from ycnr_tpu.models.ooc import PhasePlan
+
+            # writeback plans while the eids are host arrays (pre-pin)
+            ooc_plans = (PhasePlan(dul, ds.n_users),
+                         PhasePlan(dil, ds.n_items))
             if cfg.ooc_residency != "host":
                 from ycnr_tpu.models.ooc import group_resident
 
@@ -303,7 +308,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
                 state = als_epoch_ooc(
                     state, dul, dil, cfg.als.lam,
-                    gather_bf16=cfg.als.gather_dtype == "bfloat16")
+                    gather_bf16=cfg.als.gather_dtype == "bfloat16",
+                    u_plan=ooc_plans[0], i_plan=ooc_plans[1])
             else:
                 state = als_epoch_bucketed(
                     state, dul, dil, cfg.als.lam,
@@ -314,7 +320,8 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
 
                 state = ials_epoch_ooc(
                     state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
-                    gather_bf16=cfg.ials.gather_dtype == "bfloat16")
+                    gather_bf16=cfg.ials.gather_dtype == "bfloat16",
+                    u_plan=ooc_plans[0], i_plan=ooc_plans[1])
             else:
                 state = ials_epoch_bucketed(
                     state, dul, dil, cfg.ials.lam, cfg.ials.alpha,
