@@ -138,11 +138,14 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
         raise ValueError(f"ooc_residency must be 'auto', 'device' or "
                          f"'host', got {cfg.ooc_residency!r}")
     if cfg.mesh.n_shards > 1:
-        if cfg.ooc:
+        if cfg.ooc and cfg.algorithm not in ("als", "ials"):
             raise ValueError(
-                "ooc=True is single-chip (mesh sharding already "
-                "multiplies HBM by the shard count; combine them once a "
-                "multi-chip host is available)")
+                "ooc=True on a mesh supports als/ials (mode-A wire "
+                "sharding, parallel/ooc_mesh.py); sgd/bpr stream-OOC "
+                "is single-chip")
+        if cfg.ooc and cfg.mesh.vstep_mode == "item_sharded":
+            raise ValueError("ooc=True shards the wire mode-A "
+                             "(gram_psum); item_sharded is resident-only")
         return _train_sharded(cfg, ds, metrics, out, resume, warm_start)
 
     dtype = jnp.dtype(params.dtype)
@@ -639,6 +642,9 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
             and cfg.algorithm in ("als", "ials")):
         return _train_dual(cfg, ds, metrics, out, resume, warm_start, mesh,
                            params, dtype)
+    if cfg.ooc:
+        return _train_sharded_ooc(cfg, ds, metrics, out, resume,
+                                  warm_start, mesh, params, dtype)
     sgd_stream = cfg.algorithm == "sgd" and cfg.sgd.method == "stream"
     data, meta = build_sharded_data(
         ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
@@ -745,6 +751,106 @@ def _train_sharded(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
         shm_writer.close()
     if cfg.measure_serving:
         _log_serving_metric_sharded(cfg, ds, st, data, meta, mesh, metrics)
+    if gstate is None:
+        gstate = gather_state(st, meta)
+    return TrainResult(state=gstate, dataset=ds,
+                       rmse_history=history, out_dir=out)
+
+
+def _train_sharded_ooc(cfg: RunConfig, ds: Dataset, metrics: MetricsLogger,
+                       out: Optional[str], resume: Optional[str],
+                       warm_start: Optional[str], mesh, params,
+                       dtype) -> TrainResult:
+    """Mode-A sharded training from the OOC wire format: the user-view
+    wire sliced block-contiguously across shards, per-shard item-view
+    wires, item-Gram psum over ICI (parallel/ooc_mesh.py). HBM per chip
+    holds factors + 1/D of the wire — the mesh analog of the single-chip
+    pinned tier (docs/SCALING.md "OOC x mesh")."""
+    from ycnr_tpu.parallel import gather_state, scatter_state, sharded_rmse
+    from ycnr_tpu.parallel.ooc_mesh import (build_sharded_wire,
+                                            make_sharded_ooc_epoch,
+                                            put_sharded_wire)
+    from ycnr_tpu.parallel.shard import ShardedData, _stack_ragged
+
+    D = cfg.mesh.n_shards
+    sw, meta = build_sharded_wire(
+        ds.train_u, ds.train_i, ds.train_r, ds.n_users, ds.n_items, D,
+        rank_hint=params.rank, max_groups=cfg.data.max_groups, mesh=None)
+    sw = put_sharded_wire(sw, mesh)
+    metrics.log(event="ooc_residency", mesh_shards=D,
+                hbm_pinned_bytes=sum(
+                    np.asarray(getattr(g, n)).nbytes
+                    for gr in (sw.ugroups, sw.igroups) for g in gr
+                    for n in ("lo", "hi_pos", "hi_val", "rat", "cnt",
+                              "eid")) // D,
+                streamed_bytes=0)
+
+    # held-out rows through the wire membership (cold users own sentinel
+    # rows, so their predictions are exactly 0, as on one chip)
+    shard_of = (meta.user_local // meta.upd).astype(np.int64)
+    local_of = (meta.user_local % meta.upd).astype(np.int64)
+    tper = [np.nonzero(shard_of[ds.test_u] == d)[0] for d in range(D)]
+    tu, ti, tr = _stack_ragged(
+        [(local_of[ds.test_u[p]], ds.test_i[p], ds.test_r[p])
+         for p in tper], pads=(meta.upd, ds.n_items, 0.0))
+    meta.test_n = len(ds.test_r)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ycnr_tpu.parallel.mesh import AXIS
+
+    sh = NamedSharding(mesh, P(AXIS))
+    data = ShardedData(
+        user_layout=None, item_layout=None, item_deg=sw.item_deg,
+        sgd_u=jnp.zeros((D, 8), jnp.int32),
+        sgd_i=jnp.zeros((D, 8), jnp.int32),
+        sgd_r=jnp.zeros((D, 8), dtype),
+        test_u=jax.device_put(tu, sh), test_i=jax.device_put(ti, sh),
+        test_r=jax.device_put(tr, sh))
+
+    gstate, start_epoch, history = _start_state(
+        cfg, ds, params, resume, warm_start, metrics, 0.0, dtype)
+    gstate = zero_cold_entities(gstate, ds.train_u, ds.train_i)
+    shm_writer = _shm_writer(cfg, gstate)
+    st = scatter_state(gstate, meta, mesh)
+    gstate = None
+
+    alpha = cfg.ials.alpha if cfg.algorithm == "ials" else None
+    lam = cfg.ials.lam if cfg.algorithm == "ials" else cfg.als.lam
+    gb = (cfg.ials if cfg.algorithm == "ials"
+          else cfg.als).gather_dtype == "bfloat16"
+    epoch_fn = make_sharded_ooc_epoch(mesh, sw, float(lam), alpha=alpha,
+                                      gather_bf16=gb, dtype=dtype)
+    for epoch in range(start_epoch, params.epochs):
+        t0 = time.time()
+        st = epoch_fn(st)
+        device_sync(st.U)
+        epoch_s = time.time() - t0
+        rmse = sharded_rmse(mesh, st, data, meta.test_n)
+        history.append(rmse)
+        metrics.log(epoch=epoch + 1, rmse_test=round(rmse, 6),
+                    epoch_s=round(epoch_s, 4), algo=cfg.algorithm,
+                    shards=D, ooc=True)
+        stop = _early_stop(cfg, history, metrics, epoch + 1)
+        gstate = None
+        if out and cfg.checkpoint_every and (
+                (epoch + 1) % cfg.checkpoint_every == 0
+                or epoch + 1 == params.epochs or stop):
+            gstate = gather_state(st, meta)
+            save_checkpoint(os.path.join(out, "ckpt"), gstate, epoch + 1,
+                            config=config_dict(cfg),
+                            extra=_ckpt_extra(history),
+                            backend=cfg.checkpoint_backend)
+        if shm_writer is not None:
+            shm_writer.publish(gstate if gstate is not None
+                               else gather_state(st, meta), epoch + 1)
+        if stop:
+            break
+    if shm_writer is not None:
+        shm_writer.close()
+    if cfg.measure_serving:
+        metrics.log(event="serving_metric_skipped",
+                    note="measure_serving needs the resident sharded "
+                         "layout; serve from the checkpoint instead")
     if gstate is None:
         gstate = gather_state(st, meta)
     return TrainResult(state=gstate, dataset=ds,
