@@ -83,6 +83,28 @@ def test_train_ooc_rejects_sgd(trained, tmp_path):
               "--epochs", "1", "--out", str(tmp_path / "o2")])
 
 
+def test_train_ooc_sharded_matches_resident(trained, tmp_path):
+    """--ooc --shards D (parallel/ooc_mesh.py mode-A wire sharding) on the
+    fake mesh: the per-epoch RMSE trajectory must match the resident
+    single-chip run at f32 print precision (the sharded psum reassociates
+    the item-Gram sum; rounded to 6 decimals they coincide on this tiny
+    dataset, as the resident sharded suite also relies on)."""
+    store, ckpt = trained
+    main(["train", "--preset", "ml100k-als", "--store", store, "--ooc",
+          "--shards", "4", "--epochs", "3", "--rank", "6",
+          "--out", str(tmp_path / "osh")])
+    res = [json.loads(line) for line in
+           open(f"{ckpt.rsplit('/', 1)[0]}/metrics.jsonl")
+           if "rmse_test" in line]
+    ooc = [json.loads(line) for line in
+           open(tmp_path / "osh" / "ml100k-als" / "metrics.jsonl")
+           if "rmse_test" in line]
+    assert all(r.get("shards") == 4 and r.get("ooc") for r in ooc)
+    got = [r["rmse_test"] for r in ooc]
+    want = [r["rmse_test"] for r in res]
+    assert got == pytest.approx(want, abs=2e-4)
+
+
 def test_validate_ranking(trained, capsys):
     store, ckpt = trained
     main(["validate", "--ckpt", ckpt, "--store", store, "--ranking"])

@@ -219,7 +219,7 @@ def build_sharded_wire(tu, ti, tr, n_users: int, n_items: int, D: int,
                                    **stacked))
 
     item_deg = np.bincount(ti, minlength=n_items).astype(np.float32)
-    item_deg = np.concatenate([item_deg, [0.0]])
+    item_deg = np.concatenate([item_deg, np.zeros(1, np.float32)])
 
     sw = ShardedWire(ugroups=ugroups, igroups=tuple(igroups),
                      u_off=tuple(u_off),
@@ -323,6 +323,7 @@ def _v_phase_local(U_local, item_deg, base_gram, *wire, Rs, n_items,
     A, b = carry
     A = lax.psum(A, AXIS)  # item-Gram all-reduce over ICI [BASELINE.json:5]
     b = lax.psum(b, AXIS)
+    item_deg = item_deg.astype(dtype)
     if alpha is None:
         reg = lam * item_deg + (item_deg == 0)
     else:
