@@ -189,6 +189,19 @@ def build_sharded_wire(tu, ti, tr, n_users: int, n_items: int, D: int,
         per_shard.append(gi)
         n_groups_i = max(n_groups_i, len(gi))
 
+    # a rating SUBSET can qualify for the int8 half-star wire while the
+    # full set (or another shard) does not — stacking int8 next to f32
+    # would silently promote the CODES (2x the rating). Force one kind.
+    kinds = {g.rating_kind for s in per_shard for g in s}
+    if len(kinds) > 1:
+        def as_raw(g):
+            if g.rating_kind != "half":
+                return g
+            return g._replace(rat=np.asarray(g.rat, np.float32) * 0.5,
+                              rating_kind="raw")
+
+        per_shard = [tuple(as_raw(g) for g in s) for s in per_shard]
+
     igroups = []
     for gidx in range(n_groups_i):
         gs = [s[gidx] if gidx < len(s) else None for s in per_shard]
