@@ -228,44 +228,53 @@ def prepare_stream_sgd(train_u, train_i, train_r, batch_size: int,
     return data, order
 
 
-def _epoch_scan(Ue, Ve, mu, xs, lam_, lr, tile: int, n_items: int):
-    """Scan the batch body over xs = (ul, ib, rb, wu, wi, u_lo) slabs.
-
-    THE single copy of the per-batch update math, shared by the resident
-    epoch (whole epoch in one scan) and the out-of-core streamed epoch
-    (one scan per host chunk) so their float64 parity is bitwise by
-    construction — the same association order either way.
+def _batch_update(Ue, Ve, mu, one_col, lam_, lr, tile: int, n_items: int,
+                  ulb, ibb, rbb, wub, wib, lo):
+    """THE single copy of the per-batch update math, shared by the
+    resident epoch, the out-of-core streamed epoch, and the compact-wire
+    epochs (flat and decoded inputs meet here) so their float64 parity is
+    bitwise by construction — the same association order either way.
 
     Per rating, exactly 4 per-row ops: tile gather, V gather, tile
     segment-sum, item segment-sum (sorted). Biases ride as column k of
     the extended factor tables."""
     k = Ue.shape[1] - 1
-    one_col = (jax.lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
-               == k).astype(Ue.dtype)  # [1, k+1] selector of the bias col
+    zero = jnp.zeros((), lo.dtype)  # match index dtypes (x64 tests)
+    Ut = lax.dynamic_slice(Ue, (lo, zero), (tile, k + 1))
+    ue = Ut[ulb]  # [B, k+1] gather from the tile        (per-row op 1)
+    ve = Ve[ibb]  # [B, k+1] gather from the item table  (per-row op 2)
+    pred = (mu + ue[:, k] + ve[:, k]
+            + jnp.einsum("nk,nk->n", ue[:, :k], ve[:, :k]))
+    e = rbb - pred  # weights carry the padding mask
+    # gradient rows, uniform across factor cols and the bias col:
+    # replacing the partner's bias col with 1 makes  e*partner - lam*own
+    # compute the bias update in the same fused elementwise expression
+    ve1 = ve * (1 - one_col) + one_col
+    ue1 = ue * (1 - one_col) + one_col
+    gu = (lr * wub)[:, None] * (e[:, None] * ve1 - lam_ * ue)
+    gv = (lr * wib)[:, None] * (e[:, None] * ue1 - lam_ * ve)
+    dU = jax.ops.segment_sum(gu, ulb, num_segments=tile)  # (op 3)
+    dV = jax.ops.segment_sum(gv, ibb, num_segments=n_items + 1,
+                             indices_are_sorted=True)     # (op 4)
+    Ue = lax.dynamic_update_slice(Ue, Ut + dU, (lo, zero))
+    Ve = Ve + dV
+    return Ue, Ve
+
+
+def _bias_col(Ue):
+    # [1, k+1] selector of the bias column (column k)
+    k = Ue.shape[1] - 1
+    return (jax.lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
+            == k).astype(Ue.dtype)
+
+
+def _epoch_scan(Ue, Ve, mu, xs, lam_, lr, tile: int, n_items: int):
+    """Scan the shared batch body over xs = (ul, ib, rb, wu, wi, u_lo)."""
+    one_col = _bias_col(Ue)
 
     def body(carry, xs_b):
-        Ue, Ve = carry
-        ulb, ibb, rbb, wub, wib, lo = xs_b
-        zero = jnp.zeros((), lo.dtype)  # match index dtypes (x64 tests)
-        Ut = lax.dynamic_slice(Ue, (lo, zero), (tile, k + 1))
-        ue = Ut[ulb]  # [B, k+1] gather from the tile        (per-row op 1)
-        ve = Ve[ibb]  # [B, k+1] gather from the item table  (per-row op 2)
-        pred = (mu + ue[:, k] + ve[:, k]
-                + jnp.einsum("nk,nk->n", ue[:, :k], ve[:, :k]))
-        e = rbb - pred  # weights carry the padding mask
-        # gradient rows, uniform across factor cols and the bias col:
-        # replacing the partner's bias col with 1 makes  e*partner - lam*own
-        # compute the bias update in the same fused elementwise expression
-        ve1 = ve * (1 - one_col) + one_col
-        ue1 = ue * (1 - one_col) + one_col
-        gu = (lr * wub)[:, None] * (e[:, None] * ve1 - lam_ * ue)
-        gv = (lr * wib)[:, None] * (e[:, None] * ue1 - lam_ * ve)
-        dU = jax.ops.segment_sum(gu, ulb, num_segments=tile)  # (op 3)
-        dV = jax.ops.segment_sum(gv, ibb, num_segments=n_items + 1,
-                                 indices_are_sorted=True)     # (op 4)
-        Ue = lax.dynamic_update_slice(Ue, Ut + dU, (lo, zero))
-        Ve = Ve + dV
-        return (Ue, Ve), None
+        return _batch_update(*carry, mu, one_col, lam_, lr, tile,
+                             n_items, *xs_b), None
 
     (Ue, Ve), _ = lax.scan(body, (Ue, Ve), xs)
     return Ue, Ve
@@ -381,6 +390,173 @@ def sgd_stream_epoch_ooc(state: MFState, data: StreamSGDData, order,
                           bu=Ue[:, k], bi=Ve[:, k])
 
 
+# ------------------- compact-wire epochs (the SGD pin tier) ------------
+#
+# ops/sgd_wire.CompactStreamSGD is the 5-9 B/rating encoding of the flat
+# stream (u16 tile-local users, delta-coded items with an overflow
+# side-channel, int8 half-star ratings, u16 multiplicities with weights
+# recomputed on device). The decode below is the device twin of
+# ops/sgd_wire.decode_compact — the wire builder validates the two agree
+# bitwise on host — and its output feeds the SAME _batch_update body as
+# the flat epochs, so float64 trajectories are bitwise across all four
+# paths (flat/compact x resident/streamed) under one batch order.
+# Decode cost per rating: ONE per-row op (the item-delta cumsum) on top
+# of the epoch's four; the overflow scatter touches H << B rows and the
+# weight recompute is elementwise.
+
+
+def _decode_compact_batch(ulb, ilob, hp, hv, rqb, mub, mib,
+                          n_items: int, cap: int, grad_mode: str,
+                          rating_kind: str, dtype):
+    """One batch of wire rows -> the flat (ul, ib, rb, wu, wi) arrays."""
+    ul = ulb.astype(jnp.int32)
+    # item ids: low bits + sparse high-bit corrections, then prefix-sum
+    # the deltas (element 0 carried the absolute id). Padding (0, 0)
+    # side-channel entries add 0 at position 0 — an exact no-op.
+    d = ilob.astype(jnp.int32).at[hp].add(jnp.left_shift(hv, 16))
+    ib = jnp.cumsum(d)                       # (the +1 per-row op)
+    mask = (ib < n_items).astype(dtype)
+    if rating_kind == "half":
+        rb = rqb.astype(dtype) * jnp.asarray(0.5, dtype)
+    else:
+        rb = rqb.astype(dtype)
+    if grad_mode == "sum":
+        return ul, ib, rb, mask, mask
+    # weights: min(mult, t)/mult, computed EXACTLY as the flat builder
+    # (q = 1/m first, then min(1/q, t) * q * mask) for bitwise parity
+    t = jnp.asarray(1.0 if grad_mode == "mean" else cap, dtype)
+    one = jnp.asarray(1, dtype)
+
+    def w(menc):
+        q = one / (menc.astype(dtype) + one)
+        return jnp.minimum(one / q, t) * q * mask
+
+    return ul, ib, rb, w(mub), w(mib)
+
+
+_COMPACT_NAMES = ("ul", "ilo", "ihi_pos", "ihi_val", "rq", "mu", "mi",
+                  "u_lo")
+
+
+def _compact_epoch_scan(Ue, Ve, mu, xs, lam_, lr, tile: int, n_items: int,
+                        cap: int, grad_mode: str, rating_kind: str):
+    one_col = _bias_col(Ue)
+
+    def body(carry, xs_b):
+        (ulb, ilob, hp, hv, rqb, mub, mib, lo) = xs_b
+        dec = _decode_compact_batch(ulb, ilob, hp, hv, rqb, mub, mib,
+                                    n_items, cap, grad_mode, rating_kind,
+                                    Ue.dtype)
+        return _batch_update(*carry, mu, one_col, lam_, lr, tile,
+                             n_items, *dec, lo), None
+
+    (Ue, Ve), _ = lax.scan(body, (Ue, Ve), xs)
+    return Ue, Ve
+
+
+@partial(jax.jit, static_argnames=("lam", "tile", "n_items", "cap",
+                                   "grad_mode", "rating_kind"),
+         donate_argnums=(0,))
+def _compact_epoch_jit(state: MFState, arrs, order, lam: float, lr,
+                       tile: int, n_items: int, cap: int, grad_mode: str,
+                       rating_kind: str) -> MFState:
+    lr = jnp.asarray(lr, state.U.dtype)
+    lam_ = jnp.asarray(lam, state.U.dtype)
+    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
+    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    xs = tuple(a[order] for a in arrs)  # epoch's batch order, once
+    Ue, Ve = _compact_epoch_scan(Ue, Ve, state.mu, xs, lam_, lr, tile,
+                                 n_items, cap, grad_mode, rating_kind)
+    k = state.U.shape[1]
+    return state._replace(U=Ue[:, :k], V=Ve[:, :k],
+                          bu=Ue[:, k], bi=Ve[:, k])
+
+
+def sgd_stream_epoch_pinned(state: MFState, comp, order, lam: float,
+                            lr) -> MFState:
+    """One epoch over a compact wire PINNED in HBM (put_compact) —
+    near-resident speed at 0.25-0.45x the flat stream's memory."""
+    arrs = tuple(getattr(comp, n) for n in _COMPACT_NAMES)
+    return _compact_epoch_jit(state, arrs, order, lam, lr, comp.tile,
+                              state.n_items, comp.cap, comp.grad_mode,
+                              comp.rating_kind)
+
+
+@partial(jax.jit, static_argnames=("lam", "tile", "n_items", "cap",
+                                   "grad_mode", "rating_kind"),
+         donate_argnums=(0, 1))
+def _compact_chunk_step(Ue, Ve, mu, arrs, lam: float, lr, tile: int,
+                        n_items: int, cap: int, grad_mode: str,
+                        rating_kind: str):
+    lam_ = jnp.asarray(lam, Ue.dtype)
+    return _compact_epoch_scan(Ue, Ve, mu, arrs, lam_,
+                               lr.astype(Ue.dtype), tile, n_items, cap,
+                               grad_mode, rating_kind)
+
+
+def _compact_pad_rows(comp, pad: int):
+    """``pad`` wire batches that decode to pure no-ops: every row's item
+    id decodes to n_items (the trash row), so mask -> weights -> 0."""
+    NB, B = comp.ul.shape
+    H = comp.ihi_pos.shape[1]
+    ilo = np.zeros((pad, B), np.uint16)
+    ilo[:, 0] = comp.n_items & 0xFFFF
+    hv = np.zeros((pad, H), np.int32)
+    hv[:, 0] = comp.n_items >> 16  # a REAL (pos 0, hi) entry, not padding
+    return dict(
+        ul=np.zeros((pad, B), np.uint16), ilo=ilo,
+        ihi_pos=np.zeros((pad, H), np.int32), ihi_val=hv,
+        rq=np.zeros((pad, B), comp.rq.dtype),
+        mu=np.zeros((pad,) + np.asarray(comp.mu).shape[1:], np.uint16),
+        mi=np.zeros((pad,) + np.asarray(comp.mi).shape[1:], np.uint16),
+        u_lo=np.zeros(pad, np.int32))
+
+
+def _compact_epoch_ooc(state: MFState, comp, order, lam: float, lr,
+                       chunk_batches: int | None = None,
+                       prefetch: int = 2) -> MFState:
+    """Compact wire resident on HOST: permuted chunks stream ahead of the
+    scan, exactly like the flat OOC epoch but at 2.2-4x fewer wire bytes."""
+    NB, B = comp.ul.shape
+    if chunk_batches is None:
+        per_batch = 4 + sum(
+            int(np.prod(np.asarray(getattr(comp, n)).shape[1:]))
+            * np.asarray(getattr(comp, n)).dtype.itemsize
+            for n in _COMPACT_NAMES[:-1])
+        chunk_batches = max(1, min(NB, _SGD_CHUNK_TARGET_BYTES
+                                   // per_batch))
+    order = np.asarray(order, np.int64)
+    k = state.U.shape[1]
+    Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
+    Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
+    lr_ = jnp.asarray(lr, Ue.dtype)
+    mu = jnp.asarray(state.mu, Ue.dtype)
+
+    def step(Ue, Ve, ch):
+        return _compact_chunk_step(Ue, Ve, mu, ch, lam, lr_, comp.tile,
+                                   state.n_items, comp.cap,
+                                   comp.grad_mode, comp.rating_kind)
+
+    q = []
+    for c0 in range(0, NB, chunk_batches):
+        sel = order[c0:c0 + chunk_batches]
+        pad = chunk_batches - len(sel)
+        pads = _compact_pad_rows(comp, pad) if pad else None
+        ch = []
+        for n in _COMPACT_NAMES:
+            a = np.asarray(getattr(comp, n))[sel]
+            if pad:
+                a = np.concatenate([a, pads[n]])
+            ch.append(jax.device_put(a))
+        q.append(tuple(ch))
+        if len(q) > prefetch:
+            Ue, Ve = step(Ue, Ve, q.pop(0))
+    for ch in q:
+        Ue, Ve = step(Ue, Ve, ch)
+    return state._replace(U=Ue[:, :k], V=Ve[:, :k],
+                          bu=Ue[:, k], bi=Ve[:, k])
+
+
 class StreamSGD:
     """Engine-facing stream-SGD trainer (drop-in for models/sgd.BiasedSGD
     where the dataset was prepared with prepare_stream_sgd)."""
@@ -397,8 +573,11 @@ class StreamSGD:
     def lr_at(self, epoch: int) -> float:
         return self.lr0 * self.lr_decay**epoch
 
-    def epoch(self, state: MFState, data: StreamSGDData,
-              epoch_idx: int) -> MFState:
+    def epoch(self, state: MFState, data, epoch_idx: int) -> MFState:
+        """``data`` is a StreamSGDData (flat) or ops/sgd_wire's
+        CompactStreamSGD (the pin/stream wire tier), each either device-
+        resident or host-resident — four paths, one trajectory (same
+        batch order => float64-bitwise factors, tests/test_sgd_wire.py)."""
         if data.grad_mode != self.grad_mode:
             raise ValueError(
                 f"data was prepared for grad_mode={data.grad_mode!r}; "
@@ -407,9 +586,16 @@ class StreamSGD:
         nb = data.ul.shape[0]
         key = jax.random.key(self.seed + 7919 * epoch_idx)
         order = jax.random.permutation(key, nb)
+        lr = self.lr_at(epoch_idx)
+        if not isinstance(data, StreamSGDData):  # compact wire
+            if isinstance(data.ul, np.ndarray):  # host -> streamed chunks
+                return _compact_epoch_ooc(state, data, np.asarray(order),
+                                          self.lam, lr)
+            return sgd_stream_epoch_pinned(state, data, order, self.lam,
+                                           lr)
         if isinstance(data.ul, np.ndarray):  # host stream -> OOC epoch
             return sgd_stream_epoch_ooc(state, data, np.asarray(order),
-                                        self.lam, self.lr_at(epoch_idx))
+                                        self.lam, lr)
         return sgd_stream_epoch(state, data.ul, data.ib, data.rb, data.wu,
                                 data.wi, data.u_lo, order, self.lam,
-                                self.lr_at(epoch_idx), data.tile)
+                                lr, data.tile)

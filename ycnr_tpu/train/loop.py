@@ -267,6 +267,32 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             ds.train_u, ds.train_i, ds.train_r, cfg.sgd.batch_size,
             ds.n_users, ds.n_items, seed=cfg.seed, dtype=dtype,
             grad_mode=gm, device=not cfg.ooc)
+        if cfg.ooc:
+            # compact wire (ops/sgd_wire.py): 5-9 B/rating vs the flat
+            # stream's 20. Residency policy mirrors the ALS wire: pin
+            # whole in HBM when it fits the budget (near-resident
+            # epochs), stream permuted chunks from host otherwise.
+            from ycnr_tpu.ops.sgd_wire import (compact_from_stream,
+                                               compact_resident,
+                                               put_compact,
+                                               sgd_wire_budget)
+            try:
+                comp = compact_from_stream(sgd_data, ds.n_items)
+            except ValueError as e:
+                # layout can't encode compactly (tile/batch beyond u16,
+                # f64 ratings off the f32 wire) -> flat host stream
+                metrics.log(event="sgd_wire_fallback", reason=str(e))
+            else:
+                if cfg.ooc_residency != "host":
+                    budget = (None if cfg.ooc_residency == "device"
+                              else sgd_wire_budget(ds.n_users, ds.n_items,
+                                                   params.rank))
+                    if budget is None or comp.nbytes <= budget:
+                        comp = put_compact(comp)
+                metrics.log(event="sgd_wire", format="compact",
+                            wire_bytes=comp.nbytes,
+                            hbm_pinned=compact_resident(comp))
+                sgd_data = comp
     else:
         trainer = BiasedSGD(cfg.sgd.lam, cfg.sgd.lr, cfg.sgd.lr_decay,
                             cfg.sgd.batch_size, seed=cfg.seed,
