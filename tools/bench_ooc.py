@@ -301,11 +301,14 @@ def time_epochs(step, state, epochs, label):
 
 
 def run_sgd_ooc(args, result):
-    """OOC stream-SGD measurement: stream on HOST (prepare_stream_sgd
-    device=False), permuted chunks shipped ahead of the scan
-    (models/sgd_stream.sgd_stream_epoch_ooc). Reports the streamed
-    bytes/epoch so the wire-bound model (bytes / ~40 MB/s) is checkable,
-    plus the resident stream epoch when --compare."""
+    """OOC stream-SGD measurement. --sgd-wire flat = the [NB, B] batch
+    slabs as built (20 B/rating); compact = the ops/sgd_wire encoding
+    (5-9 B/rating). --residency host streams the chosen wire from host
+    every epoch (wire-bound tier); auto/device pins it whole in HBM
+    (compact only — the flat slabs ARE the decoded layout). --compare
+    adds the resident flat epoch as the reference rung. Streamed bytes/
+    epoch are reported so the wire-bound model (bytes / ~40 MB/s) is
+    checkable."""
     import jax
     import jax.numpy as jnp
 
@@ -323,8 +326,28 @@ def run_sgd_ooc(args, result):
     stream_b = sum(np.asarray(getattr(data, n)).nbytes
                    for n in ("ul", "ib", "rb", "wu", "wi", "u_lo"))
     result.update(nnz=nnz, n_users=nu, n_items=ni, batch=batch,
+                  sgd_wire=args.sgd_wire,
                   stream_mb_per_epoch=round(stream_b / 2**20, 1),
                   stream_bytes_per_rating=round(stream_b / nnz, 2))
+    wire = data
+    if args.sgd_wire == "compact":
+        from ycnr_tpu.ops.sgd_wire import compact_from_stream, put_compact
+
+        t0 = time.time()
+        wire = compact_from_stream(data, ni)  # validate=True round-trip
+        log(f"compact wire build+validate (host): {time.time() - t0:.0f}s")
+        result.update(wire_mb_per_epoch=round(wire.nbytes / 2**20, 1),
+                      wire_bytes_per_rating=round(wire.nbytes / nnz, 2))
+        if args.residency in ("auto", "device"):
+            t0 = time.time()
+            wire = put_compact(wire)
+            jax.block_until_ready(wire.ul)
+            log(f"wire pin (HBM): {time.time() - t0:.0f}s")
+            result["pinned"] = True
+    elif args.residency != "host":
+        raise SystemExit("--sgd-wire flat only streams (--residency "
+                         "host); the flat slabs ARE the decoded layout — "
+                         "pinning them is the --compare resident rung")
     trainer = StreamSGD(lam=0.02, lr=0.01, seed=0)
     state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32,
                        mu=float(np.mean(tr)))
@@ -337,15 +360,18 @@ def run_sgd_ooc(args, result):
     ep.i = 0
 
     def step(s):
-        s = trainer.epoch(s, data, ep.i)
+        s = trainer.epoch(s, wire, ep.i)
         ep.i += 1
         return s
 
-    state, t_ooc = time_epochs(step, state, args.epochs, "ooc-sgd")
+    label = f"{args.sgd_wire}-sgd" + ("-pinned" if result.get("pinned")
+                                      else "-streamed")
+    state, t_ooc = time_epochs(step, state, args.epochs, label)
     result["ooc"] = t_ooc
-    if t_ooc.get("steady_s"):
+    if t_ooc.get("steady_s") and not result.get("pinned"):
+        moved = wire.nbytes if args.sgd_wire == "compact" else stream_b
         result["ooc"]["wire_MBps_effective"] = round(
-            stream_b / 2**20 / t_ooc["steady_s"], 1)
+            moved / 2**20 / t_ooc["steady_s"], 1)
     from ycnr_tpu.models.ooc import device_hbm_stats
 
     result["hbm"] = device_hbm_stats()
@@ -394,6 +420,12 @@ def main():
                     "(measures the wire-bound tier), auto/device = pin "
                     "groups in HBM via models.ooc.wire_to_device "
                     "(measures the HBM-compressed tier)")
+    ap.add_argument("--sgd-wire", choices=["flat", "compact"],
+                    default="compact",
+                    help="--algo sgd stream format: compact = the 5-9 "
+                    "B/rating ops/sgd_wire encoding (supports pinning "
+                    "via --residency auto/device), flat = the 20 "
+                    "B/rating [NB, B] slabs (stream-only)")
     ap.add_argument("--rmse", action="store_true",
                     help="also compute train RMSE from the wire after "
                     "each epoch (timed separately)")
