@@ -78,10 +78,13 @@ def test_roundtrip_raw_ratings():
         compact_from_stream(bad, NI)
 
 
-def test_fallback_tile_too_tall():
+def test_tall_tile_rides_u32():
+    """tile > 65,536 widens the local-row column to u32 instead of
+    failing — the wire stays valid at any user count."""
     data = _host_stream()
-    with pytest.raises(ValueError, match="tile"):
-        compact_from_stream(data._replace(tile=65537), NI)
+    comp = compact_from_stream(data._replace(tile=65537), NI)
+    assert comp.ul.dtype == np.uint32
+    assert compact_from_stream(data, NI).ul.dtype == np.uint16
 
 
 @pytest.mark.parametrize("grad_mode", ["capped", "sum"])

@@ -10,8 +10,9 @@ math over a compact encoding whose decode fuses into the batch scan.
 Per [NB, B] stream row (vs the flat 20 B):
 
 * ``ul``     uint16 — the tile-LOCAL user row (the tile property of the
-  stream layout makes user ids small by construction; builds whose tile
-  exceeds 65,536 raise and the caller falls back to the flat stream);
+  stream layout makes user ids small by construction). Streams whose
+  tile exceeds 65,536 (huge user counts x pass striping) ride uint32
+  local rows instead — +2 B/rating, still 1.8-3x under the flat stream;
 * ``ilo``    uint16 — low bits of the within-batch item-id delta (items
   are sorted per batch by the stream builder, so deltas are small
   ascending ints; element 0 of each batch carries the absolute id) plus
@@ -59,7 +60,8 @@ class CompactStreamSGD(NamedTuple):
     or jax on device (pinned) — ``put_compact`` moves them; the epoch
     dispatch in models/sgd_stream.StreamSGD keys on the array type."""
 
-    ul: np.ndarray       # [NB, B] uint16 tile-local user row
+    ul: np.ndarray       # [NB, B] uint16 tile-local user row (uint32
+    #                      when tile > 65,536)
     ilo: np.ndarray      # [NB, B] uint16 item-delta low bits
     ihi_pos: np.ndarray  # [NB, H] int32 within-batch overflow positions
     ihi_val: np.ndarray  # [NB, H] int32 delta >> 16 (padding: (0, 0) —
@@ -102,9 +104,9 @@ def compact_from_stream(data, n_items: int, cap: int = 32,
     ``validate`` re-decodes on host and asserts exact equality with the
     flat arrays — weights included — so a mismatch is loud, not silent.
 
-    Raises ValueError when the layout can't encode compactly (tile or
-    batch beyond u16, or float64 ratings that don't fit the f32 raw
-    wire); callers fall back to the flat stream.
+    Raises ValueError when the layout can't encode compactly (batch
+    beyond u16 multiplicities, or float64 ratings that don't fit the
+    f32 raw wire); callers fall back to the flat stream.
     """
     ul = np.asarray(data.ul)
     ib = np.asarray(data.ib)
@@ -113,10 +115,9 @@ def compact_from_stream(data, n_items: int, cap: int = 32,
         raise ValueError("compact_from_stream needs the HOST stream "
                          "(prepare_stream_sgd(device=False))")
     NB, B = ul.shape
-    if data.tile > 65536:
-        raise ValueError(f"compact wire needs tile <= 65536 (u16 local "
-                         f"rows); got {data.tile} — user-id gaps blew the "
-                         f"batch window. Use the flat stream.")
+    # local rows usually fit u16; huge user counts x pass striping can
+    # blow the tile past it -> u32 (+2 B/rating), never a hard failure
+    ul_dtype = np.uint16 if data.tile <= 65536 else np.uint32
     if B > 65536:
         raise ValueError(f"compact wire needs batch_size <= 65536 (u16 "
                          f"multiplicities); got {B}")
@@ -169,7 +170,7 @@ def compact_from_stream(data, n_items: int, cap: int = 32,
         raise ValueError(f"unknown grad_mode {data.grad_mode!r}")
 
     comp = CompactStreamSGD(
-        ul=ul.astype(np.uint16), ilo=lob, ihi_pos=ihi_pos,
+        ul=ul.astype(ul_dtype), ilo=lob, ihi_pos=ihi_pos,
         ihi_val=ihi_val, rq=rq, mu=mu, mi=mi,
         u_lo=np.asarray(data.u_lo, np.int32), tile=data.tile,
         cap=int(cap), grad_mode=data.grad_mode, rating_kind=kind,

@@ -279,7 +279,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             try:
                 comp = compact_from_stream(sgd_data, ds.n_items)
             except ValueError as e:
-                # layout can't encode compactly (tile/batch beyond u16,
+                # layout can't encode compactly (batch beyond u16,
                 # f64 ratings off the f32 wire) -> flat host stream
                 metrics.log(event="sgd_wire_fallback", reason=str(e))
             else:
