@@ -36,6 +36,10 @@ SCALES = {
     "ml20m": (138_493, 26_744, 20_000_263),
     "netflix": (480_189, 17_770, 100_480_507),
     "b1": (10_000_000, 200_000, 1_000_000_000),
+    # beyond-HBM for the SGD stream: the flat layout needs ~13 GB
+    # (20 B/rating) + 4.2 GB donated factor tables > the chip; the
+    # compact wire (~7-8 GB) pins
+    "b07": (8_000_000, 100_000, 700_000_000),
     "smoke": (700, 300, 30_000),  # CPU correctness pass for this tool
 }
 
@@ -300,6 +304,36 @@ def time_epochs(step, state, epochs, label):
                    "steady_s": round(steady, 3)}
 
 
+def _sgd_sample_rmse_fn(comp, n_items, n_batches=64):
+    """Train-RMSE over a fixed strided sample of wire batches, decoded on
+    host once and held on device — the cheap descending-convergence
+    signal for beyond-HBM runs where the full COO never exists on
+    device. Global user ids reconstruct as u_lo + local row; pad rows
+    decode to (n_users, n_items, 0) and are masked by rmse_padded."""
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models.base import rmse_padded
+    from ycnr_tpu.ops.sgd_wire import decode_compact
+
+    NB = comp.ul.shape[0]
+    sel = np.unique(np.linspace(0, NB - 1,
+                                min(NB, n_batches)).astype(np.int64))
+    sub = comp._replace(**{n: np.asarray(getattr(comp, n))[sel]
+                           for n in ("ul", "ilo", "ihi_pos", "ihi_val",
+                                     "rq", "mu", "mi", "u_lo")})
+    ul, ib, rb, _, _ = decode_compact(sub, np.float32)
+    gu = (np.asarray(sub.u_lo, np.int64)[:, None] + ul).astype(np.int32)
+    pu = jnp.asarray(gu.reshape(-1))
+    pi = jnp.asarray(ib.reshape(-1))
+    pr = jnp.asarray(rb.reshape(-1).astype(np.float32))
+    n_real = int((ib < n_items).sum())
+
+    def f(state):
+        return float(rmse_padded(state, pu, pi, pr, n_real))
+
+    return f
+
+
 def run_sgd_ooc(args, result):
     """OOC stream-SGD measurement. --sgd-wire flat = the [NB, B] batch
     slabs as built (20 B/rating); compact = the ops/sgd_wire encoding
@@ -309,48 +343,103 @@ def run_sgd_ooc(args, result):
     adds the resident flat epoch as the reference rung. Streamed bytes/
     epoch are reported so the wire-bound model (bytes / ~40 MB/s) is
     checkable."""
+    import ycnr_tpu.models.sgd_stream as _stream_mod
+    import ycnr_tpu.ops.sgd_wire as _wire_mod
+    from ycnr_tpu.ops.sgd_wire import (compact_from_stream,
+                                       flat_from_compact, load_compact,
+                                       put_compact, save_compact)
+
+    nu, ni, _ = SCALES[args.scale]
+    batch = 65_536
+    # the compact wire is the cached artifact (decode_compact recovers
+    # the flat stream bitwise), so prep — data gen + the sort-heavy
+    # stream build — runs ONCE, and can run on CPU via --prep-only
+    # without holding the TPU
+    wtag = (f"sgdwire_{args.scale}_b{batch}_s0"
+            f"_{_code_hash(_wire_mod, _stream_mod)}")
+    wpath = _cache_path(wtag)
+    if os.path.exists(wpath):
+        t0 = time.time()
+        comp = load_compact(wpath)
+        log(f"wire cache hit {wpath} ({time.time() - t0:.0f}s)")
+    else:
+        from ycnr_tpu.models.sgd_stream import prepare_stream_sgd
+
+        if SCALES[args.scale][2] >= 5 * 10**8:
+            # beyond-HBM scales: the portioned generator (duplicate
+            # (u,i) rows allowed — the portioned-SELECT analog); the
+            # zipf inverse-CDF of get_coo costs ~3x more per rating on
+            # this single-vCPU host
+            nr = SCALES[args.scale][2]
+            t0 = time.time()
+            parts = list(b1_portions(nu, ni, nr, seed=0))
+            tu = np.concatenate([p[0] for p in parts])
+            ti = np.concatenate([p[1] for p in parts])
+            tr = np.concatenate([p[2] for p in parts])
+            del parts
+            log(f"portioned gen: {len(tr):,} ratings in "
+                f"{time.time() - t0:.0f}s")
+        else:
+            tu, ti, tr, nu, ni = get_coo(args.scale)
+        t0 = time.time()
+        data, _ = prepare_stream_sgd(tu, ti, tr, batch, nu, ni, seed=0,
+                                     device=False)
+        log(f"stream prep (host): {time.time() - t0:.0f}s, "
+            f"NB={data.ul.shape[0]} tile={data.tile}")
+        del tu, ti, tr
+        t0 = time.time()
+        comp = compact_from_stream(data, ni)  # validate=True round-trip
+        log(f"compact wire build+validate (host): {time.time() - t0:.0f}s")
+        del data
+        save_compact(comp, wpath)
+        log(f"wire cached -> {wpath}")
+    nnz = comp.n_real
+    # flat-stream footprint, computed (not built): ul/ib i32 + rb/wu/wi
+    # f32 + u_lo — what the resident layout would pin in HBM
+    stream_b = comp.ul.size * 20 + comp.u_lo.size * 4
+    result.update(nnz=nnz, n_users=nu, n_items=ni, batch=batch,
+                  sgd_wire=args.sgd_wire, tile=comp.tile,
+                  stream_mb_per_epoch=round(stream_b / 2**20, 1),
+                  stream_bytes_per_rating=round(stream_b / nnz, 2),
+                  wire_mb_per_epoch=round(comp.nbytes / 2**20, 1),
+                  wire_bytes_per_rating=round(comp.nbytes / nnz, 2))
+    if args.prep_only:
+        print(json.dumps(result))
+        return
+
     import jax
     import jax.numpy as jnp
 
     from ycnr_tpu.models.base import init_state
-    from ycnr_tpu.models.sgd_stream import StreamSGD, prepare_stream_sgd
+    from ycnr_tpu.models.sgd_stream import StreamSGD
 
-    tu, ti, tr, nu, ni = get_coo(args.scale)
-    nnz = len(tr)
-    batch = 65_536
-    t0 = time.time()
-    data, _ = prepare_stream_sgd(tu, ti, tr, batch, nu, ni, seed=0,
-                                 device=False)
-    log(f"stream prep (host): {time.time() - t0:.0f}s, "
-        f"NB={data.ul.shape[0]} tile={data.tile}")
-    stream_b = sum(np.asarray(getattr(data, n)).nbytes
-                   for n in ("ul", "ib", "rb", "wu", "wi", "u_lo"))
-    result.update(nnz=nnz, n_users=nu, n_items=ni, batch=batch,
-                  sgd_wire=args.sgd_wire,
-                  stream_mb_per_epoch=round(stream_b / 2**20, 1),
-                  stream_bytes_per_rating=round(stream_b / nnz, 2))
-    wire = data
-    if args.sgd_wire == "compact":
-        from ycnr_tpu.ops.sgd_wire import compact_from_stream, put_compact
-
+    if comp.rating_kind == "half":
+        mu_r = float(np.asarray(comp.rq, np.float64).sum() * 0.5 / nnz)
+    else:
+        mu_r = float(np.asarray(comp.rq, np.float64).sum() / nnz)
+    data = None
+    if args.sgd_wire == "flat" or args.compare:
         t0 = time.time()
-        wire = compact_from_stream(data, ni)  # validate=True round-trip
-        log(f"compact wire build+validate (host): {time.time() - t0:.0f}s")
-        result.update(wire_mb_per_epoch=round(wire.nbytes / 2**20, 1),
-                      wire_bytes_per_rating=round(wire.nbytes / nnz, 2))
+        data = flat_from_compact(comp)
+        log(f"flat stream decode (host): {time.time() - t0:.0f}s")
+    wire = comp
+    if args.sgd_wire == "compact":
         if args.residency in ("auto", "device"):
             t0 = time.time()
             wire = put_compact(wire)
             jax.block_until_ready(wire.ul)
             log(f"wire pin (HBM): {time.time() - t0:.0f}s")
             result["pinned"] = True
-    elif args.residency != "host":
-        raise SystemExit("--sgd-wire flat only streams (--residency "
-                         "host); the flat slabs ARE the decoded layout — "
-                         "pinning them is the --compare resident rung")
+    else:
+        wire = data
+        if args.residency != "host":
+            raise SystemExit("--sgd-wire flat only streams (--residency "
+                             "host); the flat slabs ARE the decoded "
+                             "layout — pinning them is the --compare "
+                             "resident rung")
     trainer = StreamSGD(lam=0.02, lr=0.01, seed=0)
     state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32,
-                       mu=float(np.mean(tr)))
+                       mu=mu_r)
     jax.block_until_ready(state.U)
 
     class _Box:
@@ -366,7 +455,24 @@ def run_sgd_ooc(args, result):
 
     label = f"{args.sgd_wire}-sgd" + ("-pinned" if result.get("pinned")
                                       else "-streamed")
-    state, t_ooc = time_epochs(step, state, args.epochs, label)
+    if args.rmse:
+        rmse_fn = _sgd_sample_rmse_fn(comp, ni)
+        rmses = [round(rmse_fn(state), 4)]
+        log(f"sample train RMSE (init): {rmses[0]}")
+        times = []
+        for e in range(args.epochs):
+            t0 = time.time()
+            state = step(state)
+            float(jax.device_get(jnp.sum(state.U)))  # device sync
+            times.append(time.time() - t0)
+            rmses.append(round(rmse_fn(state), 4))  # untimed
+            log(f"{label} epoch {e}: {times[-1]:.3f}s rmse {rmses[-1]}")
+        t_ooc = {"first_s": round(times[0], 3),
+                 "steady_s": round(min(times[1:]) if len(times) > 1
+                                   else times[0], 3)}
+        result["train_rmse_sample"] = rmses
+    else:
+        state, t_ooc = time_epochs(step, state, args.epochs, label)
     result["ooc"] = t_ooc
     if t_ooc.get("steady_s") and not result.get("pinned"):
         moved = wire.nbytes if args.sgd_wire == "compact" else stream_b
@@ -380,7 +486,7 @@ def run_sgd_ooc(args, result):
                                for n in ("ul", "ib", "rb", "wu", "wi",
                                          "u_lo")})
         state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32,
-                           mu=float(np.mean(tr)))
+                           mu=mu_r)
         jax.block_until_ready(state.U)
         ep.i = 0
 
@@ -420,6 +526,10 @@ def main():
                     "(measures the wire-bound tier), auto/device = pin "
                     "groups in HBM via models.ooc.wire_to_device "
                     "(measures the HBM-compressed tier)")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="--algo sgd: build + cache the compact wire on "
+                    "the CPU (no device touched), then exit — run this "
+                    "under JAX_PLATFORMS=cpu while the TPU is busy")
     ap.add_argument("--sgd-wire", choices=["flat", "compact"],
                     default="compact",
                     help="--algo sgd stream format: compact = the 5-9 "
@@ -460,6 +570,12 @@ def main():
     from ycnr_tpu.models.ooc import (als_epoch_ooc, device_hbm_stats,
                                      ials_epoch_ooc)
     from ycnr_tpu.ops.packed import packed_stats
+
+    if args.algo == "sgd" and args.prep_only:
+        # pure host work — never initialize the device backend
+        run_sgd_ooc(args, {"scale": args.scale, "algo": "sgd",
+                           "rank": args.rank})
+        return
 
     log(f"devices: {jax.devices()}")
     result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,

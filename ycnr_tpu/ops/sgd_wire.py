@@ -241,6 +241,53 @@ def compact_resident(comp: CompactStreamSGD) -> bool:
     return isinstance(comp.ul, jax.Array)
 
 
+_META_FIELDS = ("tile", "cap", "grad_mode", "rating_kind", "n_items",
+                "n_real")
+
+
+def save_compact(comp: CompactStreamSGD, path: str) -> None:
+    """Persist a HOST compact wire as one .npz (arrays + scalar meta).
+    The wire is the cacheable artifact: decode_compact reconstructs the
+    full flat stream from it, so tools cache ONLY the wire."""
+    import json
+
+    if compact_resident(comp):
+        raise ValueError("save_compact wants the HOST wire (numpy)")
+    arrays = {n: np.asarray(getattr(comp, n)) for n in
+              ("ul", "ilo", "ihi_pos", "ihi_val", "rq", "mu", "mi",
+               "u_lo")}
+    meta = {n: getattr(comp, n) for n in _META_FIELDS}
+    tmp = path + ".tmp.npz"  # .npz suffix so savez doesn't append one
+    np.savez(tmp, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), np.uint8), **arrays)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_compact(path: str) -> CompactStreamSGD:
+    import json
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    return CompactStreamSGD(
+        **{n: z[n] for n in ("ul", "ilo", "ihi_pos", "ihi_val", "rq",
+                             "mu", "mi", "u_lo")},
+        **{n: meta[n] for n in _META_FIELDS})
+
+
+def flat_from_compact(comp: CompactStreamSGD, dtype=np.float32):
+    """Reconstruct the flat StreamSGDData (host) a cached wire encodes —
+    the inverse of compact_from_stream, for flat-tier benches."""
+    from ycnr_tpu.models.sgd_stream import StreamSGDData
+
+    ul, ib, rb, wu, wi = decode_compact(comp, dtype)
+    return StreamSGDData(ul=ul, ib=ib, rb=rb, wu=wu, wi=wi,
+                         u_lo=np.asarray(comp.u_lo, np.int32),
+                         n_real=comp.n_real, tile=comp.tile,
+                         grad_mode=comp.grad_mode)
+
+
 def sgd_wire_budget(n_users: int, n_items: int, rank: int,
                     hbm_bytes: int | None = None) -> int:
     """HBM bytes available for pinning the SGD wire on one chip: the
