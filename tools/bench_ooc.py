@@ -413,10 +413,12 @@ def run_sgd_ooc(args, result):
     from ycnr_tpu.models.base import init_state
     from ycnr_tpu.models.sgd_stream import StreamSGD
 
+    # accumulate in f64 without materializing an 8x f64 copy of the
+    # rating column (≈5.6 GB at b07 scale on this single-vCPU host)
     if comp.rating_kind == "half":
-        mu_r = float(np.asarray(comp.rq, np.float64).sum() * 0.5 / nnz)
+        mu_r = float(np.asarray(comp.rq).sum(dtype=np.float64) * 0.5 / nnz)
     else:
-        mu_r = float(np.asarray(comp.rq, np.float64).sum() / nnz)
+        mu_r = float(np.asarray(comp.rq).sum(dtype=np.float64) / nnz)
     data = None
     if args.sgd_wire == "flat" or args.compare:
         t0 = time.time()
@@ -424,7 +426,20 @@ def run_sgd_ooc(args, result):
         log(f"flat stream decode (host): {time.time() - t0:.0f}s")
     wire = comp
     if args.sgd_wire == "compact":
-        if args.residency in ("auto", "device"):
+        pin = args.residency == "device"
+        if args.residency == "auto":
+            # same semantics as train/loop.py: pin only when the wire
+            # fits sgd_wire_budget; beyond-budget scales fall back to
+            # host streaming instead of OOMing
+            from ycnr_tpu.ops.sgd_wire import sgd_wire_budget
+
+            budget = (int(args.budget_gb * 2**30) if args.budget_gb
+                      else sgd_wire_budget(nu, ni, args.rank))
+            pin = comp.nbytes <= budget
+            log(f"auto residency: wire {comp.nbytes / 2**30:.2f} GB vs "
+                f"budget {budget / 2**30:.2f} GB -> "
+                f"{'pin' if pin else 'host stream'}")
+        if pin:
             t0 = time.time()
             wire = put_compact(wire)
             jax.block_until_ready(wire.ul)

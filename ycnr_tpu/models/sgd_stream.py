@@ -464,9 +464,24 @@ def _compact_epoch_jit(state: MFState, arrs, order, lam: float, lr,
     lam_ = jnp.asarray(lam, state.U.dtype)
     Ue = jnp.concatenate([state.U, state.bu[:, None]], axis=1)
     Ve = jnp.concatenate([state.V, state.bi[:, None]], axis=1)
-    xs = tuple(a[order] for a in arrs)  # epoch's batch order, once
-    Ue, Ve = _compact_epoch_scan(Ue, Ve, state.mu, xs, lam_, lr, tile,
-                                 n_items, cap, grad_mode, rating_kind)
+    one_col = _bias_col(Ue)
+    mu = state.mu
+
+    # scan over the batch ORDER and dynamic-slice each batch out of the
+    # pinned arrays — a whole-wire permuted gather (xs = a[order]) would
+    # hold a second copy of the wire for the epoch, doubling peak HBM and
+    # OOMing runs the sgd_wire_budget pin check admitted at ~1x
+    def body(carry, idx):
+        (ulb, ilob, hp, hv, rqb, mub, mib, lo) = tuple(
+            lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
+            for a in arrs)
+        dec = _decode_compact_batch(ulb, ilob, hp, hv, rqb, mub, mib,
+                                    n_items, cap, grad_mode, rating_kind,
+                                    Ue.dtype)
+        return _batch_update(*carry, mu, one_col, lam_, lr, tile,
+                             n_items, *dec, lo), None
+
+    (Ue, Ve), _ = lax.scan(body, (Ue, Ve), order)
     k = state.U.shape[1]
     return state._replace(U=Ue[:, :k], V=Ve[:, :k],
                           bu=Ue[:, k], bi=Ve[:, k])

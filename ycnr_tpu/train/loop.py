@@ -283,14 +283,18 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
                 # f64 ratings off the f32 wire) -> flat host stream
                 metrics.log(event="sgd_wire_fallback", reason=str(e))
             else:
+                # byte count from the HOST wire: CompactStreamSGD.nbytes
+                # on a pinned wire copies every array device->host (a
+                # multi-GB fetch over the ~40 MB/s tunnel) just to count
+                wire_bytes = comp.nbytes
                 if cfg.ooc_residency != "host":
                     budget = (None if cfg.ooc_residency == "device"
                               else sgd_wire_budget(ds.n_users, ds.n_items,
                                                    params.rank))
-                    if budget is None or comp.nbytes <= budget:
+                    if budget is None or wire_bytes <= budget:
                         comp = put_compact(comp)
                 metrics.log(event="sgd_wire", format="compact",
-                            wire_bytes=comp.nbytes,
+                            wire_bytes=wire_bytes,
                             hbm_pinned=compact_resident(comp))
                 sgd_data = comp
     else:
