@@ -141,6 +141,24 @@ def wire_probe():
     return out
 
 
+def _planted_draw(rng, bu, bi, n_users, n_items, m):
+    """One draw of m ratings from the planted bias model (squared-uniform
+    popularity, half-star quantized) — shared by the training portions
+    and the held-out sample so both come from the SAME generator."""
+    u = (rng.random(m) ** 2 * n_users).astype(np.int32)
+    i = (rng.random(m) ** 2 * n_items).astype(np.int32)
+    r = 3.5 + bu[u] + bi[i] + rng.normal(0.0, 0.4, m).astype(np.float32)
+    r = np.clip(np.round(r * 2.0), 1, 10).astype(np.float32) * 0.5
+    return u, i, r
+
+
+def _planted_biases(n_users, n_items, seed):
+    rb = np.random.default_rng(seed + 10_007)
+    bu = rb.normal(0.0, 0.5, n_users).astype(np.float32)
+    bi = rb.normal(0.0, 0.5, n_items).astype(np.float32)
+    return bu, bi
+
+
 def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0,
                 spool_dir=None):
     """Deterministic portion stream for the beyond-HBM run: power-law-ish
@@ -165,15 +183,10 @@ def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0,
                 continue
         if bu is None:
             # planted biases (regenerated per call — deterministic in seed)
-            rb = np.random.default_rng(seed + 10_007)
-            bu = rb.normal(0.0, 0.5, n_users).astype(np.float32)
-            bi = rb.normal(0.0, 0.5, n_items).astype(np.float32)
+            bu, bi = _planted_biases(n_users, n_items, seed)
         rng = np.random.default_rng(seed + p)
         m = min(portion, n_ratings - p * portion)
-        u = (rng.random(m) ** 2 * n_users).astype(np.int32)
-        i = (rng.random(m) ** 2 * n_items).astype(np.int32)
-        r = 3.5 + bu[u] + bi[i] + rng.normal(0.0, 0.4, m).astype(np.float32)
-        r = np.clip(np.round(r * 2.0), 1, 10).astype(np.float32) * 0.5
+        u, i, r = _planted_draw(rng, bu, bi, n_users, n_items, m)
         if spool_dir is not None:
             os.makedirs(spool_dir, exist_ok=True)
             for fp, a in zip(fps, (u, i, r)):
@@ -283,6 +296,60 @@ def get_coo(scale, seed=0):
     _save_npz(path, {"tu": tu, "ti": ti, "tr": tr,
                      "su": su, "si": si, "sr": sr})
     return tu, ti, tr, nu, ni
+
+
+def heldout_coo(scale, seed=0, n_sample=2_000_000):
+    """Held-out COO for per-epoch eval, small enough to pin on device.
+
+    ml20m/netflix/smoke: the 5% test split train_test_split produced at
+    data gen (get_coo caches it beside the train COO), subsampled on a
+    deterministic stride. b1/b07 (portion streams, never split): a FRESH
+    draw of n_sample ratings from the same planted bias model at a seed
+    offset the portion range (seed+p, p < n_port) never reaches —
+    generalization to new samples of the generator, the honest held-out
+    notion for a duplicate-pair stream. Turns the beyond-HBM rows into
+    convergence claims instead of descent claims."""
+    nu, ni, nr = SCALES[scale]
+    if nr >= 5 * 10**8:  # b1_portions-generated scales
+        bu, bi = _planted_biases(nu, ni, seed)
+        rng = np.random.default_rng(seed + 1_000_003)
+        return _planted_draw(rng, bu, bi, nu, ni, n_sample)
+    import ycnr_tpu.data.split as _split_mod
+    import ycnr_tpu.data.synthetic as _synth_mod
+
+    tag = (f"coo_{nu}x{ni}x{nr}_s{seed}"
+           f"_{_code_hash(_synth_mod, _split_mod)}")
+    z = _load_npz(_cache_path(tag))
+    if z is None:
+        get_coo(scale, seed)  # builds + caches both splits
+        z = _load_npz(_cache_path(tag))
+    su, si, sr = z["su"], z["si"], z["sr"]
+    if len(sr) > n_sample:
+        sel = np.unique(np.linspace(0, len(sr) - 1,
+                                    n_sample).astype(np.int64))
+        su, si, sr = su[sel], si[sel], sr[sel]
+    return (su.astype(np.int32), si.astype(np.int32),
+            sr.astype(np.float32))
+
+
+def heldout_rmse_fn(scale, seed=0, n_sample=2_000_000):
+    """fn(state) -> held-out RMSE over a device-PINNED sample (~24 MB at
+    2M rows): per-epoch eval with zero re-streaming, vs the +39 s
+    rmse_wire paid at b1 scale to re-stream the host-resident share of
+    the user view (docs/KERNELS.md "Beyond-resident existence proof")."""
+    import jax.numpy as jnp
+
+    from ycnr_tpu.models.base import rmse_padded
+
+    u, i, r = heldout_coo(scale, seed, n_sample)
+    pu, pi = jnp.asarray(u), jnp.asarray(i)
+    pr = jnp.asarray(r, jnp.float32)
+    n = len(r)
+
+    def f(state):
+        return float(rmse_padded(state, pu, pi, pr, n))
+
+    return f
 
 
 def time_epochs(step, state, epochs, label):
@@ -472,8 +539,10 @@ def run_sgd_ooc(args, result):
                                       else "-streamed")
     if args.rmse:
         rmse_fn = _sgd_sample_rmse_fn(comp, ni)
+        ho_fn = heldout_rmse_fn(args.scale)
         rmses = [round(rmse_fn(state), 4)]
-        log(f"sample train RMSE (init): {rmses[0]}")
+        hos = [round(ho_fn(state), 4)]
+        log(f"init: sample train RMSE {rmses[0]} held-out {hos[0]}")
         times = []
         for e in range(args.epochs):
             t0 = time.time()
@@ -481,11 +550,14 @@ def run_sgd_ooc(args, result):
             float(jax.device_get(jnp.sum(state.U)))  # device sync
             times.append(time.time() - t0)
             rmses.append(round(rmse_fn(state), 4))  # untimed
-            log(f"{label} epoch {e}: {times[-1]:.3f}s rmse {rmses[-1]}")
+            hos.append(round(ho_fn(state), 4))
+            log(f"{label} epoch {e}: {times[-1]:.3f}s rmse {rmses[-1]} "
+                f"held-out {hos[-1]}")
         t_ooc = {"first_s": round(times[0], 3),
                  "steady_s": round(min(times[1:]) if len(times) > 1
                                    else times[0], 3)}
         result["train_rmse_sample"] = rmses
+        result["heldout_rmse"] = hos
     else:
         state, t_ooc = time_epochs(step, state, args.epochs, label)
     result["ooc"] = t_ooc
@@ -568,9 +640,16 @@ def main():
                     help="only run the wire-speed probe")
     ap.add_argument("--target-mb", type=int, default=192,
                     help="wire block target size (decoded MB)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu for smoke runs — "
+                    "set via jax.config; the JAX_PLATFORMS env var is "
+                    "unreliable under the axon plugin)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent XLA compile cache (same location as bench.py) so repeat
     # invocations skip the remote AOT helper's multi-minute compiles
@@ -675,18 +754,20 @@ def main():
     if args.rmse:
         from ycnr_tpu.models.ooc import rmse_wire
 
-        rmses, rmse_times = [], []
+        # per-epoch held-out from a device-pinned sample (costs ~ms);
+        # train rmse_wire ONCE at the end — at b1 scale it re-streams
+        # the host-resident share of the user view (+39 s/epoch if run
+        # every epoch, the cost the pinned held-out sample retires)
+        ho_fn = heldout_rmse_fn(args.scale)
+        rmses, hos = [], [round(ho_fn(state), 4)]
+        log(f"init: held-out RMSE {hos[0]}")
         for ep in range(args.epochs):
             t0 = time.time()
             state = ooc_step(state)
             float(jax.device_get(jnp.sum(state.U)))
             dt = time.time() - t0
-            t0 = time.time()
-            rm = rmse_wire(state, ug, nnz)
-            rmse_times.append(round(time.time() - t0, 3))
-            rmses.append(round(rm, 6))
-            log(f"ooc epoch {ep}: {dt:.3f}s rmse {rm:.4f} "
-                f"(+{rmse_times[-1]:.3f}s eval)")
+            hos.append(round(ho_fn(state), 4))  # untimed, ~ms
+            log(f"ooc epoch {ep}: {dt:.3f}s held-out {hos[-1]}")
             if ep == 0:
                 t_ooc = {"first_s": round(dt, 3), "steady_s": None}
             else:
@@ -694,9 +775,14 @@ def main():
                                      if t_ooc["steady_s"] is None
                                      else min(t_ooc["steady_s"],
                                               round(dt, 3)))
-        result["rmse_per_epoch"] = rmses
-        result["rmse_eval_s"] = min(rmse_times[1:]) if len(rmse_times) > 1 \
-            else rmse_times[0]
+        t0 = time.time()
+        rmses = [round(rmse_wire(state, ug, nnz), 6)]
+        result["train_rmse_final"] = rmses[0]
+        result["train_rmse_eval_s"] = round(time.time() - t0, 3)
+        result["heldout_rmse"] = hos
+        log(f"final train rmse {rmses[0]} "
+            f"(+{result['train_rmse_eval_s']}s wire eval)")
+        rmses = hos
         if len(rmses) > 1 and not rmses[-1] < rmses[0]:
             log(f"WARNING: RMSE not descending: {rmses}")
     else:
