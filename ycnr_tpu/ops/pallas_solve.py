@@ -401,7 +401,7 @@ def pallas_spd_solve(A: jnp.ndarray, b: jnp.ndarray, batch_tile: int = 128,
             kernel,
             grid=(Bp // batch_tile,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # [n, n, Bp] in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # [n, n, Bp] in HBM
                 pl.BlockSpec((n, batch_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
