@@ -17,6 +17,7 @@ from ycnr_tpu.models.ooc import als_epoch_ooc, ials_epoch_ooc
 from ycnr_tpu.ops.packed import build_packed
 from ycnr_tpu.parallel.mesh import make_mesh
 from ycnr_tpu.parallel.ooc_mesh import (build_sharded_wire,
+                                        feed_sharded_wire,
                                         make_sharded_ooc_epoch,
                                         put_sharded_wire)
 from ycnr_tpu.parallel.shard import gather_state, scatter_state
@@ -79,6 +80,39 @@ def test_sharded_ooc_ials_matches_single_chip(coo):
                                np.asarray(want.U[:NU]), atol=1e-9)
     np.testing.assert_allclose(np.asarray(got.V[:NI]),
                                np.asarray(want.V[:NI]), atol=1e-9)
+
+
+def test_streamed_feed_matches_pinned_bitwise(coo):
+    """The streamed tier (feed_sharded_wire per epoch + wire_as_args
+    epoch with donated wire buffers) is the SAME program as the pinned
+    closure epoch — factors must match bitwise after two epochs."""
+    u, i, r = coo
+    D = 4
+    mesh = make_mesh(D)
+    sw, meta = build_sharded_wire(u, i, r, NU, NI, D, rank_hint=8,
+                                  max_groups=4)
+    st0 = init_state(NU, NI, 8, seed=0, dtype=jnp.float64)
+    st0 = zero_cold_entities(st0, u, i)
+
+    ep = make_sharded_ooc_epoch(mesh, put_sharded_wire(sw, mesh), LAM,
+                                dtype=jnp.float64)
+    sst = scatter_state(st0, meta, mesh)
+    for _ in range(2):
+        sst = ep(sst)
+    want = gather_state(sst, meta)
+
+    eps = make_sharded_ooc_epoch(mesh, sw, LAM, dtype=jnp.float64,
+                                 wire_as_args=True)
+    # fresh init: the pinned epoch donated its scattered state, which can
+    # alias st0's replicated leaves
+    st1 = init_state(NU, NI, 8, seed=0, dtype=jnp.float64)
+    st1 = zero_cold_entities(st1, u, i)
+    sst = scatter_state(st1, meta, mesh)
+    for _ in range(2):  # re-fed every epoch; the epoch donates the wire
+        sst = eps(sst, feed_sharded_wire(sw, mesh))
+    got = gather_state(sst, meta)
+    np.testing.assert_array_equal(np.asarray(got.U), np.asarray(want.U))
+    np.testing.assert_array_equal(np.asarray(got.V), np.asarray(want.V))
 
 
 def test_sharded_ooc_cold_entities_zero(coo):

@@ -22,11 +22,19 @@ models/ooc.py (docs/KERNELS.md "Out-of-core streaming"):
 
 HBM per chip holds factors + 1/D of the wire (2.6-3x smaller than the
 decoded layout): a v5e-8 raises the full-speed pinned bound from ~1.5-2B
-(one chip, BASELINE.md OOC table) to ~12-16B ratings. Host->device
-streaming of the wire per shard (the beyond-pin tier) needs per-process
-feeding on real multi-host topologies and is not modeled here — on this
-environment the wire is device-resident by construction (the [D, ...]
-arrays are placed with a PartitionSpec over the mesh).
+(one chip, BASELINE.md OOC table) to ~12-16B ratings. Beyond the pin,
+the STREAMED tier re-feeds the wire per epoch with per-process transport:
+`feed_sharded_wire` uploads only the [D]-axis rows each process's local
+devices own (make_array_from_single_device_arrays over addressable
+shards), and `make_sharded_ooc_epoch(..., wire_as_args=True)` donates
+the wire buffers so a shard's wire occupies HBM only while its epoch
+consumes it. On a real multi-host pod each host therefore streams just
+its own shard over its own PCIe link; tests/dcn_worker.py proves the
+locality on a 2-process DCN rendezvous by corrupting every non-local
+row before feeding (results stay bitwise equal to the pinned epoch).
+Chunk-granular overlap of feed and compute within an epoch (the
+single-chip models/ooc.py prefetch ladder) composes per host on top of
+this transport and is left to real-pod tuning.
 
 State reuses parallel/shard.ShardedState ([D, upd+1, k] local-user U,
 replicated V) and is convertible with scatter_state/gather_state through
@@ -269,6 +277,42 @@ def put_sharded_wire(sw: ShardedWire, mesh: Mesh) -> ShardedWire:
                                 NamedSharding(mesh, P())))
 
 
+def _feed_local(a: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Assemble a global array from per-device uploads, touching ONLY the
+    rows this process's devices own (addressable-shard indices). On a
+    multi-host topology every host therefore streams just its own slice
+    over its own local link — no host reads another host's rows."""
+    a = np.asarray(a)
+    idx_map = sharding.addressable_devices_indices_map(a.shape)
+    shards = [jax.device_put(np.ascontiguousarray(a[idx]), d)
+              for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(a.shape, sharding,
+                                                    shards)
+
+
+def feed_sharded_wire(sw: ShardedWire, mesh: Mesh) -> ShardedWire:
+    """Per-process wire feeding (the streamed OOC x mesh tier's transport):
+    like put_sharded_wire, but each process contributes only the [D]-axis
+    rows its local devices own. Pair with
+    ``make_sharded_ooc_epoch(..., wire_as_args=True)`` — the epoch donates
+    the wire buffers, so HBM holds the shard's wire only while its epoch
+    runs; the caller re-feeds per epoch from per-host storage
+    (tests/dcn_worker.py proves locality by corrupting non-local rows)."""
+    shard = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def feed_groups(groups):
+        return tuple(
+            g._replace(**{n: _feed_local(getattr(g, n), shard)
+                          for n in _WIRE})
+            for g in groups)
+
+    return sw._replace(
+        ugroups=feed_groups(sw.ugroups), igroups=feed_groups(sw.igroups),
+        inv_local=_feed_local(sw.inv_local, shard),
+        item_deg=_feed_local(sw.item_deg, repl))
+
+
 def _u_phase_local(V, base_gram, inv_local, *wire, u_off, u_rows,
                    u_scratch, Rs, n_items, lam, alpha, gather_bf16,
                    dtype):
@@ -348,12 +392,19 @@ def _v_phase_local(U_local, item_deg, base_gram, *wire, Rs, n_items,
 def make_sharded_ooc_epoch(mesh: Mesh, sw: ShardedWire, lam: float,
                            alpha: Optional[float] = None,
                            gather_bf16: bool = False,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, wire_as_args: bool = False):
     """Compile one ALS-WR (alpha=None) or iALS sharded OOC epoch.
 
     Returns epoch(st: ShardedState) -> ShardedState (donates st). The
     wire is closed over (it is epoch-invariant device data, like the
-    resident ShardedData)."""
+    resident ShardedData).
+
+    wire_as_args=True: the streamed tier. ``sw`` supplies only geometry
+    (host numpy leaves are fine — nothing is placed); the returned
+    ``epoch(st, sw_dev)`` takes a device wire from feed_sharded_wire and
+    DONATES its buffers, so the shard's wire occupies HBM only for the
+    epoch that consumes it and each epoch is re-fed from per-host
+    storage (inv_local/item_deg ride along un-donated — they are tiny)."""
     u_Rs = tuple(g.R for g in sw.ugroups)
     i_Rs = tuple(g.R for g in sw.igroups)
     n_items = int(sw.item_deg.shape[0]) - 1
@@ -384,6 +435,28 @@ def make_sharded_ooc_epoch(mesh: Mesh, sw: ShardedWire, lam: float,
     gu_psum = jax.shard_map(gu_local, mesh=mesh, in_specs=P(AXIS),
                             out_specs=P())
     zero_g = jnp.zeros((0, 0), dtype)  # ALS: no base Gram (static branch)
+
+    if wire_as_args:
+        def epoch_args(st, inv_local, item_deg, uw_a, iw_a):
+            GV = (jnp.einsum("nk,nm->km", st.V, st.V,
+                             preferred_element_type=dtype)
+                  if alpha is not None else zero_g)
+            U = u_phase(st.V, GV, inv_local, *uw_a)
+            GU = gu_psum(U) if alpha is not None else zero_g
+            V = v_phase(U, item_deg, GU, *iw_a)
+            return st._replace(U=U, V=V.astype(dtype))
+
+        jitted = jax.jit(epoch_args, donate_argnums=(0, 3, 4))
+
+        def run(st: ShardedState, sw_dev: ShardedWire) -> ShardedState:
+            uw_a = tuple(getattr(g, n) for g in sw_dev.ugroups
+                         for n in _WIRE)
+            iw_a = tuple(getattr(g, n) for g in sw_dev.igroups
+                         for n in _WIRE)
+            return jitted(st, sw_dev.inv_local, sw_dev.item_deg,
+                          uw_a, iw_a)
+
+        return run
 
     def epoch(st: ShardedState) -> ShardedState:
         GV = (jnp.einsum("nk,nm->km", st.V, st.V,
