@@ -31,8 +31,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ycnr_tpu.config import (BPRConfig, DataConfig, IALSConfig,  # noqa: E402
-                             RunConfig)
+from ycnr_tpu.config import (ALSConfig, BPRConfig, DataConfig,  # noqa: E402
+                             IALSConfig, RunConfig, SGDConfig)
 from ycnr_tpu.data.dataset import load_dataset  # noqa: E402
 from ycnr_tpu.train.loop import train  # noqa: E402
 
@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--rank", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/quality")
+    ap.add_argument("--algos", default="bpr,ials",
+                    help="comma list from bpr,ials,als,sgd — als/sgd are "
+                         "the explicit trainers scored with the same "
+                         "hit@N machinery (RunConfig.log_hit_rate)")
     args = ap.parse_args()
 
     shape = SCALES[args.scale]
@@ -83,19 +87,37 @@ def main():
     ds = load_dataset(data, rank_hint=args.rank)
 
     tag = f"{args.generator}-{args.scale}-r{args.rank}"
-    bpr_cfg = RunConfig(
-        name=f"bpr-{tag}", algorithm="bpr", data=data,
-        bpr=BPRConfig(rank=args.rank, lam=0.01, lr=0.05,
-                      epochs=args.epochs, batch_size=65_536),
-        checkpoint_every=0)
-    ials_cfg = RunConfig(
-        name=f"ials-{tag}", algorithm="ials", data=data,
-        ials=IALSConfig(rank=args.rank, lam=0.1, alpha=40.0,
-                        epochs=args.epochs, gather_dtype="bfloat16"),
-        checkpoint_every=0)
-
-    results = [run("bpr", bpr_cfg, ds, args.out),
-               run("ials", ials_cfg, ds, args.out)]
+    cfgs = {
+        "bpr": RunConfig(
+            name=f"bpr-{tag}", algorithm="bpr", data=data,
+            bpr=BPRConfig(rank=args.rank, lam=0.01, lr=0.05,
+                          epochs=args.epochs, batch_size=65_536),
+            checkpoint_every=0),
+        "ials": RunConfig(
+            name=f"ials-{tag}", algorithm="ials", data=data,
+            ials=IALSConfig(rank=args.rank, lam=0.1, alpha=40.0,
+                            epochs=args.epochs, gather_dtype="bfloat16"),
+            checkpoint_every=0),
+        # the explicit trainers on the SAME split, scored with the same
+        # hit@N machinery: their score ordering (U.V + biases) ranks the
+        # top-N even though the training objective is squared error
+        "als": RunConfig(
+            name=f"als-{tag}", algorithm="als", data=data,
+            als=ALSConfig(rank=args.rank, lam=0.05, epochs=args.epochs,
+                          gather_dtype="bfloat16"),
+            log_hit_rate=True, checkpoint_every=0),
+        "sgd": RunConfig(
+            name=f"sgd-{tag}", algorithm="sgd", data=data,
+            sgd=SGDConfig(rank=args.rank, lam=0.02, lr=0.005,
+                          epochs=args.epochs, batch_size=65_536,
+                          method="stream", grad_mode="mean"),
+            log_hit_rate=True, checkpoint_every=0),
+    }
+    algos = [a.strip() for a in args.algos.split(",") if a.strip()]
+    unknown = set(algos) - set(cfgs)
+    if unknown:
+        ap.error(f"unknown algos: {sorted(unknown)}")
+    results = [run(a, cfgs[a], ds, args.out) for a in algos]
     summary = dict(generator=args.generator, scale=args.scale,
                    rank=args.rank, epochs=args.epochs, seed=args.seed,
                    results=results)

@@ -176,6 +176,11 @@ class RunConfig:
     early_stop_patience: int = 0
     early_stop_min_delta: float = 0.0
     log_train_rmse: bool = True  # per-epoch train RMSE in metrics
+    # also log hit@topn per epoch and the final ranking suite for the
+    # EXPLICIT trainers (als/sgd) — implicit models (ials/bpr) always do.
+    # Lets the quality comparison (tools/quality_calibrated.py) rank all
+    # four trainers on one shared split with identical eval machinery.
+    log_hit_rate: bool = False
     # >1 fuses that many epochs (plus their RMSE evals) into ONE device
     # program (models/bucketed_phase.als_epochs_bucketed): saves the
     # ~30 ms/dispatch host roundtrip — measured 0.2845 -> 0.2641 s/epoch

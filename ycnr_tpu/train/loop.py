@@ -382,9 +382,10 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             if cfg.log_train_rmse:
                 record["rmse_train"] = round(
                     float(rmse_padded_jit(state, dqu, dqi, dqr, n_train)), 6)
-            if cfg.algorithm == "ials":
+            if cfg.algorithm == "ials" or cfg.log_hit_rate:
                 # RMSE vs raw ratings is not meaningful for preference
-                # scores; report the ranking metric as well
+                # scores (and log_hit_rate asks for ranking quality from
+                # the explicit trainers too); report the ranking metric
                 from ycnr_tpu.eval.ranking import hit_rate_at_n
 
                 record["hit_rate"] = round(hit_rate_at_n(
@@ -405,7 +406,7 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
             break
     if shm_writer is not None:
         shm_writer.close()
-    if cfg.algorithm in ("ials", "bpr") and history:
+    if (cfg.algorithm in ("ials", "bpr") or cfg.log_hit_rate) and history:
         # final full ranking suite for the implicit models (per-epoch
         # records carry only the cheap hit-rate)
         from ycnr_tpu.eval.ranking import ranking_metrics_at_n
