@@ -98,6 +98,50 @@ def _load_worker_module():
     return mod
 
 
+def test_ooc_per_host_streaming(dcn_results):
+    """Streamed OOC x mesh across the DCN boundary (SURVEY.md §3.2: every
+    worker streams its own portions). The workers poisoned every NON-local
+    [D]-axis wire row before feeding (NaN floats, saturated ints), so these
+    assertions prove per-host transport locality: had any path read another
+    host's rows, the streamed factors could not match the pinned tier."""
+    results, _ = dcn_results
+    a, b = (r["ooc"] for r in results)
+    # both hosts agree bitwise (collectives resolved identically)
+    assert a["state_sha"] == b["state_sha"]
+    assert a["streamed_sha"] == b["streamed_sha"]
+    # streamed-from-poisoned-feed == pinned, bitwise
+    assert a["streamed_sha"] == a["state_sha"]
+    assert a["rmse_streamed"] == a["rmse"]
+    assert all(np.isfinite(a["rmse"]))
+
+
+def test_ooc_parity_vs_single_chip(dcn_results):
+    """The 2-process sharded OOC trajectory matches a single-chip OOC run
+    of the same config to f64 reduction-order tightness (the single-chip
+    epoch accumulates in a different order, so bitwise is not expected)."""
+    from ycnr_tpu.data.synthetic import synthetic_ratings
+    from ycnr_tpu.models.base import init_state, zero_cold_entities
+    from ycnr_tpu.models.ooc import als_epoch_ooc
+    from ycnr_tpu.ops.packed import build_packed
+
+    import jax.numpy as jnp
+
+    w = _load_worker_module()
+    results, _ = dcn_results
+    NU, NI, NR = w.OOC_SHAPE
+    u, i, r = synthetic_ratings(NU, NI, NR, true_rank=4, noise=0.2, seed=3)
+    upk = build_packed(u, i, r, NU, NI, rank_hint=8, max_groups=4)
+    ipk = build_packed(i, u, r, NI, NU, rank_hint=8, max_groups=4)
+    st = init_state(NU, NI, 8, seed=0, dtype=jnp.float64)
+    st = zero_cold_entities(st, u, i)
+    ref = []
+    for _ in range(w.OOC_EPOCHS):
+        st = als_epoch_ooc(st, upk, ipk, w.OOC_LAM)
+        ref.append(w.host_rmse(st, u, i, r))
+    np.testing.assert_allclose(results[0]["ooc"]["rmse"], ref,
+                               rtol=0, atol=1e-9)
+
+
 @pytest.mark.parametrize("mode", ["als", "als_dual", "sgd", "bpr"])
 def test_parity_vs_single_process(dcn_results, mode):
     """The same config on a single-process 8-device mesh produces the same

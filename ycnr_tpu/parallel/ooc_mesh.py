@@ -404,7 +404,12 @@ def make_sharded_ooc_epoch(mesh: Mesh, sw: ShardedWire, lam: float,
     ``epoch(st, sw_dev)`` takes a device wire from feed_sharded_wire and
     DONATES its buffers, so the shard's wire occupies HBM only for the
     epoch that consumes it and each epoch is re-fed from per-host
-    storage (inv_local/item_deg ride along un-donated — they are tiny)."""
+    storage (inv_local/item_deg ride along un-donated — they are tiny).
+
+    Multi-process (DCN) jobs must use wire_as_args even for a resident
+    wire: JAX forbids closing over arrays that span non-addressable
+    devices, so the closed-over default is a single-controller
+    convenience only (tests/dcn_worker.py run_ooc)."""
     u_Rs = tuple(g.R for g in sw.ugroups)
     i_Rs = tuple(g.R for g in sw.igroups)
     n_items = int(sw.item_deg.shape[0]) - 1
