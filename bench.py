@@ -179,11 +179,6 @@ def run_bench(n_users: int, n_items: int, n_ratings: int, rank: int,
             il = _unflatten_layout("il", lz)
         else:
             t0 = time.time()
-            # groups=8 (vs the library's 16 default) trades ~17% steady
-            # epoch time (0.283 vs 0.242 s) for a 2-4x smaller program:
-            # epoch-1 cost here is dominated by uploading the compiled
-            # executable through the remote axon tunnel (measured 139 s at
-            # 8 groups vs 279-647 s at 16), not by the XLA compile itself
             ul = build_bucketed(tu, ti, tr, n_users, n_items, chunk_len,
                                 rank, max_groups=groups)
             il = build_bucketed(ti, tu, tr, n_items, n_users, chunk_len,
@@ -423,12 +418,15 @@ def main():
                          "RMSE trajectory matches f32 to 1e-4 at ML-20M)")
     ap.add_argument("--f32", dest="bf16", action="store_false",
                     help="force float32 gathers")
-    ap.add_argument("--groups", default="8",
-                    help="bucketed-layout group cap (smaller = smaller "
-                         "program = faster first epoch; library default "
-                         "16), or 'both' to measure 8 (upload-safe) AND 16 "
-                         "(steady-state) in one invocation — the JSON then "
-                         "carries the 16-group time as 'steady_16g_s'")
+    ap.add_argument("--groups", default="both",
+                    help="bucketed-layout group cap (8 = the historical "
+                         "driver protocol, 16 = library default / best "
+                         "steady state), or 'both' (default) to measure 8 "
+                         "AND 16 in one invocation — the JSON then carries "
+                         "the 16-group time as 'steady_16g_s'. 'both' "
+                         "became the default once the per-process wall "
+                         "warm (ycnr_tpu/utils/warmup.py) made the second "
+                         "program's upload cost seconds, not minutes")
     args = ap.parse_args()
     both = args.groups == "both"
     groups = 8 if both else int(args.groups)
@@ -445,6 +443,12 @@ def main():
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                          f"/tmp/ycnr_jax_cache.{os.getuid()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # absorb the per-process first-program wall (~150-650 s through
+        # this tunnel, size-independent — docs/KERNELS.md "first-epoch
+        # wall") under the host-side data gen / layout pack
+        from ycnr_tpu.utils.warmup import start_wall_warm
+
+        start_wall_warm()
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")

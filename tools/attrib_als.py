@@ -73,6 +73,9 @@ def epoch(st, ulx, ilx, mode):
     V = phase_variant(st.V, U, ilx, 0.05, mode)
     return st._replace(U=U, V=V)
 
+import json
+
+steady = {}
 for mode in ("full", "no_solve", "no_scatter", "gather_only"):
     st = init_state(NU, NI, R, seed=0)
     t0 = time.time(); st = epoch(st, ul, il, mode); device_sync(st.U)
@@ -80,4 +83,19 @@ for mode in ("full", "no_solve", "no_scatter", "gather_only"):
     ts = []
     for _ in range(3):
         t0 = time.time(); st = epoch(st, ul, il, mode); device_sync(st.U); ts.append(time.time() - t0)
-    print(f"{mode:12s} first={first:6.1f}s steady={np.median(ts):.4f}s", flush=True)
+    steady[mode] = float(np.median(ts))
+    sys.stderr.write(f"{mode:12s} first={first:6.1f}s steady={steady[mode]:.4f}s\n")
+
+# disjoint split (docs/KERNELS.md "What's left on the table"): the no_solve
+# variant still scatters, so Grams = no_solve - gather_only - scatters
+full = steady["full"]
+scatters = full - steady["no_scatter"]
+solves = full - steady["no_solve"]
+grams = steady["no_solve"] - steady["gather_only"] - scatters
+print(json.dumps({
+    "scale": "ml20m", "rank": R, "groups": 8, "gather": "bf16",
+    "steady_s": {k: round(v, 4) for k, v in steady.items()},
+    "split_s": {"gathers": round(steady["gather_only"], 4),
+                "grams": round(grams, 4), "solves": round(solves, 4),
+                "scatters": round(scatters, 4), "full": round(full, 4)}}),
+    flush=True)

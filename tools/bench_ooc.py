@@ -672,6 +672,11 @@ def main():
         return
 
     log(f"devices: {jax.devices()}")
+    # absorb the per-process first-Pallas-program wall under the wire
+    # build/load (docs/KERNELS.md "first-epoch wall"; ~1 s compile)
+    from ycnr_tpu.utils.warmup import start_wall_warm
+
+    start_wall_warm()
     result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
               "wire": args.wire, "wire_MBps": wire_probe()}
     log(f"wire probe: {result['wire_MBps']}")

@@ -348,6 +348,13 @@ def _jax_setup(args):
 
 def cmd_train(args):
     _jax_setup(args)
+    # per-process wall warm FIRST (before data load/pack): the first
+    # Pallas-bearing program through the remote tunnel pays a one-time
+    # 150-650 s wall regardless of size (docs/KERNELS.md "first-epoch
+    # wall"); a ~1 s-compile solve jit absorbs it under the host prep
+    from ycnr_tpu.utils.warmup import start_wall_warm
+
+    start_wall_warm()
     if args.distributed or args.coordinator:
         from ycnr_tpu.parallel import init_distributed
 
@@ -393,6 +400,9 @@ def cmd_tune(args):
     import dataclasses as dc
 
     _jax_setup(args)
+    from ycnr_tpu.utils.warmup import start_wall_warm
+
+    start_wall_warm()  # absorb the per-process wall under data load/pack
     cfg = _build_cfg(args)
 
     def _floats(s):

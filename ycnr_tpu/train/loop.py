@@ -168,11 +168,13 @@ def train(cfg: RunConfig, dataset: Optional[Dataset] = None,
     if (cfg.algorithm in ("als", "ials") and not cfg.ooc
             and len(ds.train_r) >= _WARM_MIN_NNZ):
         # first-epoch wall attack (docs/KERNELS.md): the epoch program's
-        # argument SHAPES follow from one bincount, so compile + remote
-        # program upload (minutes on a tunneled TPU, ∝ executable size)
-        # can run on zero-filled layouts in a background thread WHILE the
-        # host packs the real layout below — the jit cache key is shapes,
-        # so the warmed executable is the one the real first epoch reuses
+        # argument SHAPES follow from one bincount, so its compile can run
+        # on zero-filled layouts in a background thread WHILE the host
+        # packs the real layout below — the jit cache key is shapes, so
+        # the warmed executable is the one the real first epoch reuses.
+        # The per-process first-program wall itself is absorbed even
+        # earlier by cli.py's start_wall_warm (round 5: the wall is a
+        # one-time size-independent cost, not per-byte upload)
         warm = _warm_epoch_program(
             cfg, ds, params, dtype, start_epoch,
             test_coo=(dpu, dpi, dpr, jnp.asarray(n_test)),
@@ -440,7 +442,7 @@ def _warm_epoch_program(cfg, ds, params, dtype, start_epoch, test_coo,
                         train_coo, n_test_int):
     """Start compiling + uploading the ALS/iALS epoch program on
     zero-filled layouts of the REAL layout's shapes, in a thread, so the
-    remote program upload (∝ executable size, minutes at scale through
+    remote program upload (the one-time per-process wall, minutes through
     the axon tunnel — docs/KERNELS.md "first-epoch wall") overlaps the
     host-side layout pack instead of following it."""
     import threading
