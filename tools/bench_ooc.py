@@ -332,11 +332,20 @@ def heldout_coo(scale, seed=0, n_sample=2_000_000):
             sr.astype(np.float32))
 
 
-def heldout_rmse_fn(scale, seed=0, n_sample=2_000_000):
+def heldout_rmse_fn(scale, seed=0, n_sample=None):
     """fn(state) -> held-out RMSE over a device-PINNED sample (~24 MB at
     2M rows): per-epoch eval with zero re-streaming, vs the +39 s
     rmse_wire paid at b1 scale to re-stream the host-resident share of
-    the user view (docs/KERNELS.md "Beyond-resident existence proof")."""
+    the user view (docs/KERNELS.md "Beyond-resident existence proof").
+
+    n_sample defaults to 2M, but 512k at the beyond-HBM scales: the b1
+    ALS run budgets HBM to single-GB margins (pinned wire + factors +
+    the wire-ordered solve table), and the eval's transient gathered
+    tensors at 2M rows were part of the round-5 assemble-OOM mix. At
+    512k rows the RMSE standard error is ~1.4e-3 — still three digits."""
+    if n_sample is None:
+        n_sample = 512 * 1024 if SCALES[scale][2] >= 5 * 10**8 \
+            else 2_000_000
     import jax.numpy as jnp
 
     from ycnr_tpu.models.base import rmse_padded

@@ -497,7 +497,14 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
     reserve = (
         (n_users + n_items + 2) * (k * 4 + 8)          # f32 factors+biases
         + bf16[n_users] + bf16[n_items]                # phase gather copies
-        + (max(n_users, n_items) + 2**20) * k * 4      # Ep (+ pad slack)
+        # Ep (+ pad slack) TWICE: the wire-ordered solve table plus the
+        # layout-change copy _assemble may need when the chunk-step
+        # program emits Ep transposed — whether it does is an XLA layout
+        # choice that varies across sessions (a round-5 b1 run with only
+        # one Ep reserved OOMed at the assemble; round 4's identical
+        # config fit). The copy donates/frees, but its PEAK coexists
+        # with Ep, the factors, and the pinned wire.
+        + 2 * (max(n_users, n_items) + 2**20) * k * 4
         + 3 * _ASSEMBLE_CHUNK_ROWS * k * 4             # assemble chunks
         + inflight
         + 3 * 48 * 2**20                               # streamed chunks
