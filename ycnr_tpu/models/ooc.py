@@ -358,60 +358,70 @@ def _assemble_impl(E, Ep, inv, sent):
     return E
 
 
-def _rm_format(dev):
-    """Row-major 2-D Format on one device (jax.experimental.layout)."""
+def _cm_format(dev):
+    """Transposed-compact 2-D Format (jax.experimental.layout).
+
+    major_to_minor=(1, 0): the LONG table axis is minor, so the 128-lane
+    tile fills with table rows. The round-4 choice was row-major (0, 1)
+    — which looked free in temp accounting but lane-pads the k=64 minor
+    dimension to 128, silently DOUBLING every pinned table: AOT
+    memory_analysis at the 1e9 scale shows the rm Ep at 5.376 GB and rm
+    E at 5.12 GB for 2.69/2.56 GB of data (runs/probes/
+    b1_assemble_layouts.json). That hidden 2x is what OOMed the round-5
+    b1 assemble. The transposed layout is both compact AND the one XLA
+    prefers for the gather operand."""
     from jax.experimental import layout as XL
     from jax.sharding import SingleDeviceSharding
 
-    return XL.Format(XL.Layout((0, 1)), SingleDeviceSharding(dev))
+    return XL.Format(XL.Layout((1, 0)), SingleDeviceSharding(dev))
 
 
-def _is_rm(arr) -> bool:
+def _is_cm(arr) -> bool:
     try:
         return (arr.format.layout.major_to_minor
-                == tuple(range(arr.ndim)))
+                == tuple(range(arr.ndim - 1, -1, -1)))
     except Exception:
         return True  # no layout info (CPU test arrays): nothing to fix
 
 
 @lru_cache(maxsize=None)
-def _copy_rm_jit(dev):
-    """Relayout copy to row-major (donates + frees the source)."""
+def _copy_cm_jit(dev):
+    """Relayout copy to transposed-compact (donates + frees the source)."""
     return jax.jit(lambda x: jnp.zeros_like(x) + x, donate_argnums=(0,),
-                   out_shardings=_rm_format(dev))
+                   out_shardings=_cm_format(dev))
 
 
 @lru_cache(maxsize=None)
 def _assemble_jit(dev):
-    """_assemble_impl with E/Ep/out pinned to row-major layouts.
+    """_assemble_impl with E/Ep/out pinned to transposed-compact layouts.
 
-    Left to its own layout assignment, XLA chooses a transposed tile
-    layout for the gather operand and the loop-carried factor and pays
-    full-table layout-change copies at the boundaries — 5.4-5.9 GB of
-    temps at the 1e9-rating scale (AOT memory_analysis; the round-4 b1
-    assemble OOM). Pinning every 2-D boundary row-major compiles to
-    0.50 GB of temps (the chunk triple), at the cost of whatever speed
-    the transposed gather would have bought — the assemble moves
-    ~2 x table bytes once per phase, noise against the epoch."""
-    fmt = _rm_format(dev)
+    Left to its own layout assignment, XLA pays full-table layout-change
+    copies at the entry/root boundaries — 5.4-5.9 GB of temps at the
+    1e9-rating scale (AOT memory_analysis; the round-4 b1 assemble OOM).
+    Pinning every 2-D boundary to ONE explicit layout removes the
+    boundary copies; (1, 0) specifically keeps the tables compact
+    (see _cm_format — the round-4 row-major pin lane-padded k=64 to 128
+    and doubled both tables). AOT at b1 shapes with (1, 0): arguments
+    5.27 GB (compact), temps 1.08 GB, output aliased with donated E."""
+    fmt = _cm_format(dev)
     return jax.jit(_assemble_impl, donate_argnums=(0,),
                    in_shardings=(fmt, fmt, None, None),
                    out_shardings=fmt)
 
 
 def _assemble(E, Ep, inv, sent):
-    """Dispatch _assemble_impl with row-major-guaranteed operands.
+    """Dispatch _assemble_impl with layout-guaranteed operands.
 
     The chunk steps run under XLA-chosen ('auto') layouts — measured
-    0.72 GB temps vs 3.6 GB when forced row-major, so their Ep may come
-    out transposed; relayout copies (donating, so the source frees mid-
-    program) bridge it to the row-major assemble when needed."""
+    0.72 GB temps vs 3.6 GB when forced — so their Ep may come out in a
+    different layout; relayout copies (donating, so the source frees
+    mid-program) bridge it to the pinned assemble when needed."""
     dev = next(iter(E.devices())) if hasattr(E, "devices") \
         else jax.devices()[0]
-    if not _is_rm(Ep):
-        Ep = _copy_rm_jit(dev)(Ep)
-    if not _is_rm(E):
-        E = _copy_rm_jit(dev)(E)
+    if not _is_cm(Ep):
+        Ep = _copy_cm_jit(dev)(Ep)
+    if not _is_cm(E):
+        E = _copy_cm_jit(dev)(E)
     return _assemble_jit(dev)(E, Ep, inv, sent)
 
 
