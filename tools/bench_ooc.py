@@ -76,6 +76,37 @@ def save_packed(groups, d: str, nnz: int):
                os.path.join(d, "meta.json"))
 
 
+def save_plan(plan, d: str):
+    """Persist a WireStoragePlan beside its wire cache."""
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "plan.npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, perm=plan.perm, rows=plan.rows, n_cold=plan.n_cold,
+                 scratch=plan.scratch, zero_row=plan.zero_row,
+                 n_offs=len(plan.offs),
+                 **{f"offs_{j}": o for j, o in enumerate(plan.offs)})
+    os.replace(tmp, os.path.join(d, "plan.npz"))
+
+
+def load_plan(d: str):
+    from ycnr_tpu.ops.packed import WireStoragePlan
+
+    p = os.path.join(d, "plan.npz")
+    if not os.path.exists(p):
+        return None
+    try:
+        z = np.load(p)
+        return WireStoragePlan(
+            perm=z["perm"],
+            offs=tuple(z[f"offs_{j}"]
+                       for j in range(int(z["n_offs"]))),
+            rows=int(z["rows"]), n_cold=int(z["n_cold"]),
+            scratch=int(z["scratch"]), zero_row=int(z["zero_row"]))
+    except Exception as e:
+        log(f"plan cache load failed ({e}); rebuilding")
+        return None
+
+
 def load_packed(d: str):
     from ycnr_tpu.ops.packed import PackedGroup, RectGroup
 
@@ -197,8 +228,16 @@ def b1_portions(n_users, n_items, n_ratings, portion=50_000_000, seed=0,
 
 
 def build_or_load_wire(scale, wire, groups, target_mb, rank=64, seed=0,
-                       portion=50_000_000):
+                       portion=50_000_000, storage="entity"):
     """Build (or load from the shared cache) both OOC wire views.
+
+    ``storage="wire"`` builds the WIRE-ORDER STORAGE variant
+    (ops/packed.WireStoragePlan): each view's other-ids are relabeled to
+    the twin view's storage rows so the factor tables live in wire order
+    and the epoch needs no per-phase assemble (models/ooc
+    .phase_packed_wire). Returns (ug, ig, nnz, extras) where extras
+    carries {"u_plan", "i_plan"} in wire-storage mode ({} otherwise);
+    the plans are cached beside the wires.
 
     Pure host work — safe under JAX_PLATFORMS=cpu, which is exactly how
     tools/prep_ooc_cache.py calls it to pre-warm the caches without
@@ -211,31 +250,66 @@ def build_or_load_wire(scale, wire, groups, target_mb, rank=64, seed=0,
     size. The spool dir is keyed by (shape, seed, portion) so changing
     the generator params can never serve stale portions."""
     from ycnr_tpu.ops.packed import (build_packed, build_packed_stream,
-                                     build_rect, rect_from_packed)
+                                     build_rect, rect_from_packed,
+                                     rating_wire_kind, wire_storage_plan)
     import ycnr_tpu.ops.packed as _packed_mod
 
     nu, ni, nr = SCALES[scale]
     kw = dict(rank_hint=rank, target_bytes=target_mb * 2**20,
               max_groups=groups)
-    wtag = "" if wire == "packed" else "_rect"
+    ws = storage == "wire"
+    wtag = ("" if wire == "packed" else "_rect") + ("_ws" if ws else "")
+    extras = {}
     if scale == "b1":
         tag = (f"b1_{nu}x{ni}x{nr}_g{groups}_t{target_mb}"
                f"{wtag}_{_code_hash(_packed_mod)}")
         d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
         ug, nnz = load_packed(d_u)
         ig, _ = load_packed(d_i)
-        if ug is None or ig is None:
+        if ws:
+            extras = {"u_plan": load_plan(d_u), "i_plan": load_plan(d_i)}
+        if ug is None or ig is None or (ws and None in extras.values()):
             nnz = nr  # b1_portions ships exactly n_ratings (no dedup)
             spool = _packed_dir(
                 f"b1_spool_{nu}x{ni}x{nr}_s{seed}_p{portion}")
+            counts_kind = {}
+            if ws:
+                # one spool pass gives both views' counts + the rating
+                # kind, so BOTH storage plans exist before either build
+                # (each view's wire needs the twin's plan for relabeling)
+                t0 = time.time()
+                cu = np.zeros(nu, np.int64)
+                ci = np.zeros(ni, np.int64)
+                kind = "half"
+                for u, i, r in b1_portions(nu, ni, nr, portion=portion,
+                                           seed=seed, spool_dir=spool):
+                    cu += np.bincount(u, minlength=nu)
+                    ci += np.bincount(i, minlength=ni)
+                    if kind == "half" and rating_wire_kind(r) != "half":
+                        kind = "raw"
+                up = wire_storage_plan(cu, rank, target_mb * 2**20,
+                                       groups)
+                ip = wire_storage_plan(ci, rank, target_mb * 2**20,
+                                       groups)
+                counts_kind = {"entity": (cu, ip), "other": (ci, up)}
+                save_plan(up, d_u)
+                save_plan(ip, d_i)
+                extras = {"u_plan": up, "i_plan": ip}
+                log(f"storage plans from counts pass: "
+                    f"{time.time() - t0:.0f}s")
             for view, d in (("entity", d_u), ("other", d_i)):
                 t0 = time.time()
                 n_e, n_o = (nu, ni) if view == "entity" else (ni, nu)
                 ports = lambda: b1_portions(nu, ni, nr, portion=portion,
                                             seed=seed, spool_dir=spool)
+                skw = dict(kw)
+                if ws:
+                    cnts, twin = counts_kind[view]
+                    skw.update(counts=cnts, rating_kind=kind,
+                               other_plan=twin)
                 g = build_packed_stream(
                     ports(), n_e, n_o, portions2=ports(),
-                    out_dir=os.path.join(d, "wire"), view=view, **kw)
+                    out_dir=os.path.join(d, "wire"), view=view, **skw)
                 if wire == "rect":
                     # expand group by group straight into the cache dir:
                     # rect_from_packed memmaps g{gi}.{lo,rat}.npy at the
@@ -253,7 +327,7 @@ def build_or_load_wire(scale, wire, groups, target_mb, rank=64, seed=0,
                 shutil.rmtree(os.path.join(d, "wire"), ignore_errors=True)
             ug, _ = load_packed(d_u)
             ig, _ = load_packed(d_i)
-        return ug, ig, nnz
+        return ug, ig, nnz, extras
     tu, ti, tr, nu, ni = get_coo(scale, seed)
     nnz = len(tr)
     tag = (f"{scale}_{nnz}_g{groups}_t{target_mb}"
@@ -261,15 +335,28 @@ def build_or_load_wire(scale, wire, groups, target_mb, rank=64, seed=0,
     d_u, d_i = _packed_dir(tag + "_u"), _packed_dir(tag + "_i")
     ug, _ = load_packed(d_u)
     ig, _ = load_packed(d_i)
-    if ug is None or ig is None:
+    if ws:
+        extras = {"u_plan": load_plan(d_u), "i_plan": load_plan(d_i)}
+    if ug is None or ig is None or (ws and None in extras.values()):
         t0 = time.time()
         build = build_rect if wire == "rect" else build_packed
-        ug = build(tu, ti, tr, nu, ni, **kw)
-        ig = build(ti, tu, tr, ni, nu, **kw)
+        if ws:
+            up = wire_storage_plan(np.bincount(tu, minlength=nu),
+                                   rank, target_mb * 2**20, groups)
+            ip = wire_storage_plan(np.bincount(ti, minlength=ni),
+                                   rank, target_mb * 2**20, groups)
+            ug = build(tu, ti, tr, nu, ni, other_plan=ip, **kw)
+            ig = build(ti, tu, tr, ni, nu, other_plan=up, **kw)
+            save_plan(up, d_u)
+            save_plan(ip, d_i)
+            extras = {"u_plan": up, "i_plan": ip}
+        else:
+            ug = build(tu, ti, tr, nu, ni, **kw)
+            ig = build(ti, tu, tr, ni, nu, **kw)
         log(f"wire built in {time.time() - t0:.0f}s")
         save_packed(ug, d_u, nnz)
         save_packed(ig, d_i, nnz)
-    return ug, ig, nnz
+    return ug, ig, nnz, extras
 
 
 def get_coo(scale, seed=0):
@@ -346,11 +433,26 @@ def heldout_rmse_fn(scale, seed=0, n_sample=None):
     if n_sample is None:
         n_sample = 512 * 1024 if SCALES[scale][2] >= 5 * 10**8 \
             else 2_000_000
+    return _heldout_fn_from(*heldout_coo(scale, seed, n_sample))
+
+
+def heldout_rmse_fn_mapped(scale, u_map, i_map, seed=0, n_sample=None):
+    """heldout_rmse_fn for WIRE-ORDER STORAGE tables: ids map through the
+    views' storage perms before pinning (the tables are storage-ordered,
+    so rmse_padded's gathers need storage rows)."""
+    if n_sample is None:
+        n_sample = 512 * 1024 if SCALES[scale][2] >= 5 * 10**8 \
+            else 2_000_000
+    u, i, r = heldout_coo(scale, seed, n_sample)
+    return _heldout_fn_from(np.asarray(u_map)[u].astype(np.int32),
+                            np.asarray(i_map)[i].astype(np.int32), r)
+
+
+def _heldout_fn_from(u, i, r):
     import jax.numpy as jnp
 
     from ycnr_tpu.models.base import rmse_padded
 
-    u, i, r = heldout_coo(scale, seed, n_sample)
     pu, pi = jnp.asarray(u), jnp.asarray(i)
     pr = jnp.asarray(r, jnp.float32)
     n = len(r)
@@ -638,6 +740,15 @@ def main():
     ap.add_argument("--budget-gb", type=float, default=None,
                     help="override the auto residency budget (GB of HBM "
                     "for pinned wire groups)")
+    ap.add_argument("--storage", choices=["entity", "wire"],
+                    default="entity",
+                    help="factor-table storage order (--algo als/ials): "
+                    "entity = classic (wire-ordered solve table + "
+                    "per-phase assemble), wire = WIRE-ORDER STORAGE "
+                    "(tables live in wire order, blocks write in place, "
+                    "no assemble — removes the assemble's ~11 GB "
+                    "beyond-HBM footprint; needs a _ws wire cache built "
+                    "with relabeled ids)")
     ap.add_argument("--pin-format", choices=["auto", "keep"],
                     default="auto",
                     help="auto = upgrade pinned groups to RECT (gather-"
@@ -701,25 +812,48 @@ def main():
     nu, ni, nr = SCALES[args.scale]
     lam, alpha = 0.05, 40.0
 
-    ug, ig, nnz = build_or_load_wire(args.scale, args.wire, args.groups,
-                                     args.target_mb, rank=args.rank)
+    ug, ig, nnz, extras = build_or_load_wire(
+        args.scale, args.wire, args.groups, args.target_mb,
+        rank=args.rank, storage=args.storage)
     st_u = packed_stats(ug, nnz)
     st_i = packed_stats(ig, nnz)
     log(f"user wire: {st_u}")
     log(f"item wire: {st_i}")
     wire_mb = (st_u["wire_bytes"] + st_i["wire_bytes"]) / 2**20
-    result.update(nnz=nnz, n_users=nu, n_items=ni,
+    result.update(nnz=nnz, n_users=nu, n_items=ni, storage=args.storage,
                   wire_mb_per_epoch=round(wire_mb, 1),
                   wire_bytes_per_rating=round(
                       (st_u["wire_bytes"] + st_i["wire_bytes"]) / nnz, 2))
 
-    # writeback plans BEFORE pinning, while the eids are host memmaps
-    # (PhasePlan reads them; post-pin it would pull 10s of MB back over
-    # the tunnel)
-    from ycnr_tpu.models.ooc import PhasePlan
+    wire_storage = args.storage == "wire"
+    if wire_storage:
+        # factor tables live in wire order: device plans carry the block
+        # offsets; the final train-RMSE's eids map to storage rows here
+        # on host (small arrays), padding -> the table's zero row
+        from ycnr_tpu.models.ooc import DeviceWirePlan
 
-    u_plan = PhasePlan(ug, nu)
-    i_plan = PhasePlan(ig, ni)
+        up_h, ip_h = extras["u_plan"], extras["i_plan"]
+
+        def _map_eids(groups, plan, n_e):
+            out = []
+            for g in groups:
+                e = np.asarray(g.eid)
+                m = np.where(e < n_e, plan.perm[np.minimum(e, n_e - 1)],
+                             plan.zero_row).astype(np.int32)
+                out.append(g._replace(eid=m))
+            return tuple(out)
+
+        ug = _map_eids(ug, up_h, nu)
+        ig = _map_eids(ig, ip_h, ni)
+        u_pd, i_pd = DeviceWirePlan(up_h), DeviceWirePlan(ip_h)
+    else:
+        # writeback plans BEFORE pinning, while the eids are host memmaps
+        # (PhasePlan reads them; post-pin it would pull 10s of MB back
+        # over the tunnel)
+        from ycnr_tpu.models.ooc import PhasePlan
+
+        u_plan = PhasePlan(ug, nu)
+        i_plan = PhasePlan(ig, ni)
 
     if args.residency != "host":
         from ycnr_tpu.models.ooc import auto_wire_budget, wire_to_device
@@ -749,21 +883,46 @@ def main():
         log(f"residency: {result['residency']}")
 
     hbm0 = device_hbm_stats()
-    state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
-    jax.block_until_ready(state.U)
+    if wire_storage:
+        from ycnr_tpu.models.base import MFState
+        from ycnr_tpu.models.ooc import (als_epoch_wire, ials_epoch_wire,
+                                         wire_storage_init)
 
-    if args.algo == "ials":
+        # storage-ordered init with init_state's exact per-entity draws
+        # (one RNG stream, users then items — see wire_storage_init)
+        dU = wire_storage_init(up_h, args.rank, seed=0)
+        dV = wire_storage_init(ip_h, args.rank, seed=0, entity_offset=nu)
+        state = MFState(U=dU, V=dV,
+                        bu=jnp.zeros(up_h.table_rows, jnp.float32),
+                        bi=jnp.zeros(ip_h.table_rows, jnp.float32),
+                        mu=jnp.asarray(0.0, jnp.float32))
+        epoch_wire = (ials_epoch_wire if args.algo == "ials"
+                      else als_epoch_wire)
+        ialpha = (alpha,) if args.algo == "ials" else ()
+
+        def ooc_step(s):
+            U, V = epoch_wire(s.U, s.V, ug, ig, lam, *ialpha,
+                              u_plan=u_pd, i_plan=i_pd, gather_bf16=True,
+                              prefetch=args.prefetch,
+                              chunk_blocks=args.chunk_blocks)
+            return s._replace(U=U, V=V)
+    elif args.algo == "ials":
+        state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
+
         def ooc_step(s):
             return ials_epoch_ooc(s, ug, ig, lam, alpha, gather_bf16=True,
                                   prefetch=args.prefetch,
                                   chunk_blocks=args.chunk_blocks,
                                   u_plan=u_plan, i_plan=i_plan)
     else:
+        state = init_state(nu, ni, args.rank, seed=0, dtype=jnp.float32)
+
         def ooc_step(s):
             return als_epoch_ooc(s, ug, ig, lam, gather_bf16=True,
                                  prefetch=args.prefetch,
                                  chunk_blocks=args.chunk_blocks,
                                  u_plan=u_plan, i_plan=i_plan)
+    jax.block_until_ready(state.U)
 
     if args.rmse:
         from ycnr_tpu.models.ooc import rmse_wire
@@ -772,7 +931,8 @@ def main():
         # train rmse_wire ONCE at the end — at b1 scale it re-streams
         # the host-resident share of the user view (+39 s/epoch if run
         # every epoch, the cost the pinned held-out sample retires)
-        ho_fn = heldout_rmse_fn(args.scale)
+        ho_fn = (heldout_rmse_fn_mapped(args.scale, up_h.perm, ip_h.perm)
+                 if wire_storage else heldout_rmse_fn(args.scale))
         rmses, hos = [], [round(ho_fn(state), 4)]
         log(f"init: held-out RMSE {hos[0]}")
         for ep in range(args.epochs):
@@ -831,11 +991,19 @@ def main():
                 * 2**20)
     streamed_any = any(not isinstance(g.lo, jax.Array)
                        for gr in (ug, ig) for g in gr)
+    if wire_storage:
+        # storage tables replace both the entity-ordered factors and the
+        # solve table; there is no assemble and no second Ep
+        factors_b = (up_h.table_rows + ip_h.table_rows) * k * 4
+        ep_b = 0
+        bf16_b = max(up_h.table_rows, ip_h.table_rows) * k * 2
+    else:
+        factors_b = (nu + ni) * k * 4  # resident f32 factors
+        ep_b = max(u_plan.rows + u_plan.scratch,
+                   i_plan.rows + i_plan.scratch) * k * 4  # solve table
+        bf16_b = max(nu, ni) * k * 2  # bf16 gather copy, fixed side
     model = (
-        (nu + ni) * k * 4          # resident f32 factors
-        + max(nu, ni) * k * 2      # bf16 gather copy of the fixed side
-        + max(u_plan.rows + u_plan.scratch,
-              i_plan.rows + i_plan.scratch) * k * 4  # solve table Ep
+        factors_b + bf16_b + ep_b
         + int(pinned_b)            # HBM-pinned wire groups
         + (args.prefetch + 1) * chunk_b * streamed_any
         + int(slots) * (4 + 4 + k * 2 + k * 4))  # oi+rr+gather+solve rows

@@ -38,14 +38,20 @@ def main():
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--target-mb", type=int, default=192)
+    ap.add_argument("--storage", choices=["entity", "wire"],
+                    default="entity",
+                    help="wire = pre-build the wire-order storage (_ws) "
+                    "variant (relabeled ids + storage plans)")
     ap.add_argument("--compare", action="store_true",
                     help="also pre-build the resident bucketed layouts")
     args = ap.parse_args()
 
     from ycnr_tpu.ops.packed import packed_stats
 
-    ug, ig, nnz = build_or_load_wire(args.scale, args.wire, args.groups,
-                                     args.target_mb, rank=args.rank)
+    ug, ig, nnz, _ = build_or_load_wire(args.scale, args.wire,
+                                        args.groups, args.target_mb,
+                                        rank=args.rank,
+                                        storage=args.storage)
     log(f"user wire: {packed_stats(ug, nnz)}")
     log(f"item wire: {packed_stats(ig, nnz)}")
 

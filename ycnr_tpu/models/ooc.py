@@ -671,6 +671,126 @@ def als_epoch_ooc(state: MFState, user_groups: PackedCSR,
     return state._replace(U=U, V=V)
 
 
+class DeviceWirePlan:
+    """Device-resident half of a packed.WireStoragePlan: the per-group
+    block offsets (uploaded once) plus the scratch/zero geometry the
+    phase needs. The host-side ``perm`` stays on host — it is only used
+    to map eval COOs / checkpoints, never inside the epoch."""
+
+    __slots__ = ("offs", "rows", "scratch_start", "zero_row")
+
+    def __init__(self, plan):
+        self.offs = tuple(jax.device_put(np.asarray(o, np.int32))
+                          for o in plan.offs)
+        self.rows = int(plan.rows)
+        self.scratch_start = int(plan.rows + plan.n_cold)
+        self.zero_row = int(plan.zero_row)
+
+
+def phase_packed_wire(E: jnp.ndarray, F: jnp.ndarray, groups: PackedCSR,
+                      lam: float, plan: DeviceWirePlan,
+                      alpha: Optional[float] = None, base_gram=None,
+                      gather_bf16: bool = False, prefetch: int = 2,
+                      chunk_blocks: Optional[int] = None) -> jnp.ndarray:
+    """Wire-order storage phase: E IS the wire-ordered factor table.
+
+    Identical block pipeline to phase_packed (the chunk step is the same
+    jitted program — decode -> gather -> Gram -> guarded solve -> DUS),
+    but blocks write straight into the donated E at their storage
+    offsets, so there is NO separate solve table and NO per-phase
+    assemble. This removes the assemble's measured ~11 GB beyond-HBM
+    footprint (runs/probes/b1_assemble_layouts.json) and its 2x-table
+    relayout copies; the price was paid at BUILD time (ops/packed.py
+    ``other_plan``: the twin view's indices are storage rows, so F here
+    is likewise a storage-ordered table and F's zero row is the decode
+    sentinel carried in ``g.n_other``).
+
+    Cold entities and the scratch/zero tail are never referenced by any
+    block, so their rows persist — same semantics as the classic
+    assemble's sentinel path. Chunk-pad blocks dump all-padding solves
+    (exact zeros) into the scratch region."""
+    gather_bf16 = _phase_bf16(F, gather_bf16)
+    F_g = _cast_gather(F, gather_bf16)
+    for g, goff in zip(groups, plan.offs):
+        if group_resident(g):
+            E = _ooc_chunk_step(E, F_g, g.lo, g.hi_pos, g.hi_val, g.rat,
+                                g.cnt, goff, base_gram, g.R, g.n_other,
+                                lam, alpha, gather_bf16)
+            continue
+        goff_h = np.asarray(goff)
+        q = []
+        for c0, n_real, ch in _group_chunks(g, chunk_blocks):
+            C = ch[4].shape[0]
+            off = np.full(C, plan.scratch_start, np.int32)
+            off[:n_real] = goff_h[c0:c0 + n_real]
+            dv = tuple(jax.device_put(a) for a in ch[:5])
+            q.append(dv + (jax.device_put(off),))
+            if len(q) <= prefetch:
+                continue
+            E = _ooc_chunk_step(E, F_g, *q.pop(0), base_gram, g.R,
+                                g.n_other, lam, alpha, gather_bf16)
+        for ch in q:
+            E = _ooc_chunk_step(E, F_g, *ch, base_gram, g.R, g.n_other,
+                                lam, alpha, gather_bf16)
+    return E
+
+
+def als_epoch_wire(U: jnp.ndarray, V: jnp.ndarray, user_groups: PackedCSR,
+                   item_groups: PackedCSR, lam: float,
+                   u_plan: DeviceWirePlan, i_plan: DeviceWirePlan,
+                   gather_bf16: bool = False, prefetch: int = 2,
+                   chunk_blocks: Optional[int] = None):
+    """One ALS-WR sweep over wire-order storage tables (both donated)."""
+    U = phase_packed_wire(U, V, user_groups, lam, u_plan,
+                          gather_bf16=gather_bf16, prefetch=prefetch,
+                          chunk_blocks=chunk_blocks)
+    V = phase_packed_wire(V, U, item_groups, lam, i_plan,
+                          gather_bf16=gather_bf16, prefetch=prefetch,
+                          chunk_blocks=chunk_blocks)
+    return U, V
+
+
+def ials_epoch_wire(U: jnp.ndarray, V: jnp.ndarray,
+                    user_groups: PackedCSR, item_groups: PackedCSR,
+                    lam: float, alpha: float, u_plan: DeviceWirePlan,
+                    i_plan: DeviceWirePlan, gather_bf16: bool = False,
+                    prefetch: int = 2,
+                    chunk_blocks: Optional[int] = None):
+    """iALS sweep over wire-order storage tables. The global base Grams
+    must exclude the non-entity tail rows; wire/cold rows are real
+    entities and padding/scratch/zero rows are all-zero (cnt-0 solves
+    write exact zeros), so the plain full-table Gram is already exact."""
+    GV = _global_gram(V)
+    U = phase_packed_wire(U, V, user_groups, lam, u_plan, alpha, GV,
+                          gather_bf16=gather_bf16, prefetch=prefetch,
+                          chunk_blocks=chunk_blocks)
+    GU = _global_gram(U)
+    V = phase_packed_wire(V, U, item_groups, lam, i_plan, alpha, GU,
+                          gather_bf16=gather_bf16, prefetch=prefetch,
+                          chunk_blocks=chunk_blocks)
+    return U, V
+
+
+def wire_storage_init(plan, rank: int, seed: int, entity_offset: int = 0,
+                      scale: float = 0.1, dtype=jnp.float32):
+    """Storage-ordered init table equal to init_state's rows permuted.
+
+    Row perm[e] gets EXACTLY the value init_state gives entity e (the
+    same per-entity RNG draws), so a wire-storage run and a classic run
+    from the same seed are comparable row for row (tests pin f64
+    agreement). Tail rows (group padding / scratch / zero) start zero.
+    ``entity_offset`` skips RNG rows so the item view can share one
+    stream with the user view like init_state's single rng does."""
+    rng = np.random.default_rng(seed)
+    n_entities = len(plan.perm)
+    if entity_offset:
+        rng.normal(0.0, scale, (entity_offset, rank))  # burn user rows
+    vals = rng.normal(0.0, scale, (n_entities, rank))
+    tab = np.zeros((plan.table_rows, rank), np.float64)
+    tab[plan.perm] = vals
+    return jnp.asarray(tab, dtype)
+
+
 def ials_epoch_ooc(state: MFState, user_groups: PackedCSR,
                    item_groups: PackedCSR, lam: float, alpha: float,
                    gather_bf16: bool = False, prefetch: int = 2,

@@ -143,6 +143,90 @@ def _encode_rows(o_sorted: np.ndarray, r_sorted: np.ndarray,
     return lo, hi_pos, hi_val
 
 
+class WireStoragePlan(NamedTuple):
+    """Storage-order plan for one view (round 5 "wire-order storage").
+
+    Motivation: the scatter-free OOC phase solves blocks into a
+    wire-ordered table Ep and re-gathers the entity order once per phase
+    (models/ooc._assemble). At beyond-HBM scale that assemble is a
+    measured ~11 GB footprint no matter how its layouts are pinned
+    (runs/probes/b1_assemble_layouts.json): TPU gathers over [N, 64]
+    tables materialize a 128-lane-padded copy of whichever table is not
+    already padded. The structural fix is to stop translating: keep the
+    FACTOR TABLE ITSELF in wire order for the whole run. Blocks then
+    write their solved rows in place (`lax.dynamic_update_slice` at the
+    block's storage offset) and no per-phase assemble exists. The price
+    is an id relabeling: the OTHER view's wire must carry storage rows
+    instead of entity ids (build_packed/build_packed_stream grow an
+    ``other_plan`` argument), and host-side consumers (eval COOs,
+    checkpoints) map ids through ``perm`` once.
+
+    Storage layout of a view's factor table ([table_rows, k]):
+
+      [0, rows)                  wire rows — group blocks back to back,
+                                 including each group's tail-padding rows
+                                 (cnt-0 solves write exact zeros there)
+      [rows, rows + n_cold)      cold entities (zero rating count): never
+                                 written, keep their init values — the
+                                 old scatter semantics
+      [rows + n_cold, zero_row)  scratch — chunk-pad blocks dump their
+                                 all-padding solves here (exact zeros)
+      zero_row (== table_rows-1) THE zero row: every padding gather in
+                                 the twin view's decode points here, so
+                                 it must stay zero (cnt-0 writes keep it
+                                 zero even if a pad block lands on it)
+
+    ``perm`` maps entity id -> storage row for real entities (wire or
+    cold region). The geometry below is the SAME arithmetic as
+    _pack_one_group/build_packed_stream, so a plan built from the counts
+    alone agrees with the wire a later build emits (pinned in
+    tests/test_ooc_wire.py)."""
+
+    perm: np.ndarray                 # [n_entities] int32
+    offs: Tuple[np.ndarray, ...]     # per-group [nb] int32 block offsets
+    rows: int
+    n_cold: int
+    scratch: int
+    zero_row: int
+
+    @property
+    def table_rows(self) -> int:
+        return self.zero_row + 1
+
+
+def wire_storage_plan(counts: np.ndarray, rank_hint: int = 64,
+                      target_bytes: int = 192 * 2**20,
+                      max_groups: int = 16) -> WireStoragePlan:
+    """Storage plan from per-entity rating counts (one bincount)."""
+    counts = np.asarray(counts, np.int64)
+    n_entities = len(counts)
+    active = np.nonzero(counts)[0]
+    perm = np.full(n_entities, -1, np.int64)
+    offs = []
+    base = 0
+    scratch = 1
+    if len(active):
+        rung = _dp_rungs(counts[active], max_groups)
+        for p in np.unique(rung):
+            ents = active[rung == p]
+            R = int(p)
+            n_e = len(ents)
+            ne_target = max(8, target_bytes // (R * rank_hint * 4))
+            nb = max(1, -(-n_e // ne_target))
+            ne_b = int(-(-(-(-n_e // nb)) // 8) * 8)
+            perm[ents] = base + np.arange(n_e, dtype=np.int64)
+            offs.append(base + np.arange(nb, dtype=np.int32) * ne_b)
+            base += nb * ne_b
+            scratch = max(scratch, ne_b)
+    rows = int(base)
+    cold = np.nonzero(perm < 0)[0]
+    perm[cold] = rows + np.arange(len(cold), dtype=np.int64)
+    zero_row = rows + len(cold) + scratch
+    return WireStoragePlan(perm=perm.astype(np.int32), offs=tuple(offs),
+                           rows=rows, n_cold=int(len(cold)),
+                           scratch=int(scratch), zero_row=int(zero_row))
+
+
 def _pack_one_group(ents: np.ndarray, counts: np.ndarray,
                     starts: np.ndarray, o_sorted: np.ndarray,
                     r_sorted: np.ndarray, R: int, n_entities: int,
@@ -218,13 +302,22 @@ def _concat_ranges(s: np.ndarray, t: np.ndarray) -> np.ndarray:
 def build_packed(entity_idx, other_idx, rating, n_entities: int,
                  n_other: int, rank_hint: int = 64,
                  target_bytes: int = 192 * 2**20,
-                 max_groups: int = 16) -> PackedCSR:
+                 max_groups: int = 16,
+                 other_plan: Optional[WireStoragePlan] = None) -> PackedCSR:
     """Wire-format twin of ops/bucketed.build_bucketed: identical rung
     ladder, identical entity->group/block assignment, identical within-row
     sort — the decoded blocks match the resident ones bitwise (pinned in
     tests/test_ooc.py). Use for datasets whose COO fits host RAM but whose
     layout would not fit HBM; build_packed_stream below is the
-    bounded-host-RAM portioned variant."""
+    bounded-host-RAM portioned variant.
+
+    ``other_plan`` switches the wire to WIRE-ORDER STORAGE mode (see
+    WireStoragePlan): other-idx values are relabeled to the twin view's
+    storage rows BEFORE the within-row sort (rows re-sort in storage-id
+    space, so the delta encoding stays ascending — reduction order
+    therefore differs from the entity-id wire by a per-row permutation),
+    and the groups' ``n_other`` sentinel becomes the twin table's zero
+    row. Decoded blocks feed models/ooc.phase_packed_wire directly."""
     entity_idx = np.asarray(entity_idx, dtype=np.int64)
     o_all = np.asarray(other_idx, dtype=np.int64)
     r_all = np.asarray(rating, dtype=np.float32)
@@ -234,6 +327,9 @@ def build_packed(entity_idx, other_idx, rating, n_entities: int,
                             or o_all.max() >= n_other
                             or entity_idx.min() < 0 or o_all.min() < 0):
         raise ValueError("index out of range")
+    if other_plan is not None:
+        o_all = other_plan.perm[o_all].astype(np.int64)
+        n_other = other_plan.zero_row
     order = np.lexsort((o_all, entity_idx))
     o_sorted = np.ascontiguousarray(o_all[order], np.int32)
     r_sorted = np.ascontiguousarray(r_all[order], np.float32)
@@ -261,6 +357,7 @@ def build_packed_stream(
     target_bytes: int = 192 * 2**20, max_groups: int = 16,
     out_dir: Optional[str] = None, view: str = "entity",
     rating_kind: Optional[str] = None,
+    other_plan: Optional[WireStoragePlan] = None,
 ) -> PackedCSR:
     """True out-of-core builder: two passes over a portions iterator
     (the reference's portioned SELECT streaming — data/store.py:stream),
@@ -306,6 +403,11 @@ def build_packed_stream(
         if portions2 is None:
             portions2 = portions
         counts = np.asarray(counts, np.int64)
+
+    if other_plan is not None:
+        # wire-order storage mode: pass-2 stores storage rows, the sort
+        # key and the decode sentinel use the twin table's zero row
+        n_other = other_plan.zero_row
 
     active = np.nonzero(counts)[0]
     rung = _dp_rungs(counts[active], max_groups)
@@ -358,6 +460,8 @@ def build_packed_stream(
         e, o, r = _oriented(p)
         e = np.asarray(e, np.int64)
         o = np.asarray(o, np.int32)
+        if other_plan is not None:
+            o = other_plan.perm[o]
         r = np.asarray(r, np.float32)
         # occurrence rank of each duplicate entity within this portion
         sort = np.argsort(e, kind="stable")
