@@ -121,7 +121,7 @@ def test_cold_rows_and_zero_row_persist():
 def test_plan_lockstep_with_build():
     """plan.perm from counts == the positions the built wire assigns."""
     u, i, r = _data()
-    up, _, _, _, ws_u, _ = _builds(u, i, r)
+    up, ip, _, _, ws_u, _ = _builds(u, i, r)
     pos = 0
     for g, off in zip(ws_u, up.offs):
         eid = np.asarray(g.eid)
@@ -131,6 +131,20 @@ def test_plan_lockstep_with_build():
         assert np.array_equal(up.perm[eid[real]], rows[real])
         pos += nb * ne
     assert pos == up.rows
-    # relabeled other-ids stay inside the twin table's wire+cold region
+    # the decode sentinel is the twin table's zero row
     for g in ws_u:
-        assert g.n_other == _builds(u, i, r)[1].zero_row
+        assert g.n_other == ip.zero_row
+
+
+def test_storage_init_chunked_burn_matches():
+    """The chunked RNG burn must consume the same stream as one call."""
+    import ycnr_tpu.models.ooc as ooc_mod
+
+    up = wire_storage_plan(np.bincount(_data()[1], minlength=NI),
+                           rank_hint=8)
+    a = np.asarray(wire_storage_init(up, 8, seed=3, entity_offset=NU,
+                                     dtype=jnp.float64))
+    rng = np.random.default_rng(3)
+    rng.normal(0.0, 0.1, (NU, 8))  # one-shot burn
+    vals = rng.normal(0.0, 0.1, (NI, 8))
+    np.testing.assert_array_equal(a[up.perm], vals)

@@ -792,13 +792,15 @@ def main():
         return
 
     log(f"devices: {jax.devices()}")
+    # the wire-speed probe times host->device puts on the tunnel, so it
+    # must run BEFORE the wall warm starts competing for that link
+    result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
+              "wire": args.wire, "wire_MBps": wire_probe()}
     # absorb the per-process first-Pallas-program wall under the wire
     # build/load (docs/KERNELS.md "first-epoch wall"; ~1 s compile)
     from ycnr_tpu.utils.warmup import start_wall_warm
 
     start_wall_warm()
-    result = {"scale": args.scale, "algo": args.algo, "rank": args.rank,
-              "wire": args.wire, "wire_MBps": wire_probe()}
     log(f"wire probe: {result['wire_MBps']}")
     if args.probe:
         print(json.dumps(result))
@@ -860,8 +862,11 @@ def main():
 
         budget = (int(args.budget_gb * 2**30) if args.budget_gb
                   else None if args.residency == "device"
-                  else auto_wire_budget(nu, ni, args.rank,
-                                        groups=(ug, ig)))
+                  else auto_wire_budget(
+                      nu, ni, args.rank, groups=(ug, ig),
+                      storage=args.storage,
+                      table_rows=((up_h.table_rows, ip_h.table_rows)
+                                  if wire_storage else None)))
         t0 = time.time()
         ug, ig, pinned = wire_to_device(ug, ig, budget,
                                         pin_format=args.pin_format)
@@ -967,6 +972,13 @@ def main():
         result["ooc"]["wire_MBps_effective"] = round(
             wire_mb / t_ooc["steady_s"], 1)
     result["hbm"] = {"before": hbm0, "after_peak": hbm1}
+    if hbm0.get("peak_bytes_in_use"):
+        # peak_bytes_in_use is a PROCESS-lifetime high-water mark: when
+        # several tiers share one process (tools/run_ooc_ladder.py),
+        # later tiers inherit earlier tiers' peaks — flag it so the
+        # committed JSONs cannot be misread as per-tier peaks
+        result["hbm"]["note"] = ("after_peak is process-lifetime; "
+                                 "earlier runs in this process may own it")
     if hbm1:
         result["hbm"]["peak_gb"] = round(
             hbm1.get("peak_bytes_in_use", 0) / 2**30, 2)
@@ -993,15 +1005,25 @@ def main():
                        for gr in (ug, ig) for g in gr)
     if wire_storage:
         # storage tables replace both the entity-ordered factors and the
-        # solve table; there is no assemble and no second Ep
+        # solve table; there is no assemble and no second Ep. The bf16
+        # gather copy follows _phase_bf16's 512 MB cap — above it the
+        # phase gathers in f32 and no copy exists (models/ooc.py)
+        from ycnr_tpu.models.ooc import _BF16_COPY_MAX_BYTES
+
         factors_b = (up_h.table_rows + ip_h.table_rows) * k * 4
         ep_b = 0
         bf16_b = max(up_h.table_rows, ip_h.table_rows) * k * 2
+        if bf16_b > _BF16_COPY_MAX_BYTES:
+            bf16_b = 0
     else:
+        from ycnr_tpu.models.ooc import _BF16_COPY_MAX_BYTES
+
         factors_b = (nu + ni) * k * 4  # resident f32 factors
         ep_b = max(u_plan.rows + u_plan.scratch,
                    i_plan.rows + i_plan.scratch) * k * 4  # solve table
         bf16_b = max(nu, ni) * k * 2  # bf16 gather copy, fixed side
+        if bf16_b > _BF16_COPY_MAX_BYTES:
+            bf16_b = 0  # _phase_bf16 skips the copy above the cap
     model = (
         factors_b + bf16_b + ep_b
         + int(pinned_b)            # HBM-pinned wire groups

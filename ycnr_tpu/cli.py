@@ -348,19 +348,22 @@ def _jax_setup(args):
 
 def cmd_train(args):
     _jax_setup(args)
-    # per-process wall warm FIRST (before data load/pack): the first
-    # Pallas-bearing program through the remote tunnel pays a one-time
-    # 150-650 s wall regardless of size (docs/KERNELS.md "first-epoch
-    # wall"); a ~1 s-compile solve jit absorbs it under the host prep
-    from ycnr_tpu.utils.warmup import start_wall_warm
-
-    start_wall_warm()
     if args.distributed or args.coordinator:
         from ycnr_tpu.parallel import init_distributed
 
         pid = init_distributed(args.coordinator, args.num_processes,
                                args.process_id)
         print(json.dumps({"event": "distributed", "process_id": pid}))
+    # per-process wall warm next (before data load/pack): the first
+    # Pallas-bearing program through the remote tunnel pays a one-time
+    # 150-650 s wall regardless of size (docs/KERNELS.md "first-epoch
+    # wall"); a ~1 s-compile solve jit absorbs it under the host prep.
+    # MUST come after init_distributed: the warm thread initializes the
+    # JAX backend, and jax.distributed.initialize requires no backend
+    # to exist yet (starting it first would race multi-host bring-up)
+    from ycnr_tpu.utils.warmup import start_wall_warm
+
+    start_wall_warm()
     cfg = _build_cfg(args)
     from ycnr_tpu.train.loop import train
 

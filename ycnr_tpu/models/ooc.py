@@ -58,7 +58,7 @@ BASELINE.md for the current numbers.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -466,7 +466,8 @@ def group_resident(g) -> bool:
 
 def auto_wire_budget(n_users: int, n_items: int, rank: int,
                      hbm_bytes: Optional[int] = None,
-                     groups=()) -> int:
+                     groups=(), storage: str = "entity",
+                     table_rows: Optional[Tuple[int, int]] = None) -> int:
     """HBM bytes available for pinning wire groups on one chip.
 
     Starts from the chip's reported limit (axon devices report none — a
@@ -481,11 +482,21 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
     ~3 copies of the [q, k, k] accumulator through regularize/symmetrize;
     else a 1.5 GB allowance), the assemble-gather chunk triple, streamed
     chunk buffers, and a 1 GB runtime margin (XLA scratch, donation
-    slack)."""
+    slack).
+
+    ``storage="wire"`` (phase_packed_wire mode) drops the Ep and
+    assemble reserves entirely — the wire-order storage phase has
+    neither — and sizes the factors from ``table_rows`` (the two
+    WireStoragePlan.table_rows values; falls back to n_users/n_items +
+    2% block-padding slack when not given)."""
     if hbm_bytes is None:
         stats = device_hbm_stats()
         hbm_bytes = stats.get("bytes_limit", 15 * 10**9)
     k = rank
+    if storage == "wire":
+        if table_rows is None:
+            table_rows = (int(n_users * 1.02) + 2, int(n_items * 1.02) + 2)
+        n_users, n_items = table_rows
     # a phase's bf16 gather copy only exists while it fits the cap
     # (_phase_bf16); per view, the gathered dtype follows the same rule
     bf16 = {n: (n * k * 2 if n * k * 2 <= _BF16_COPY_MAX_BYTES else 0)
@@ -504,9 +515,10 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
                     + 3 * (NE // s) * k * k * 4)
     else:
         inflight = 1_500_000_000
-    reserve = (
-        (n_users + n_items + 2) * (k * 4 + 8)          # f32 factors+biases
-        + bf16[n_users] + bf16[n_items]                # phase gather copies
+    if storage == "wire":
+        # no Ep, no assemble: the storage tables ARE the factors
+        ep_reserve = 0
+    else:
         # Ep (+ pad slack) TWICE: the wire-ordered solve table plus the
         # layout-change copy _assemble may need when the chunk-step
         # program emits Ep transposed — whether it does is an XLA layout
@@ -514,8 +526,12 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
         # one Ep reserved OOMed at the assemble; round 4's identical
         # config fit). The copy donates/frees, but its PEAK coexists
         # with Ep, the factors, and the pinned wire.
-        + 2 * (max(n_users, n_items) + 2**20) * k * 4
-        + 3 * _ASSEMBLE_CHUNK_ROWS * k * 4             # assemble chunks
+        ep_reserve = (2 * (max(n_users, n_items) + 2**20) * k * 4
+                      + 3 * _ASSEMBLE_CHUNK_ROWS * k * 4)
+    reserve = (
+        (n_users + n_items + 2) * (k * 4 + 8)          # f32 factors+biases
+        + bf16[n_users] + bf16[n_items]                # phase gather copies
+        + ep_reserve
         + inflight
         + 3 * 48 * 2**20                               # streamed chunks
         + 1_000_000_000)
@@ -783,8 +799,13 @@ def wire_storage_init(plan, rank: int, seed: int, entity_offset: int = 0,
     stream with the user view like init_state's single rng does."""
     rng = np.random.default_rng(seed)
     n_entities = len(plan.perm)
-    if entity_offset:
-        rng.normal(0.0, scale, (entity_offset, rank))  # burn user rows
+    # burn in bounded chunks: Generator.normal draws are stream-
+    # sequential, so chunked draws consume the identical bitstream as
+    # one (entity_offset, rank) call without materializing a ~5 GB f64
+    # throwaway at the 1e9 scale's 10M-user offset
+    burn_chunk = 1 << 20
+    for a in range(0, entity_offset, burn_chunk):
+        rng.normal(0.0, scale, (min(burn_chunk, entity_offset - a), rank))
     vals = rng.normal(0.0, scale, (n_entities, rank))
     tab = np.zeros((plan.table_rows, rank), np.float64)
     tab[plan.perm] = vals
