@@ -516,8 +516,14 @@ def auto_wire_budget(n_users: int, n_items: int, rank: int,
     else:
         inflight = 1_500_000_000
     if storage == "wire":
-        # no Ep, no assemble: the storage tables ARE the factors
-        ep_reserve = 0
+        # no Ep, no assemble: the storage tables ARE the factors. But
+        # any EVAL gather over the larger table (held-out rmse_padded,
+        # serving) materializes a 128-lane-padded copy of the whole
+        # table when k < 128 — the same tax the assemble paid
+        # (runs/probes/b1_assemble_layouts.json). A round-5 auto run
+        # that pinned 8.26 GB of wire OOMed at the init eval on exactly
+        # that copy; reserve it.
+        ep_reserve = max(n_users, n_items) * max(k, 128) * 4
     else:
         # Ep (+ pad slack) TWICE: the wire-ordered solve table plus the
         # layout-change copy _assemble may need when the chunk-step
